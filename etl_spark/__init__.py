@@ -1,4 +1,4 @@
-"""test_etl_spark — a PySpark-native analytics engine.
+"""etl_spark — a PySpark-native analytics engine.
 
 A from-scratch rebuild of the capabilities of the reference ETL engine
 (``alarbulu/test-etl``, surveyed in SURVEY.md) on idiomatic Spark:

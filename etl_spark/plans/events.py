@@ -1,0 +1,227 @@
+"""Event-stream queries: JSON props, event-time windows, sessions.
+
+The reference has no streaming runtime — its incrementality is re-run
+batch over an append-only raw zone (SURVEY.md §2.2 "Streaming") — so
+these are the batch forms; `etl_spark.streaming` re-expresses the
+tumbling aggregate as a real Structured Streaming job with watermarks.
+
+Hash-stability notes:
+* Window starts are emitted as formatted strings; Spark's window()
+  aligns to the unix epoch in the session timezone (pinned UTC), which
+  matches DuckDB date_trunc-based bucketing.
+* Timestamp gaps compare integer microseconds (unix_micros vs
+  epoch_us) — no float rounding anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark.io import load
+from etl_spark.plans.registry import register
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*)                                     AS n_events,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        / COUNT(*)                                 AS avg_k,
+      MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))  AS min_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))  AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured JSON projection (I5, reference main.py:97,108,157): "
+        "get_json_object pushdown into a grouped aggregate.",
+    tags=("json", "aggregation"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+    SELECT
+      strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+      event_type,
+      COUNT(*)                                          AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time window aggregate; window(ts, '1 hour') "
+        "in Spark == date_trunc('hour') bucketing with UTC epoch alignment. "
+        "Streaming twin lives in etl_spark.streaming.",
+    tags=("events", "window-agg"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle=f"""
+    WITH aligned AS (
+      SELECT *,
+             date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END AS slot30
+      FROM events
+    ), exploded AS (
+      SELECT slot30                        AS window_start, event_type FROM aligned
+      UNION ALL
+      SELECT slot30 - INTERVAL 30 MINUTE  AS window_start, event_type FROM aligned
+    )
+    SELECT strftime(window_start, '{TS_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM exploded
+    GROUP BY 1, 2
+    """,
+    doc="Sliding window (1h size, 30m slide): each event lands in exactly "
+        "two windows; oracle materializes both membership rows explicitly.",
+    tags=("events", "window-agg"),
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+SESSION_GAP_US = 10 * 60 * 1_000_000  # 10 minutes in microseconds
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(lag_ts) > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC) AS lag_ts
+        FROM events
+      )
+    ), numbered AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_num AS BIGINT)              AS session_num,
+           COUNT(*)                                 AS n_events,
+           strftime(MIN(ts), '{TS_FMT_DUCK}')       AS session_start,
+           strftime(MAX(ts), '{TS_FMT_DUCK}')       AS session_end
+    FROM numbered
+    GROUP BY user_id, session_num
+    """,
+    doc="Sessionization with a 10-minute inactivity gap via gaps-and-"
+        "islands (lag + running sum) — batch equivalent of Spark's "
+        "session_window; integer-microsecond gap math for exactness.",
+    tags=("events", "session"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = load(spark, sf_dir, "events")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w_lag).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_lag)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_num", F.sum("new_session").over(w_run).cast("bigint")
+    )
+    return numbered.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+        F.date_format(F.max("ts"), TS_FMT_SPARK).alias("session_end"),
+    )
+
+
+@register(
+    "events_latest_per_user_type",
+    oracle=f"""
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '{TS_FMT_DUCK}') AS event_ts, value
+    FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="Latest-snapshot-wins per (user_id, event_type) — direct port of "
+        "the reference's S14 dedup semantics (reference main.py:149-157: "
+        "newest extraction wins per (repo, id)) onto the events table.",
+    tags=("events", "dedup", "window"),
+)
+def events_latest_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("event_ts"),
+            "value",
+        )
+    )

@@ -1,0 +1,301 @@
+"""Deduplication operators over `documents` (SURVEY.md §2.3).
+
+Four dedup families, all expressed as pure DataFrame plans and all
+oracle-paired (the usual blocker — engine-specific hash functions — is
+avoided by deriving every hash from md5(), which both Spark and DuckDB
+implement bit-identically):
+
+* exact        — content-hash grouping (the generalization of the
+                 reference's latest-snapshot-wins S14 dedup,
+                 reference main.py:149-157, to content identity).
+* n-gram Jaccard — exact set similarity over 3-token shingles via an
+                 inverted-index self-join (NEVER an all-pairs
+                 crossJoin: candidate pairs are generated only for
+                 docs that share at least one shingle).
+* MinHash + LSH — 16 md5-minhash signatures banded 4×4; candidate
+                 pairs are docs colliding in ≥1 band. This is the
+                 100 TB path: cost is O(docs × shingles) + a bucket
+                 join, independent of the number of pairs.
+* SimHash      — 16-bit tf-weighted fingerprint; near-dups share
+                 (or almost share) the fingerprint value.
+
+Scale notes: the shingle inverted index shuffles on shingle — head
+shingles are the skew risk, mitigated by dropping ultra-frequent
+shingles (a standard stop-shingle filter) before the self-join; LSH
+band buckets are uniformly distributed by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark.io import load
+from etl_spark.plans.registry import register
+
+# --------------------------------------------------------------------------
+# Exact dedup by content hash.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT
+      doc_id,
+      md5(text) AS content_hash,
+      MIN(doc_id) OVER (PARTITION BY md5(text))              AS canonical_id,
+      CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+           THEN 1 ELSE 0 END                                 AS is_duplicate
+    FROM documents
+    """,
+    doc="Exact dedup: md5 content hash, lowest doc_id in each hash "
+        "group is canonical. One shuffle on the hash; at 100 TB the "
+        "hash (32 bytes) shuffles instead of the document body.",
+    tags=("dedup", "llm"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("content_hash")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.md5("text").alias("content_hash"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn(
+            "is_duplicate",
+            F.when(F.col("doc_id") != F.col("canonical_id"), 1).otherwise(0),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Shared shingle machinery.
+# --------------------------------------------------------------------------
+
+NGRAM = 3
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-token shingles per document: (doc_id, shingle)."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(toks) >= NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - NGRAM),
+                lambda i: F.array_join(F.slice(toks, i + 1, NGRAM), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(sh).alias("shingle"))
+    )
+
+
+SHINGLES_SQL = f"""
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, len(t) - {NGRAM - 1}),
+                              i -> array_to_string(t[i:i+{NGRAM - 1}], ' ')))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= {NGRAM}
+"""
+
+JACCARD_THRESHOLD = 0.05
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common)
+          >= {JACCARD_THRESHOLD}
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs via inverted-index "
+        "self-join on shingles (candidate pairs only where a shingle is "
+        "shared — no crossJoin). Integer intersection/union counts → "
+        "engine-exact double ratio.",
+    tags=("dedup", "llm", "neardup"),
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH. md5-derived minhashes are engine-portable: the i-th
+# signature is min over shingles of md5('<i>|' || shingle) (hex strings
+# compare bytewise identically in Spark and DuckDB).
+# --------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _minhash_signature_sql() -> str:
+    mins = ",\n        ".join(
+        f"MIN(md5('{i}|' || shingle)) AS s{i}" for i in range(N_HASHES)
+    )
+    return f"SELECT doc_id,\n        {mins}\n      FROM sh GROUP BY doc_id"
+
+
+def _band_rows_sql() -> str:
+    rows = []
+    for b in range(N_BANDS):
+        cols = " || ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        rows.append(f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sig")
+    return "\n      UNION ALL\n      ".join(rows)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sig AS (
+      {_minhash_signature_sql()}
+    ),
+    bands AS (
+      {_band_rows_sql()}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+    """,
+    doc=f"MinHash LSH candidate pairs: {N_HASHES} md5-minhash signatures "
+        f"banded {N_BANDS}×{ROWS_PER_BAND}; docs colliding in any band are "
+        "candidates. The scale path for near-dup at 100 TB: signature "
+        "computation is one pass over shingles, the band join touches "
+        "only colliding buckets.",
+    tags=("dedup", "llm", "neardup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles_df(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"s{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    band_hashes = [
+        F.md5(
+            F.concat(*[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash: 16-bit tf-weighted fingerprint from md5 nibbles.
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _simhash_oracle_sql() -> str:
+    # Portable hex→int: nibble value via strpos in the hex alphabet.
+    nib = (
+        "(strpos('0123456789abcdef', substr(md5(term), {c}, 1)) - 1)"
+    )
+    h16 = " + ".join(
+        f"{nib.format(c=c + 1)} * {16 ** (3 - c)}" for c in range(4)
+    )
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (h16 // {2 ** i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fingerprint = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, CAST({h16} AS BIGINT) AS h16 FROM terms
+    ),
+    votes AS (
+      SELECT doc_id,
+        {votes}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash
+    FROM votes
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle_sql(),
+    doc=f"{SIMHASH_BITS}-bit SimHash fingerprint: every token votes ±1 "
+        "per bit position (bits from its md5), fingerprint takes the "
+        "majority sign. Near-dup docs land on identical or near values; "
+        "computed in one explode + one groupBy.",
+    tags=("dedup", "llm", "neardup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    h16 = F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("bigint")
+    hashed = terms.select("doc_id", h16.alias("h16"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("h16").bitwiseAND(F.lit(2 ** i))) != 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    fingerprint = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select("doc_id", fingerprint.cast("bigint").alias("simhash"))

@@ -1,0 +1,266 @@
+"""Similarity search over the `embeddings` table (SURVEY.md §2.3).
+
+Approximate-nearest-neighbor building blocks on an array<float>
+column. The cross-engine-exactness trick: embeddings are quantized to
+integers (round(x * 1000) — exact, because a float32 times 1000 is
+exactly representable in a double and can never land on a .5 tie, see
+proof in ``quantize``), so dot products and norms are exact BIGINT
+arithmetic in both engines, and cosine = dot / sqrt(na*nb) uses only
+IEEE-correctly-rounded ops (*, /, sqrt) → bit-identical doubles.
+
+Scale design (100 TB / billions of vectors):
+* brute-force top-k (sim_topk_cosine) is the per-query baseline: the
+  query set is broadcast, each executor scores its partition of the
+  corpus and emits per-partition top-k; only k rows per query cross
+  the final shuffle.
+* IVF-style pruning (sim_nn_within_label): restrict scoring to the
+  query's cell — here the label column stands in for a learned
+  coarse quantizer; the join is on the cell key, so candidates
+  co-locate and the cross-cell pair explosion never happens.
+* sign-LSH (sim_lsh_bucket_stats): 8 md5-derived random hyperplanes
+  → 8-bit bucket code; near-identical vectors collide. Bucketing is
+  one narrow map, candidates join per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark.io import load
+from etl_spark.plans.registry import register
+
+QUANT = 1000
+DIM = 64
+
+
+def quantize(col) -> Column:
+    """array<float> → array<bigint> via round(double(x) * QUANT).
+
+    Exactness: float32 has a 24-bit mantissa, so double(x) * 1000 is
+    exact (24+10 < 53 bits); an exact product of a dyadic rational and
+    1000 can never be exactly k + 0.5 (k + 0.5 = (2k+1)/2 would force
+    x = (2k+1)/2000, which is not dyadic) → round() has no ties and
+    both engines return the same integer.
+    """
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("bigint"))
+
+
+def dot(a, b) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(dot_ab, norm_a, norm_b) -> Column:
+    """dot/sqrt(na*nb) in doubles — correctly-rounded ops only."""
+    return dot_ab.cast("double") / F.sqrt(
+        norm_a.cast("double") * norm_b.cast("double")
+    )
+
+
+_QUANT_SQL = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+
+
+def _vec_cte() -> str:
+    return f"""
+      SELECT vec_id, label, {_QUANT_SQL} AS q,
+             CAST(list_dot_product({_QUANT_SQL}, {_QUANT_SQL}) AS BIGINT) AS norm
+      FROM embeddings
+    """
+
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=f"""
+    WITH vec AS ({_vec_cte()}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.q, c.q) AS DOUBLE)
+               / sqrt(CAST(q.norm AS DOUBLE) * CAST(c.norm AS DOUBLE)) AS cos_sim
+      FROM vec q JOIN vec c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {TOP_K}
+    """,
+    doc=f"Brute-force cosine top-{TOP_K} for {N_QUERIES} query vectors: "
+        "the exact-scoring baseline every ANN variant is measured "
+        "against. Query side broadcast; corpus scanned once.",
+    tags=("similarity", "llm", "ann"),
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    )
+    emb = emb.withColumn("norm", dot(F.col("q"), F.col("q")))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("q_query"),
+        F.col("norm").alias("norm_query"),
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(
+                dot(F.col("q"), F.col("q_query")),
+                F.col("norm"),
+                F.col("norm_query"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "sim_nn_within_label",
+    oracle=f"""
+    WITH vec AS ({_vec_cte()}),
+    scored AS (
+      SELECT a.vec_id, a.label,
+             b.vec_id AS nn_id,
+             CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+               / sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) AS cos_sim
+      FROM vec a JOIN vec b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, label, nn_id, cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id ASC) AS rn
+      FROM scored
+    )
+    WHERE rn = 1
+    """,
+    doc="IVF-style pruned nearest neighbor: score only within the "
+        "vector's coarse cell (label = stand-in quantizer cell). The "
+        "equi-join on the cell key co-locates candidates — the Spark "
+        "shape of an IVF index probe.",
+    tags=("similarity", "llm", "ann", "ivf"),
+)
+def sim_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    emb = emb.withColumn("norm", dot(F.col("q"), F.col("q")))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.label").alias("label"),
+            F.col("b.vec_id").alias("nn_id"),
+            cosine(
+                dot(F.col("a.q"), F.col("b.q")),
+                F.col("a.norm"),
+                F.col("b.norm"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "nn_id", "cos_sim")
+    )
+
+
+N_PLANES = 8
+
+
+def _plane_sign_sql(p: int, i: str) -> str:
+    # +1/-1 pseudo-random sign for plane p, dimension i, from md5 parity.
+    return (
+        f"CASE WHEN (strpos('0123456789abcdef', "
+        f"substr(md5('{p}|' || CAST({i} AS VARCHAR)), 1, 1)) - 1) % 2 = 1 "
+        f"THEN 1 ELSE -1 END"
+    )
+
+
+def _bucket_sql() -> str:
+    bits = []
+    for p in range(N_PLANES):
+        proj = (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"i -> q[i] * ({_plane_sign_sql(p, 'i')})))"
+        )
+        bits.append(f"CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END")
+    return " + ".join(bits)
+
+
+@register(
+    "sim_lsh_bucket_stats",
+    oracle=f"""
+    WITH vec AS (
+      SELECT vec_id, label, {_QUANT_SQL} AS q FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, label, CAST({_bucket_sql()} AS BIGINT) AS bucket FROM vec
+    )
+    SELECT bucket, COUNT(*) AS n_vectors, COUNT(DISTINCT label) AS n_labels
+    FROM bucketed
+    GROUP BY bucket
+    """,
+    doc=f"Sign-LSH bucketing: {N_PLANES} md5-derived ±1 hyperplanes → "
+        f"{N_PLANES}-bit bucket code per vector (integer projections, "
+        "engine-exact). Bucket histogram validates the partitioning the "
+        "scale-path candidate join would run on.",
+    tags=("similarity", "llm", "ann", "lsh"),
+)
+def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    # Deterministic ±1 planes, same derivation as the oracle (md5 parity).
+    import hashlib
+
+    signs = [
+        [
+            1 if int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[0], 16) % 2 == 1 else -1
+            for i in range(1, DIM + 1)
+        ]
+        for p in range(N_PLANES)
+    ]
+    bucket = None
+    for p in range(N_PLANES):
+        sign_arr = F.array(*[F.lit(s) for s in signs[p]])
+        proj = F.aggregate(
+            F.zip_with(F.col("q"), sign_arr, lambda x, s: x * s),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        emb.withColumn("bucket", bucket.cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count_distinct("label").alias("n_labels"),
+        )
+    )

@@ -1,0 +1,203 @@
+"""Text analysis over the `documents` table (SURVEY.md §2.3).
+
+Token statistics, corpus term rollups, quality heuristics, and
+document fingerprinting — the text half of the LLM-data-pipeline
+operator set. Everything is built-in array/string expressions
+(whole-stage codegen, zero Python UDFs); ranking scores are kept in
+integer space (tf, df) rather than floating idf so the oracle hash is
+engine-exact (ln() is not correctly-rounded and may differ in the last
+ulp between JVM and C runtimes).
+
+Scale: token explosion is the classic row-multiplier — at 100 TB the
+explode → groupBy(term) pipeline is a single shuffle keyed on term;
+skewed head terms (stopwords) are exactly the AQE skew-split case, and
+the per-doc statistics variants never explode at all (array functions
+evaluate in-place per row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.io import load
+from etl_spark.plans.registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokenization as an array column (shared definition)."""
+    return F.split(F.col(text_col), " ")
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      n_chars,
+      CAST(len(string_split(text, ' ')) AS INTEGER)                AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+      CAST(length(replace(text, ' ', '')) AS INTEGER)              AS n_alpha_chars,
+      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / len(string_split(text, ' '))                             AS avg_token_len
+    FROM documents
+    """,
+    doc="Per-document token statistics (token counting for training-data "
+        "curation): counts stay in-row via array functions — no explode, "
+        "no shuffle, embarrassingly parallel at any scale.",
+    tags=("text", "llm"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens_col()
+    n_alpha = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        n_alpha.alias("n_alpha_chars"),
+        (n_alpha.cast("double") / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_top_terms",
+    oracle="""
+    SELECT term,
+           COUNT(*)                 AS n_occurrences,
+           COUNT(DISTINCT doc_id)   AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    )
+    GROUP BY term
+    ORDER BY n_occurrences DESC, term ASC
+    LIMIT 25
+    """,
+    doc="Corpus term frequencies (tf + document frequency): explode → "
+        "groupBy(term) → top-k. The tf/df integer pair is the ranking "
+        "basis for TF-IDF without cross-engine-unstable ln().",
+    tags=("text", "llm", "aggregation"),
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "text_lang_source_rollup",
+    oracle="""
+    SELECT
+      lang,
+      source,
+      COUNT(*)                             AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT)         AS total_chars,
+      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="Corpus composition rollup by language and source — the first "
+        "query any dataset curator runs.",
+    tags=("text", "llm", "aggregation"),
+)
+def text_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      CAST(len(list_filter(string_split(text, ' '),
+               t -> list_contains({list(STOPWORDS)!r}, t))) AS INTEGER)
+                                                    AS n_stopwords,
+      CAST(len(list_filter(string_split(text, ' '),
+               t -> list_contains({list(STOPWORDS)!r}, t))) AS DOUBLE)
+        / len(string_split(text, ' '))              AS stopword_ratio,
+      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' '))              AS distinct_ratio,
+      CASE WHEN len(string_split(text, ' ')) < 20 THEN 1 ELSE 0 END AS is_short
+    FROM documents
+    """,
+    doc="Heuristic quality scoring for filtering (stopword density, "
+        "lexical diversity, short-doc flag) — per-row array math, "
+        "integer-derived ratios only.",
+    tags=("text", "llm", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / F.size(toks)).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "distinct_ratio"
+        ),
+        F.when(F.size(toks) < 20, 1).otherwise(0).alias("is_short"),
+    )
+
+
+SHINGLE_K = 5
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, md5(text) AS content_md5, string_split(text, ' ') AS t
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      content_md5,
+      CASE WHEN len(t) >= {SHINGLE_K}
+           THEN list_aggregate(
+                  list_transform(generate_series(1, len(t) - {SHINGLE_K - 1}),
+                                 i -> md5(array_to_string(t[i:i+{SHINGLE_K - 1}], ' '))),
+                  'min')
+           ELSE NULL END AS shingle_fingerprint
+    FROM toks
+    """,
+    doc="Document fingerprinting: whole-content md5 plus a rolling "
+        "{SHINGLE_K}-token shingle min-hash (winnowing-style smallest "
+        "shingle hash) — robust to partial edits, computed in-row.",
+    tags=("text", "llm", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens_col()
+    n = F.size(toks)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), n - SHINGLE_K),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, SHINGLE_K), " ")),
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.when(n >= SHINGLE_K, F.array_min(shingle_hashes))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("shingle_fingerprint"),
+    )

@@ -1,0 +1,72 @@
+"""Multimodal column handling (SURVEY.md §2.3 "multimodal columns").
+
+The testdata has no real image/audio bytes, so the binary payloads are
+derived deterministically from `documents.text` (utf-8 encode). What
+IS real and tested end-to-end is the Spark-side plumbing a multimodal
+pipeline needs at 100 TB:
+
+* an opaque `binary` payload column + typed metadata struct,
+* hashing/length/prefix ops on binary columns (JVM-side),
+* an Arrow-batched `mapInPandas` decode/feature-extract stage
+  (`etl_spark.operators.media`), with the actual image/audio decode
+  stubbed behind NotImplementedError (decode libs are not in this
+  container) and a deterministic fake used for tests.
+
+Scale: payloads never shuffle — feature extraction is a narrow map;
+metadata (small struct) is what joins/groupBys touch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.io import load
+from etl_spark.plans.registry import register
+
+
+@register(
+    "mm_binary_payload",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      md5(text)                           AS payload_md5,
+      substr(text, 1, 8)                  AS head_preview,
+      lang                                AS meta_lang,
+      'text/plain'                        AS meta_mime
+    FROM documents
+    """,
+    doc="Binary payload column + typed metadata: encode text → binary, "
+        "then JVM-side octet_length / md5 / prefix on the bytes. The "
+        "oracle works on the identical utf-8 bytes via the string form.",
+    tags=("multimodal", "llm"),
+)
+def mm_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    return docs.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.decode(F.substring("payload", 1, 8), "utf-8").alias("head_preview"),
+        F.col("lang").alias("meta_lang"),
+        F.lit("text/plain").alias("meta_mime"),
+    )
+
+
+@register(
+    "mm_extract_features",
+    oracle=None,  # Pandas-UDF pipeline; verified rows-only by the driver,
+    # exactly by tests/test_multimodal.py against pure-Python recompute.
+    doc="Arrow-batched mapInPandas feature extraction over binary "
+        "payloads (operators/media.py): deterministic fake decode "
+        "standing in for image/audio codecs, real batch plumbing.",
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.media import extract_features, with_payload
+
+    docs = with_payload(load(spark, sf_dir, "documents"))
+    return extract_features(docs)

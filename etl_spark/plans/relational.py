@@ -1,0 +1,432 @@
+"""Relational core: scans, aggregations, joins, top-k.
+
+The reference has no relational algebra at all (SURVEY.md §2.2 — its
+only "query" is a generator chain, reference main.py:160-176), so the
+semantics here are ANSI/Spark SQL as mandated by the north star. Every
+query is a (DataFrame builder, DuckDB oracle SQL) pair registered under
+the same name; aggregate columns go through the decimal-exact helpers
+in functions/money.py so the value hash is engine-stable.
+
+Scale notes (100 TB posture):
+* Dim tables (nation/region/supplier, and customer vs orders at real
+  TPC-H ratios) are broadcast explicitly — no shuffle on the fact side.
+* Fact-fact joins rely on AQE (skew splitting + coalescing) and carry
+  their join keys through the shuffle only once.
+* All filters are plain column predicates on the scan → parquet
+  pushdown + column pruning happen for free (verified via .explain in
+  bench audit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.functions.money import davg, dec, dsum, one_minus, one_plus
+from etl_spark.io import load
+from etl_spark.plans.registry import register
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-style pricing summary (SURVEY.md §7 Stage 0).
+# --------------------------------------------------------------------------
+
+Q1_CUTOFF = "2000-12-01"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      SUM(l_quantity)                                        AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                                                             AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+                                                             AS sum_charge,
+      SUM(l_quantity) / COUNT(*)                             AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+                                                             AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)
+                                                             AS avg_disc,
+      COUNT(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: grouped sums/averages over lineitem "
+        "with decimal-exact money math (flagship, SURVEY.md §7 Stage 0).",
+    tags=("aggregation", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+    disc_price = dec("l_extendedprice") * one_minus("l_discount")
+    charge = disc_price * one_plus("l_tax")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum(dec("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            davg(dec("l_extendedprice"), "avg_price"),
+            davg(dec("l_discount", 4, 2), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Row-level scan: filter + project + computed column (predicate pushdown).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_filter_project",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_quantity,
+      CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+           * CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) AS discount_amount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05
+      AND l_quantity < 24
+    """,
+    doc="TPC-H-Q6-style selective scan: every predicate is pushed to the "
+        "parquet reader; projection prunes to 4 of 11 columns.",
+    tags=("scan", "filter"),
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (dec("l_extendedprice") * dec("l_discount", 4, 2))
+            .cast("double")
+            .alias("discount_amount"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: single-row global aggregate over a selective scan "
+        "(map-side partial agg, no wide shuffle).",
+    tags=("aggregation",),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scan_filter_project(spark, sf_dir).agg(
+        dsum(
+            F.col("discount_amount").cast("decimal(16,4)"),
+            "revenue",
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY.md §2.2 "Joins": inner/left/semi/anti/broadcast).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_orders_customer",
+    oracle="""
+    SELECT
+      o.o_orderkey,
+      c.c_custkey,
+      c.c_name,
+      c.c_mktsegment,
+      o.o_totalprice,
+      strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+    doc="Inner equi-join orders⋈customer. customer is the small side → "
+        "broadcast hint; at true TPC-H ratios AQE would pick broadcast "
+        "automatically, the hint makes it deterministic.",
+    tags=("join",),
+)
+def join_inner_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+@register(
+    "join_left_customer_orders",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      c.c_name,
+      COUNT(o.o_orderkey)                                   AS n_orders,
+      CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))), 0) AS DOUBLE)
+                                                            AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="Left outer join preserving customers with zero orders, then "
+        "per-customer count + decimal-exact spend.",
+    tags=("join", "aggregation"),
+)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+SEMI_THRESHOLD = 50_000
+
+
+@register(
+    "join_semi_big_spenders",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {SEMI_THRESHOLD}
+    )
+    """,
+    doc="Left-semi join: customers having at least one order over the "
+        "threshold. Semi joins never duplicate the left side and carry "
+        "no payload from the right → cheapest existence check at scale.",
+    tags=("join",),
+)
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > SEMI_THRESHOLD)
+    return cust.join(big, big.o_custkey == cust.c_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti_no_f_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+    doc="Left-anti join: customers with no finished orders.",
+    tags=("join",),
+)
+def join_anti_no_f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    f_orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(f_orders, f_orders.o_custkey == cust.c_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_broadcast_geo_rollup",
+    oracle="""
+    SELECT
+      r.r_name                                   AS region_name,
+      n.n_name                                   AS nation_name,
+      COUNT(*)                                   AS n_customers,
+      MIN(c.c_acctbal)                           AS min_acctbal,
+      MAX(c.c_acctbal)                           AS max_acctbal,
+      CAST(SUM(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Star-schema dim join: nation (25 rows) and region (5 rows) are "
+        "broadcast — the customer fact never shuffles for the join, only "
+        "for the final (tiny) aggregation.",
+    tags=("join", "broadcast", "aggregation"),
+)
+def join_broadcast_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+            F.sum(dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation variants: distinct counts, rollup, cube.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_distinct_priority",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(*)                     AS n_orders,
+      COUNT(DISTINCT o_custkey)    AS n_customers,
+      COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Grouped exact distinct counts (expand + two-phase agg in Spark).",
+    tags=("aggregation",),
+)
+def agg_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count_distinct("o_orderstatus").alias("n_statuses"),
+        )
+    )
+
+
+@register(
+    "agg_rollup_orders",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_totalprice
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP hierarchy: (status, priority) → (status) → grand total; "
+        "one shuffle, grouping-set expansion handled by Spark.",
+    tags=("aggregation", "rollup"),
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("sum_totalprice"),
+        )
+    )
+
+
+@register(
+    "agg_cube_lineitem",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      COUNT(*)        AS n_rows,
+      SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two low-cardinality dims (all 2^2 grouping sets).",
+    tags=("aggregation", "cube"),
+)
+def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k (SURVEY.md §2.2 "Limits / top-k").
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top_k_orders",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_custkey,
+      o_totalprice,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 15
+    """,
+    doc="Global top-k: Spark plans TakeOrderedAndProject — per-partition "
+        "heaps of size k, then a k-row merge on the driver; no full sort "
+        "at any scale. Tiebreak on o_orderkey keeps the row set total-"
+        "ordered and engine-independent.",
+    tags=("topk", "sort"),
+)
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )

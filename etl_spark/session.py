@@ -39,6 +39,7 @@ def get_spark(app_name: str = "test-etl-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
@@ -56,4 +57,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # events.parquet carries TIMESTAMP(NANOS); read as long + explicit
+    # micros truncation (see io.load) — vectorized reader rejects nanos.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Static confs (driver memory, master) cannot be changed on a live
+    # session; everything above is runtime-settable.
     return spark
