@@ -86,9 +86,23 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # repartition: the testdata ships one parquet file → one input
+    # partition, which would serialize the (CPU-heavy) shingle explode
+    # on a single core; spreading docs across the cluster first is the
+    # right shape at any scale (a real corpus has many files, but
+    # core-aligned partitions before a row-multiplying transform still
+    # hold).
+    # persist(): the inverted index is consumed 2-3x per query (both
+    # sides of the self-join + the per-doc sizes); without it the
+    # concurrent stages of one job race and each recomputes the
+    # explode. Callers materialize it (count) before building the
+    # multi-consumer join. At 100 TB the same role is played by
+    # checkpointing the index to parquet.
     return (
         load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(sh).alias("shingle"))
+        .persist()
     )
 
 
@@ -107,21 +121,23 @@ JACCARD_THRESHOLD = 0.05
     "dedup_jaccard_pairs",
     oracle=f"""
     WITH sh AS ({SHINGLES_SQL}),
-    sizes AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    sized AS (
+      SELECT doc_id, shingle,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+      FROM sh
     ),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_common,
+             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+      FROM sized a JOIN sized b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
-    SELECT i.doc_a, i.doc_b, i.n_common,
-           CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common)
-          >= {JACCARD_THRESHOLD}
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= {JACCARD_THRESHOLD}
     """,
     doc="Exact n-gram Jaccard near-dup pairs via inverted-index "
         "self-join on shingles (candidate pairs only where a shingle is "
@@ -131,50 +147,73 @@ JACCARD_THRESHOLD = 0.05
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles_df(spark, sf_dir)
+    sh.count()  # materialize the persisted index once (see shingles_df)
+    # Attach per-doc set sizes to the index rows via a broadcast join so
+    # the pair aggregation already carries na/nb — avoids two extra
+    # shuffled joins after the (large) pair table exists.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    sized = sh.join(F.broadcast(sizes), "doc_id")
+    a = sized.alias("a")
+    b = sized.alias("b")
+    pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.any_value(F.col("a.n_sh")).alias("na"),
+            F.any_value(F.col("b.n_sh")).alias("nb"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
-    )
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= JACCARD_THRESHOLD)
+        pairs.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
     )
 
 
 # --------------------------------------------------------------------------
-# MinHash + LSH. md5-derived minhashes are engine-portable: the i-th
-# signature is min over shingles of md5('<i>|' || shingle) (hex strings
-# compare bytewise identically in Spark and DuckDB).
+# MinHash + LSH. Engine-portable AND cheap: ONE md5 per shingle → a
+# 60-bit integer h, then N_HASHES universal-hash mixes
+# m_i = (A_i * (h % P) + B_i) % P (exact BIGINT arithmetic, identical
+# in Spark and DuckDB — vs 16 md5 calls per shingle occurrence, which
+# profiling showed dominated the query at ~25s/5k docs).
 # --------------------------------------------------------------------------
 
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
+MERSENNE_P = 1_000_000_007
+# Deterministic odd multipliers/offsets < 2^31 (A_i * (h%P) stays < 2^61).
+HASH_A = [(2_654_435_761 * (i + 1) + 1) % MERSENNE_P for i in range(N_HASHES)]
+HASH_B = [(40_503 * (i + 1) * (i + 1) + 7) % MERSENNE_P for i in range(N_HASHES)]
+
+_HEX = "0123456789abcdef"
+# DuckDB has no hex→int conversion; reconstruct the 60-bit value from
+# the first 15 md5 hex chars via strpos arithmetic (exact BIGINT).
+_H60_SQL = " + ".join(
+    f"(strpos('{_HEX}', substr(h, {c}, 1)) - 1) * {16 ** (15 - c)}"
+    for c in range(1, 16)
+)
 
 
 def _minhash_signature_sql() -> str:
     mins = ",\n        ".join(
-        f"MIN(md5('{i}|' || shingle)) AS s{i}" for i in range(N_HASHES)
+        f"MIN(({a} * hp + {b}) % {MERSENNE_P}) AS s{i}"
+        for i, (a, b) in enumerate(zip(HASH_A, HASH_B))
     )
-    return f"SELECT doc_id,\n        {mins}\n      FROM sh GROUP BY doc_id"
+    return f"""SELECT doc_id,
+        {mins}
+      FROM (SELECT doc_id, ({_H60_SQL}) % {MERSENNE_P} AS hp
+            FROM (SELECT doc_id, md5(shingle) AS h FROM sh))
+      GROUP BY doc_id"""
 
 
 def _band_rows_sql() -> str:
     rows = []
     for b in range(N_BANDS):
-        cols = " || ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        rows.append(f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sig")
+        s = [f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        expr = f"((({s[0]} * 31 + {s[1]}) * 31 + {s[2]}) * 31 + {s[3]})"
+        rows.append(f"SELECT doc_id, {b} AS band_idx, {expr} AS band_hash FROM sig")
     return "\n      UNION ALL\n      ".join(rows)
 
 
@@ -202,18 +241,27 @@ def _band_rows_sql() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles_df(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"s{i}")
-            for i in range(N_HASHES)
-        ]
-    )
-    band_hashes = [
-        F.md5(
-            F.concat(*[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+    sh.count()  # materialize the persisted index once (see shingles_df)
+    hp = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
+        % MERSENNE_P
+    ).alias("hp")
+    sig = (
+        sh.select("doc_id", hp)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("hp") + F.lit(b)) % MERSENNE_P).alias(f"s{i}")
+                for i, (a, b) in enumerate(zip(HASH_A, HASH_B))
+            ]
         )
-        for b in range(N_BANDS)
-    ]
+    )
+
+    def band_hash(b: int):
+        s = [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        return ((s[0] * 31 + s[1]) * 31 + s[2]) * 31 + s[3]
+
+    band_hashes = [band_hash(b) for b in range(N_BANDS)]
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
@@ -281,8 +329,10 @@ def _simhash_oracle_sql() -> str:
     tags=("dedup", "llm", "neardup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    terms = load(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    terms = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     )
     h16 = F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("bigint")
     hashed = terms.select("doc_id", h16.alias("h16"))

@@ -102,8 +102,12 @@ TOP_K = 5
     tags=("similarity", "llm", "ann"),
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", quantize(F.col("embedding")).alias("q")
+    # repartition: single-file input → single partition; vector math is
+    # CPU-bound, spread it across cores before scoring.
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
     )
     emb = emb.withColumn("norm", dot(F.col("q"), F.col("q")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -159,9 +163,14 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "llm", "ann", "ivf"),
 )
 def sim_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
     )
+    # No persist here: caching array<bigint> columns costs more in
+    # (de)serialization than recomputing the quantization, and the
+    # equi-join's shuffle already materializes each side once.
     emb = emb.withColumn("norm", dot(F.col("q"), F.col("q")))
     a = emb.alias("a")
     b = emb.alias("b")
@@ -233,8 +242,10 @@ def _bucket_sql() -> str:
     tags=("similarity", "llm", "ann", "lsh"),
 )
 def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
     )
     # Deterministic ±1 planes, same derivation as the oracle (md5 parity).
     import hashlib
