@@ -1,0 +1,87 @@
+"""Structured Streaming: the streaming twins of plans/events.py.
+
+The reference has NO streaming runtime — its incrementality is re-run
+batch over an append-only raw zone (SURVEY.md §2.2 "Streaming"). These
+jobs are the engine's forward-looking extension: the same tumbling
+aggregation as events_tumbling_hourly, expressed as
+readStream → watermark → window → sink, so a deployment can flip the
+events table from nightly batch to continuous without changing the
+query's meaning.
+
+Design notes for the 100 TB / continuous case:
+* watermark bounds state: events later than WATERMARK_DELAY past the
+  max seen ts are dropped, so the window state store stays O(open
+  windows), not O(history).
+* `available_now` trigger processes a backlog in bounded batches and
+  stops — the batch/stream bridge (used by tests; a deployment would
+  use a processingTime trigger).
+* sinks: tests use the in-memory sink; production would writeStream
+  to parquet with checkpointing for exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+WATERMARK_DELAY = "10 minutes"
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream: each JSON file dropped into source_dir is a
+    micro-batch of events (the streaming analog of the raw zone)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .json(source_dir)
+    )
+
+
+def hourly_counts_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of events_tumbling_hourly: tumbling 1h window
+    per event_type with a late-data watermark."""
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, query_name: str):
+    """Drain the current backlog into the in-memory sink and stop.
+
+    Complete output mode: every trigger emits the full updated window
+    table (needed because the memory sink has no update semantics for
+    this shape). Returns the StreamingQuery after it has consumed all
+    available input.
+    """
+    query = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
