@@ -199,6 +199,51 @@ def sim_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COSINE_DUP_THRESHOLD = 0.4
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH vec AS ({_vec_cte()})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+             / sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) AS cos_sim
+    FROM vec a JOIN vec b ON a.vec_id < b.vec_id
+    WHERE CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+            / sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE))
+          >= {COSINE_DUP_THRESHOLD}
+    """,
+    doc=f"Embedding-cosine near-duplicate pairs (cos ≥ "
+        f"{COSINE_DUP_THRESHOLD}): the exact all-pairs baseline the LSH "
+        "bucket path approximates. Oracle-sized corpora score exactly; "
+        "at 100 TB only bucket-colliding candidates (sim_lsh_bucket_"
+        "stats partitioning) would be scored.",
+    tags=("similarity", "llm", "dedup", "neardup"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+    )
+    emb = emb.withColumn("norm", dot(F.col("q"), F.col("q")))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine(
+        dot(F.col("a.q"), F.col("b.q")), F.col("a.norm"), F.col("b.norm")
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
 N_PLANES = 8
 
 

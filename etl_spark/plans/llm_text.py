@@ -17,7 +17,7 @@ evaluate in-place per row).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_spark.io import load
@@ -158,6 +158,94 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_ratio"
         ),
         F.when(F.size(toks) < 20, 1).otherwise(0).alias("is_short"),
+    )
+
+
+LANGID_TOP_TRIGRAMS = 20
+
+
+@register(
+    "text_langid_ngram",
+    oracle=f"""
+    WITH tri_all AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, length(text) - 2),
+                                   i -> substr(text, i, 3))) AS tri
+      FROM documents
+    ),
+    profile AS (
+      SELECT lang, tri FROM (
+        SELECT lang, tri, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY COUNT(*) DESC, tri ASC) AS rk
+        FROM tri_all GROUP BY lang, tri
+      ) WHERE rk <= {LANGID_TOP_TRIGRAMS}
+    ),
+    doc_tri AS (
+      SELECT DISTINCT doc_id, lang AS actual_lang, tri FROM tri_all
+    ),
+    scored AS (
+      SELECT d.doc_id, d.actual_lang, p.lang AS candidate_lang,
+             COUNT(*) AS score
+      FROM doc_tri d JOIN profile p ON d.tri = p.tri
+      GROUP BY d.doc_id, d.actual_lang, p.lang
+    )
+    SELECT doc_id, actual_lang, candidate_lang AS predicted_lang,
+           CAST(score AS BIGINT) AS score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, candidate_lang ASC) AS rn
+      FROM scored
+    )
+    WHERE rn = 1
+    """,
+    doc="Character-trigram language identification: per-language top-"
+        f"{LANGID_TOP_TRIGRAMS} trigram profiles learned from the labeled "
+        "corpus itself, documents classified by profile overlap (argmax "
+        "with deterministic tiebreak). Integer scores only — fully "
+        "oracle-checkable. The profile is a tiny broadcast table at any "
+        "corpus size.",
+    tags=("text", "llm", "langid"),
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 2),
+        lambda i: F.col("text").substr(i, F.lit(3)),
+    )
+    tri_all = docs.select(
+        "doc_id", F.col("lang"), F.explode(tri).alias("tri")
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri").asc())
+    profile = (
+        tri_all.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= LANGID_TOP_TRIGRAMS)
+        .select(F.col("lang").alias("candidate_lang"), "tri")
+    )
+    doc_tri = tri_all.select(
+        "doc_id", F.col("lang").alias("actual_lang"), "tri"
+    ).distinct()
+    scored = (
+        doc_tri.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "actual_lang", "candidate_lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("candidate_lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual_lang",
+            F.col("candidate_lang").alias("predicted_lang"),
+            "score",
+        )
     )
 
 

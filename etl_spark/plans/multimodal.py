@@ -57,6 +57,38 @@ def mm_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udf_token_count_pandas",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens_udf,
+           n_chars
+    FROM documents
+    """,
+    doc="Vectorized scalar pandas_udf (Arrow batches) computing token "
+        "counts — the UDF surface demo, oracle-checked against the "
+        "pure-SQL equivalent. For production the built-in size(split()) "
+        "form (text_token_stats) is preferred: same result, JVM-side.",
+    tags=("udf", "pandas-udf"),
+)
+def udf_token_count_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _n_tokens(text):
+        # Self-contained (no module references): cloudpickled by value.
+        return text.str.split(" ").str.len().astype("int32")
+
+    # Real (non-string) annotations: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf can't interpret.
+    _n_tokens.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    n_tokens = pandas_udf(_n_tokens, "int")
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", n_tokens("text").alias("n_tokens_udf"), "n_chars"
+    )
+
+
+@register(
     "mm_extract_features",
     oracle=None,  # Pandas-UDF pipeline; verified rows-only by the driver,
     # exactly by tests/test_multimodal.py against pure-Python recompute.

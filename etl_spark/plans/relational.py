@@ -345,6 +345,27 @@ def agg_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; the exact-count
+    # twin agg_distinct_priority is the oracle-checked form, and
+    # tests/test_approx.py bounds this sketch's error against it.
+    doc="approx_count_distinct (HyperLogLog++) per priority — the "
+        "sketch form that replaces exact distinct at 100 TB (no expand, "
+        "mergeable partial aggregates, fixed memory).",
+    tags=("aggregation", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        )
+    )
+
+
+@register(
     "agg_rollup_orders",
     oracle="""
     SELECT
