@@ -191,6 +191,58 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_window_native",
+    oracle=f"""
+    WITH flagged AS (
+      -- Native session_window treats windows as half-open
+      -- [start, last_ts + gap): an event exactly gap after its
+      -- predecessor starts a NEW session, hence >= (the standalone
+      -- events_sessionize query uses > by its own definition).
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(lag_ts) >= {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC) AS lag_ts
+        FROM events
+      )
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+           COUNT(*)                           AS n_events
+    FROM numbered
+    GROUP BY user_id, session_num
+    """,
+    doc="Native session_window(ts, '10 minutes') — Spark's built-in "
+        "session windows, cross-checked against the independent gaps-"
+        "and-islands formulation (the oracle): a session's window.start "
+        "equals the session's first event, so the two derivations must "
+        "agree exactly. This is the operator a streaming deployment "
+        "would use (works under watermarks).",
+    tags=("events", "session"),
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "events_latest_per_user_type",
     oracle=f"""
     SELECT user_id, event_type, event_id,

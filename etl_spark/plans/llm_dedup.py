@@ -280,6 +280,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    oracle=None,  # iterative fixpoint — not single-statement SQL;
+    # tests/test_graph.py verifies against a Python union-find on the
+    # same pairs.
+    doc="Near-dup clusters: connected components (iterative min-label "
+        "propagation, operators/graph.py) over the MinHash-LSH candidate "
+        "pairs — the step that turns pairwise matches into canonical "
+        "groups a keep-one dedup policy can act on. Every document "
+        "appears; singletons are their own cluster.",
+    tags=("dedup", "llm", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    vertices = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(vertices, edges).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash: 16-bit tf-weighted fingerprint from md5 nibbles.
 # --------------------------------------------------------------------------

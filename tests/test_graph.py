@@ -1,0 +1,58 @@
+"""Connected components verified against a Python union-find on the
+same edge set."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark.operators.graph import connected_components
+from etl_spark.plans import REGISTRY
+from etl_spark.plans.llm_dedup import dedup_minhash_lsh
+from tests.conftest import SF_DIR
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent = {}
+
+    def find(self, x):
+        self.parent.setdefault(x, x)
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def test_connected_components_on_synthetic_graph(spark):
+    # Two components {1,2,3} (path) and {10,11}; 99 is a singleton.
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], ["id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["src", "dst"])
+    got = {r["id"]: r["component"] for r in connected_components(vertices, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    pairs = [(r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, SF_DIR).collect()]
+    uf = UnionFind()
+    all_docs = [
+        r["doc_id"]
+        for r in REGISTRY["dedup_exact"].builder(spark, SF_DIR).select("doc_id").collect()
+    ]
+    for d in all_docs:
+        uf.find(d)
+    for a, b in pairs:
+        uf.union(a, b)
+    want = {d: uf.find(d) for d in all_docs}
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in REGISTRY["dedup_clusters"].builder(spark, SF_DIR).collect()
+    }
+    # Canonical representative: min id of the component in both cases.
+    # Union-find roots are already minimal because union parents max→min.
+    assert got == want
