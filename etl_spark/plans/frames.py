@@ -1,0 +1,145 @@
+"""Range frames, percentiles, null semantics, and range joins —
+the remaining ANSI-surface corners (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark.functions.money import dec
+from etl_spark.io import load
+from etl_spark.plans.registry import register
+
+
+@register(
+    "window_rolling_30d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_30d
+    FROM orders
+    """,
+    doc="RANGE frame: rolling 30-day spend per customer. The order key "
+        "is integer days-since-epoch so the range bound is engine-"
+        "independent; peers at the same day aggregate together (RANGE, "
+        "not ROWS, semantics).",
+    tags=("window", "range-frame"),
+)
+def window_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50_price,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles (median, p90) per status. Both "
+        "engines use the same linear interpolation a+(b-a)*frac over "
+        "sorted values; the inputs are 2-decimal doubles so the "
+        "arithmetic is correctly-rounded-identical. At 100 TB the "
+        "sketch form (approx_percentile) replaces this — exact "
+        "percentile requires a global sort per group.",
+    tags=("aggregation", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50_price"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "scalar_null_handling",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      NULLIF(l_discount, 0.0)                         AS discount_or_null,
+      COALESCE(NULLIF(l_discount, 0.0), -1.0)         AS discount_filled,
+      CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END AS is_zero_discount,
+      CAST(NULL AS VARCHAR)                           AS always_null
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+    doc="Null semantics: NULLIF/COALESCE/IS NULL round-trips — ANSI "
+        "three-valued logic parity between engines.",
+    tags=("scalar", "null"),
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    disc_or_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_or_null.alias("discount_or_null"),
+        F.coalesce(disc_or_null, F.lit(-1.0)).alias("discount_filled"),
+        F.when(disc_or_null.isNull(), 1).otherwise(0).alias("is_zero_discount"),
+        F.lit(None).cast("string").alias("always_null"),
+    )
+
+
+# Static decile boundaries for events.value (values are uniform-ish in
+# [0, 100); the dim is a constant table — the broadcast side).
+VALUE_BUCKETS = [(i, float(i * 10), float((i + 1) * 10)) for i in range(10)]
+
+
+@register(
+    "range_join_value_buckets",
+    oracle=f"""
+    WITH buckets(bucket_id, lo, hi) AS (
+      VALUES {", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BUCKETS)}
+    )
+    SELECT b.bucket_id, b.lo, b.hi,
+           COUNT(e.event_id)                                 AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM buckets b
+    LEFT JOIN events e ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket_id, b.lo, b.hi
+    """,
+    doc="Range (theta) join: events banded into a tiny boundary dim via "
+        "lo <= value < hi. The dim side is broadcast, so the non-equi "
+        "condition evaluates map-side (BroadcastNestedLoopJoin) — the "
+        "only sane physical shape for a range join against a constant "
+        "band table; a fact-fact range join would need interval "
+        "bucketing first.",
+    tags=("join", "range-join"),
+)
+def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = spark.createDataFrame(VALUE_BUCKETS, ["bucket_id", "lo", "hi"])
+    ev = load(spark, sf_dir, "events")
+    return (
+        F.broadcast(buckets)
+        .join(ev, (ev.value >= buckets.lo) & (ev.value < buckets.hi), "left")
+        .groupBy("bucket_id", "lo", "hi")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
