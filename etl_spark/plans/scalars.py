@@ -77,6 +77,40 @@ def scalar_date_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_math_lineitem",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      abs(l_quantity - 25.0)                 AS qty_dev,
+      CAST(floor(l_quantity / 10.0) AS BIGINT)       AS qty_decile,
+      CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+      round(l_extendedprice / 7.0, 2)   AS price_seventh,
+      sqrt(l_quantity)                  AS qty_sqrt,
+      l_quantity * l_quantity           AS qty_sq
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+    doc="Math functions: abs/floor/ceil/round/sqrt (all correctly-"
+        "rounded IEEE or exact on these inputs; pow/ln are excluded "
+        "from hashed outputs by policy — not correctly rounded).",
+    tags=("scalar", "math"),
+)
+def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.floor(F.col("l_quantity") / 10.0).alias("qty_decile"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_k_ceil"),
+        F.round(F.col("l_extendedprice") / 7.0, 2).alias("price_seventh"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+    )
+
+
+@register(
     "scalar_case_quantity_bucket",
     oracle="""
     SELECT

@@ -70,3 +70,37 @@ def setop_except_only_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _custkeys_by_status(spark, sf_dir, "O")
     f = _custkeys_by_status(spark, sf_dir, "F")
     return o.subtract(f)  # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicity)
+
+
+@register(
+    "setop_intersect_all_orders",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="INTERSECT ALL (multiset): keeps min(multiplicity) copies per "
+        "key — the bag-semantics counterpart of setop_intersect.",
+    tags=("setop",),
+)
+def setop_intersect_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _custkeys_by_status(spark, sf_dir, "O")
+    f = _custkeys_by_status(spark, sf_dir, "F")
+    return o.intersectAll(f)
+
+
+@register(
+    "setop_except_all_orders",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT ALL (multiset): subtracts multiplicities instead of "
+        "removing keys outright.",
+    tags=("setop",),
+)
+def setop_except_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _custkeys_by_status(spark, sf_dir, "O")
+    f = _custkeys_by_status(spark, sf_dir, "F")
+    return o.exceptAll(f)
