@@ -43,6 +43,11 @@ HEADLINE = (
     "dedup_jaccard_pairs",
     "sim_topk_cosine",
     "sim_nn_within_label",
+    "events_asof_click_before_error",
+    "pivot_user_event_counts",
+    "sql_q3_shipping_priority",
+    "window_rolling_30d_spend",
+    "text_langid_ngram",
 )
 
 

@@ -111,6 +111,109 @@ VALUE_BUCKETS = [(i, float(i * 10), float((i + 1) * 10)) for i in range(10)]
 
 
 @register(
+    "audit_rate_precision",
+    oracle="""
+    SELECT
+      COUNT(*)                                                    AS n_rows,
+      CAST(COUNT(*) FILTER (WHERE l_discount <> round(l_discount, 2)) AS BIGINT)
+                                                                  AS bad_discounts,
+      CAST(COUNT(*) FILTER (WHERE l_tax <> round(l_tax, 2)) AS BIGINT)
+                                                                  AS bad_taxes,
+      CAST(COUNT(*) FILTER (WHERE l_extendedprice <> round(l_extendedprice, 2)) AS BIGINT)
+                                                                  AS bad_prices
+    FROM lineitem
+    """,
+    doc="Data audit backing the engine's decimal-money design "
+        "(functions/money.py): every rate/price must be at most "
+        "2-decimal or the DECIMAL(4,2) casts would silently round. "
+        "All bad_* columns must be 0 — run this when onboarding a new "
+        "dataset.",
+    tags=("audit", "aggregation"),
+)
+def audit_rate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+
+    def bad(col: str) -> F.Column:
+        return F.sum(
+            F.when(F.col(col) != F.round(F.col(col), 2), 1).otherwise(0)
+        ).cast("bigint")
+
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        bad("l_discount").alias("bad_discounts"),
+        bad("l_tax").alias("bad_taxes"),
+        bad("l_extendedprice").alias("bad_prices"),
+    )
+
+
+@register(
+    "agg_rollup_grouping_id",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      CAST(GROUPING(o_orderstatus) AS INTEGER)   AS g_status,
+      CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="GROUPING() indicators on a ROLLUP — distinguishes 'NULL key "
+        "value' rows from 'aggregated over this key' rows, which raw "
+        "NULLs cannot.",
+    tags=("aggregation", "rollup"),
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n_orders"
+        )
+    )
+
+
+@register(
+    "window_lead_next_order",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey) OVER w                         AS next_orderkey,
+           strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d')  AS next_order_date,
+           FIRST_VALUE(o_orderkey) OVER w                  AS first_orderkey,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                                           AS second_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    doc="LEAD / FIRST_VALUE / NTH_VALUE — the forward-looking window "
+        "complements of the lag query.",
+    tags=("window", "lead"),
+)
+def window_lead_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias(
+            "next_order_date"
+        ),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_orderkey"),
+    )
+
+
+@register(
     "range_join_value_buckets",
     oracle=f"""
     WITH buckets(bucket_id, lo, hi) AS (
