@@ -57,6 +57,32 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_props_map_funcs",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',')               AS prop_keys,
+           CAST(len(json_keys(props)) AS INTEGER)               AS n_props,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)    AS k_value
+    FROM events
+    WHERE event_id % 50 = 0
+    """,
+    doc="Map-typed columns: from_json to map<string,bigint>, then "
+        "map_keys / size / element_at — the MapType surface from "
+        "SURVEY §2.2's scalar list.",
+    tags=("json", "map", "scalar"),
+)
+def events_props_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 0)
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.size(F.map_keys(m)).alias("n_props"),
+        F.element_at(m, "k").alias("k_value"),
+    )
+
+
+@register(
     "events_tumbling_hourly",
     oracle=f"""
     SELECT

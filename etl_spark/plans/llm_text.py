@@ -161,6 +161,38 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "text_token_count_bpe_regex",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER)          AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INTEGER)
+                                                                  AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS DOUBLE)
+             / len(string_split(text, ' '))                       AS fertility
+    FROM documents
+    """,
+    doc="Token counting two ways: whitespace and a BPE-ish regex "
+        "(letter runs / digit runs / single punctuation — the "
+        "pre-tokenization shape BPE vocabularies start from), plus the "
+        "fertility ratio between them. Pattern restricted to a "
+        "regex-dialect-neutral subset so Java regex and RE2 agree.",
+    tags=("text", "llm", "tokens"),
+)
+def text_token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bpe = F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+    ws = F.split(F.col("text"), " ")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        (F.size(bpe).cast("double") / F.size(ws)).alias("fertility"),
+    )
+
+
 LANGID_TOP_TRIGRAMS = 20
 
 
