@@ -295,32 +295,8 @@ def _bucket_sql() -> str:
     return " + ".join(bits)
 
 
-@register(
-    "sim_lsh_bucket_stats",
-    oracle=f"""
-    WITH vec AS (
-      SELECT vec_id, label, {_QUANT_SQL} AS q FROM embeddings
-    ),
-    bucketed AS (
-      SELECT vec_id, label, CAST({_bucket_sql()} AS BIGINT) AS bucket FROM vec
-    )
-    SELECT bucket, COUNT(*) AS n_vectors, COUNT(DISTINCT label) AS n_labels
-    FROM bucketed
-    GROUP BY bucket
-    """,
-    doc=f"Sign-LSH bucketing: {N_PLANES} md5-derived ±1 hyperplanes → "
-        f"{N_PLANES}-bit bucket code per vector (integer projections, "
-        "engine-exact). Bucket histogram validates the partitioning the "
-        "scale-path candidate join would run on.",
-    tags=("similarity", "llm", "ann", "lsh"),
-)
-def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = (
-        load(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
-    )
-    # Deterministic ±1 planes, same derivation as the oracle (md5 parity).
+def _bucket_column():
+    """Shared sign-LSH bucket expression over the quantized column q."""
     import hashlib
 
     signs = [
@@ -340,8 +316,87 @@ def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bit = F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("bigint")
+
+
+@register(
+    "sim_ann_lsh_probe",
+    oracle=None,  # approximate by design — recall vs the exact
+    # brute-force baseline is bounded in tests/test_ann_recall.py.
+    doc=f"End-to-end ANN query: sign-LSH bucketing ({N_PLANES} planes) "
+        "with Hamming-1 multiprobe — each vector probes its own bucket "
+        "plus the 8 single-bit-flip neighbors, scores only those "
+        "candidates exactly, and keeps the top-1. The 100 TB shape: "
+        "candidate generation is an equi-join on the bucket id "
+        "(explode 9 probe rows per query), never an all-pairs scan.",
+    tags=("similarity", "llm", "ann", "lsh"),
+)
+def sim_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .withColumn("bucket", _bucket_column())
+        .withColumn("norm", dot(F.col("q"), F.col("q")))
+    )
+    # Probe set: own bucket + Hamming-1 neighbors (bit flips).
+    probes = F.array(
+        F.col("bucket"), *[
+            F.col("bucket").bitwiseXOR(F.lit(2 ** p)) for p in range(N_PLANES)
+        ]
+    )
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("q_q"),
+        F.col("norm").alias("norm_q"),
+        F.explode(probes).alias("bucket"),
+    )
+    cand = queries.join(emb, "bucket").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("nn_id"),
+        cosine(dot(F.col("q_q"), F.col("q")), F.col("norm_q"), F.col("norm")).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nn_id").asc()
+    )
     return (
-        emb.withColumn("bucket", bucket.cast("bigint"))
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "nn_id", "cos_sim")
+    )
+
+
+@register(
+    "sim_lsh_bucket_stats",
+    oracle=f"""
+    WITH vec AS (
+      SELECT vec_id, label, {_QUANT_SQL} AS q FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, label, CAST({_bucket_sql()} AS BIGINT) AS bucket FROM vec
+    )
+    SELECT bucket, COUNT(*) AS n_vectors, COUNT(DISTINCT label) AS n_labels
+    FROM bucketed
+    GROUP BY bucket
+    """,
+    doc=f"Sign-LSH bucketing: {N_PLANES} md5-derived ±1 hyperplanes → "
+        f"{N_PLANES}-bit bucket code per vector (integer projections, "
+        "engine-exact). Bucket histogram validates the partitioning the "
+        "scale-path candidate join (sim_ann_lsh_probe) runs on.",
+    tags=("similarity", "llm", "ann", "lsh"),
+)
+def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
+    )
+    # Deterministic ±1 planes via the shared md5-parity derivation.
+    return (
+        emb.withColumn("bucket", _bucket_column())
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),

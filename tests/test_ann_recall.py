@@ -1,0 +1,68 @@
+"""ANN quality bound: the LSH multiprobe nearest neighbor must achieve
+reasonable recall@1 against the exact brute-force baseline, and every
+neighbor it returns must be a genuine candidate (cosine computed
+exactly)."""
+
+from __future__ import annotations
+
+from etl_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_lsh_probe_recall_vs_brute_force(spark):
+    approx = {
+        r["query_id"]: (r["nn_id"], r["cos_sim"])
+        for r in REGISTRY["sim_ann_lsh_probe"].builder(spark, SF_DIR).collect()
+    }
+    # Exact global top-1 for every vector, recomputed independently.
+    from etl_spark.io import load
+    from etl_spark.plans.llm_similarity import quantize
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rows = (
+        load(spark, SF_DIR, "embeddings")
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    Q = np.array([r["q"] for r in rows], dtype=np.float64)
+    G = Q @ Q.T
+    norms = np.diag(G).copy()
+    cos = G / np.sqrt(np.outer(norms, norms))
+    np.fill_diagonal(cos, -np.inf)
+    order = np.argsort(ids)
+    # ensure ids sorted ascending for deterministic argmax tiebreak
+    ids, cos = ids[order], cos[np.ix_(order, order)]
+    nn_idx = np.argmax(cos, axis=1)
+    exact = {int(ids[i]): int(ids[nn_idx[i]]) for i in range(len(ids))}
+
+    assert set(approx) == set(exact)
+    n = len(exact)
+    hits = sum(1 for qid, (nn, _) in approx.items() if exact[qid] == nn)
+    recall = hits / n
+
+    # Uniform-random vectors are LSH's WORST case (true NNs are nearly
+    # orthogonal, so sign bits decorrelate); absolute recall is low by
+    # the math, and what must hold is (a) strong enrichment over the
+    # fraction of the corpus scanned and (b) found neighbors close in
+    # cosine to the true NN. Real near-dup corpora (cos > 0.9 pairs)
+    # collide with probability ~(1-θ/π)^planes ≈ 0.9^8 ≈ 0.43/bucket.
+    scanned_fraction = 9 / (2 ** 8)  # 9 probes over 2^planes buckets (uniform)
+    enrichment = recall / scanned_fraction
+    assert enrichment >= 2.0, (
+        f"recall {recall:.3f} not enriched over scan fraction "
+        f"{scanned_fraction:.3f} (enrichment {enrichment:.1f}x)"
+    )
+
+    id_pos = {int(v): i for i, v in enumerate(ids)}
+    # Quality: found neighbor's cosine averages close to the true NN's.
+    ratios = []
+    for qid, (nn, c) in approx.items():
+        true_best = cos[id_pos[qid]].max()
+        ratios.append(c / true_best if true_best > 0 else 1.0)
+    assert sum(ratios) / len(ratios) >= 0.5, "found neighbors far from true NN"
+
+    # Exactness: reported cosines must match the exact matrix bitwise.
+    for qid, (nn, c) in list(approx.items())[:50]:
+        assert abs(cos[id_pos[qid], id_pos[nn]] - c) < 1e-12
