@@ -38,13 +38,17 @@ def build_api_session(token: str | None = None):
     """S1: authenticated REST session.
 
     Like the reference (main.py:50), the environment variable is
-    authoritative; the ``token`` parameter is accepted for signature
-    compatibility but the env var wins.
+    authoritative when set; unlike the reference, an explicit ``token``
+    argument is honored as a fallback instead of being silently
+    ignored (accepting-then-discarding a credential is an API trap).
+    Raises KeyError when neither is provided.
     """
     if _requests is None:  # pragma: no cover
         raise RuntimeError("the 'requests' package is required for live ingestion")
     session = _requests.Session()
-    token = os.environ[TOKEN_ENV_VAR]
+    token = os.environ.get(TOKEN_ENV_VAR, token)
+    if token is None:
+        raise KeyError(TOKEN_ENV_VAR)
     session.headers.update({"Authorization": f"Bearer {token}"})
     session.params.update(dict(DEFAULT_PARAMS))
     return session
@@ -74,6 +78,7 @@ class RetryingSession:
 
     def get(self, url: str):
         attempt = 0
+        response = None  # stays None if session.get itself raises
         while True:
             try:
                 response = self.session.get(url)
@@ -83,6 +88,10 @@ class RetryingSession:
                 print(f"Error fetching {url}: {error}")
                 if attempt >= self.max_retries:
                     print(f"Maximum retries reached ({self.max_retries}).")
+                    # Last failed response if one was received; None when
+                    # the transport itself failed (connection/DNS error) —
+                    # still return-not-raise so a long extraction keeps
+                    # its partial progress.
                     return response
                 delay = self.base_delay_seconds * (2 ** attempt)
                 print(f"Retrying in {delay} seconds (retry attempt {attempt + 1})...")

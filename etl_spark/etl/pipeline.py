@@ -87,12 +87,17 @@ def load_workflow_runs(spark: SparkSession, workflows_dir: pathlib.Path) -> Data
     """
     pattern = str(workflows_dir / "*" / "*" / "runs" / "*.json")
     if not glob.glob(pattern):
-        return spark.createDataFrame(
-            [],
-            RUN_SCHEMA.add("repo_dir", T.StringType())
-            .add("extract_ts", T.StringType())
-            .add("file_id", T.StringType()),
+        # Build from a COPY of the fields: StructType.add mutates in
+        # place and would permanently pollute the module-level schema.
+        empty_schema = T.StructType(
+            RUN_SCHEMA.fields
+            + [
+                T.StructField("repo_dir", T.StringType()),
+                T.StructField("extract_ts", T.StringType()),
+                T.StructField("file_id", T.StringType()),
+            ]
         )
+        return spark.createDataFrame([], empty_schema)
     path = F.input_file_name()
     return (
         spark.read.schema(RUN_SCHEMA)

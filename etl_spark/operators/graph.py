@@ -46,6 +46,10 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("neighbor_component"))
         )
+        # Checkpoint ONCE with both columns, then derive the changed
+        # count and the next labels from the checkpointed result —
+        # counting first and checkpointing after would execute the
+        # join+groupBy twice per round.
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -56,13 +60,12 @@ def connected_components(
                 ).alias("new_component"),
                 "component",
             )
+            .localCheckpoint()
         )
         changed = updated.filter(
             F.col("new_component") != F.col("component")
         ).count()
-        labels = updated.select(
-            "id", F.col("new_component").alias("component")
-        ).localCheckpoint()
+        labels = updated.select("id", F.col("new_component").alias("component"))
         if changed == 0:
             break
     return labels

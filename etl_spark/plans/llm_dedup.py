@@ -74,8 +74,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM = 3
 
 
+# One persisted shingle index per (session, sf_dir): repeated dedup
+# queries in a long-lived session reuse the same cached DataFrame
+# instead of stacking duplicate persisted copies in storage memory.
+_SHINGLE_CACHE: dict = {}
+
+
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-token shingles per document: (doc_id, shingle)."""
+    key = (id(spark), sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     toks = F.split(F.col("text"), " ")
     sh = F.when(
         F.size(toks) >= NGRAM,
@@ -98,12 +108,14 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode. Callers materialize it (count) before building the
     # multi-consumer join. At 100 TB the same role is played by
     # checkpointing the index to parquet.
-    return (
+    df = (
         load(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(sh).alias("shingle"))
         .persist()
     )
+    _SHINGLE_CACHE[key] = df
+    return df
 
 
 SHINGLES_SQL = f"""

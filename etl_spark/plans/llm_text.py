@@ -302,8 +302,8 @@ SHINGLE_K = 5
            ELSE NULL END AS shingle_fingerprint
     FROM toks
     """,
-    doc="Document fingerprinting: whole-content md5 plus a rolling "
-        "{SHINGLE_K}-token shingle min-hash (winnowing-style smallest "
+    doc=f"Document fingerprinting: whole-content md5 plus a rolling "
+        f"{SHINGLE_K}-token shingle min-hash (winnowing-style smallest "
         "shingle hash) — robust to partial edits, computed in-row.",
     tags=("text", "llm", "fingerprint"),
 )

@@ -50,7 +50,10 @@ def mm_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.octet_length("payload").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
-        F.decode(F.substring("payload", 1, 8), "utf-8").alias("head_preview"),
+        # Character (not byte) prefix: a byte-slice of the payload could
+        # cut a multi-byte UTF-8 codepoint and diverge from the oracle's
+        # substr-on-text semantics on non-ASCII corpora.
+        F.substring("text", 1, 8).alias("head_preview"),
         F.col("lang").alias("meta_lang"),
         F.lit("text/plain").alias("meta_mime"),
     )

@@ -5,7 +5,11 @@ keeping each query's Spark plan and its ANSI-SQL oracle in one place is
 what keeps column names, aliases, and semantics from drifting apart.
 
 Builders must:
-  * take (spark, sf_dir) and return a DataFrame (no actions);
+  * take (spark, sf_dir) and return a DataFrame. Actions at build time
+    are allowed only for bounded materialization: populating a shared
+    persisted index before a multi-consumer self-join (dedup_*), or
+    collecting a config-sized constant (sim_topk's query set) — never
+    a data-sized collect;
   * alias every computed column, with the oracle using the same alias;
   * avoid raw double aggregation (see functions/money.py) and raw
     timestamp output columns (format to strings) so the value hash is

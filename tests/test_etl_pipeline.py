@@ -171,6 +171,18 @@ def test_run_pipeline_end_to_end_csv_golden(spark, tmp_path):
     )
 
 
+def test_empty_zone_twice_does_not_pollute_schema(spark, tmp_path):
+    # Regression: the empty-zone schema was once built with
+    # StructType.add, mutating the shared RUN_SCHEMA in place — a
+    # second call crashed with AMBIGUOUS_REFERENCE.
+    from etl_spark.etl.pipeline import RUN_SCHEMA
+
+    n_fields = len(RUN_SCHEMA.fields)
+    for _ in range(2):
+        assert snapshot_records(spark, tmp_path / "none").count() == 0
+    assert len(RUN_SCHEMA.fields) == n_fields
+
+
 def test_export_csv_empty_zone_writes_header_only(spark, tmp_path):
     # Documented deviation: the reference crashes on an empty zone
     # (StopIteration, reference main.py:21); the engine degrades to a

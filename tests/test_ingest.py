@@ -130,3 +130,23 @@ def test_build_api_session_requires_env(monkeypatch):
     monkeypatch.delenv("GITHUB_WORKFLOW_RUNS_TOKEN", raising=False)
     with pytest.raises(KeyError):
         build_api_session()
+
+
+def test_build_api_session_explicit_token_fallback(monkeypatch):
+    monkeypatch.delenv("GITHUB_WORKFLOW_RUNS_TOKEN", raising=False)
+    s = build_api_session(token="explicit-tok")
+    assert s.headers["Authorization"] == "Bearer explicit-tok"
+    s.close()
+
+
+def test_retry_returns_none_when_transport_itself_fails(capsys):
+    class DeadTransport:
+        def get(self, url):
+            raise ConnectionError("DNS failure")
+
+    retry = RetryingSession(DeadTransport(), 2, 0.5, sleep_function=no_sleep)
+    # return-not-raise even when no response object ever existed.
+    assert retry.get("gone") is None
+    out = capsys.readouterr().out
+    assert out.count("Error fetching gone: DNS failure") == 3
+    assert "Maximum retries reached (2)." in out
