@@ -84,7 +84,10 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-token shingles per document: (doc_id, shingle)."""
     key = (id(spark), sf_dir)
     cached = _SHINGLE_CACHE.get(key)
-    if cached is not None:
+    # Reuse only while still actually persisted — an external
+    # clearCache() (bench reps do this) silently unpersists the
+    # DataFrame and a stale reuse would run every consumer uncached.
+    if cached is not None and cached.storageLevel.useMemory:
         return cached
     toks = F.split(F.col("text"), " ")
     sh = F.when(
