@@ -1,0 +1,64 @@
+"""Drive the driver contract exactly as the verification driver would:
+fresh process, its own plain SparkSession (NOT etl_spark.session),
+entry() smoke at sf0.001, then every oracle-paired query at sf0.01
+compared to DuckDB."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .appName("driver-sim")
+    .getOrCreate()
+)
+
+# --- smoke: entry() ---
+t0 = time.time()
+df = E.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s, schema={[f.name for f in df.schema.fields]}")
+print("first row:", rows[0])
+
+# --- correctness at sf0.01, driver-style ---
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+con.execute("SET TimeZone='UTC'")
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+qs = E.queries()
+oracles = E.oracle_sql()
+fail = 0
+for name in sorted(qs):
+    t0 = time.time()
+    try:
+        spdf = qs[name](spark, SF).toPandas()
+    except Exception as ex:
+        print(f"FAIL {name}: spark raised {type(ex).__name__}: {str(ex)[:100]}")
+        fail += 1
+        continue
+    if name not in oracles:
+        print(f"rows-only {name}: {len(spdf)} rows  ({time.time()-t0:.1f}s)")
+        continue
+    ddf = con.execute(oracles[name]).df()
+    cols_ok = sorted(spdf.columns) == sorted(ddf.columns)
+    n_ok = len(spdf) == len(ddf)
+    val_ok = False
+    if cols_ok and n_ok:
+        a = spdf[sorted(spdf.columns)].copy()
+        b = ddf[sorted(ddf.columns)].copy()
+        key = lambda d: d.astype(str).apply(tuple, axis=1).sort_values().values.tolist()
+        val_ok = key(a) == key(b)
+    status = "OK  " if (cols_ok and n_ok and val_ok) else "FAIL"
+    if status == "FAIL":
+        fail += 1
+    print(f"{status} {name}: spark={len(spdf)} duck={len(ddf)} cols_ok={cols_ok} vals_ok={val_ok}  ({time.time()-t0:.1f}s)")
+
+print(f"\n{'ALL GREEN' if fail == 0 else f'{fail} FAILURES'}")
+sys.exit(1 if fail else 0)
