@@ -416,6 +416,101 @@ def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT
+      n.n_name AS nation_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+           AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+                   AND s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{Q5_DATE_HI} 00:00:00'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H-Q5-style local supplier volume: 5-way join where customer "
+        "and supplier must share a nation. supplier (10 rows) and nation "
+        "(25) broadcast; the fact chain customer⋈orders⋈lineitem is left "
+        "to Catalyst/AQE to order. Exercises join reordering + a "
+        "two-table join condition.",
+    tags=("join", "aggregation"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_DATE_HI).cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice") * one_minus("l_discount")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            (cust.c_nationkey == nation.n_nationkey)
+            & (supp.s_nationkey == nation.n_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            dsum(revenue, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q12_priority_by_qty_band",
+    oracle="""
+    SELECT
+      CASE WHEN l.l_quantity >= 30 THEN 'bulk' ELSE 'small' END AS qty_band,
+      CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT)  AS high_priority_lines,
+      CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT)  AS low_priority_lines
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc="TPC-H-Q12-style conditional counting over a fact-fact join: "
+        "CASE-based pivoted tallies computed in one aggregation pass.",
+    tags=("join", "aggregation", "conditional"),
+)
+def q12_priority_by_qty_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.when(F.col("l_quantity") >= 30, "bulk").otherwise("small").alias("qty_band")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_priority_lines"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_priority_lines"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Top-k (SURVEY.md §2.2 "Limits / top-k").
 # --------------------------------------------------------------------------
