@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the scale-critical plan shapes
+(pushdown, pruning, broadcast, top-k heap, single-shuffle windows)
+must not silently regress. These assert on the optimized/executed plan
+text the same way the bench explain-audit inspects it."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushes_all_predicates(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    # Every predicate of the query reaches the parquet reader.
+    for token in ("l_shipdate", "l_discount", "l_quantity"):
+        assert token in pushed, f"{token} not pushed: {pushed}"
+
+
+def test_scan_prunes_columns(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    # 11-column table pruned to the 6 referenced columns.
+    assert "l_comment" not in schema
+    assert "l_returnflag" not in schema
+    assert "l_orderkey" in schema
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_of(spark, "join_broadcast_geo_rollup")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_k_uses_heap_not_global_sort(spark):
+    plan = plan_of(spark, "top_k_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no full-sort shuffle for a k-row result
+
+
+def test_window_dedup_single_shuffle(spark):
+    plan = plan_of(spark, "window_latest_order_per_customer")
+    assert plan.count("Exchange") == 1  # one hash partition on the window key
+
+
+def test_semi_join_carries_no_right_payload(spark):
+    plan = plan_of(spark, "join_semi_big_spenders")
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "q6_forecast_revenue"])
+def test_agg_has_partial_and_final(spark, name):
+    # Two-phase (map-side partial) aggregation: HashAggregate appears
+    # at least twice around the exchange.
+    plan = plan_of(spark, name)
+    assert plan.count("HashAggregate") >= 2
