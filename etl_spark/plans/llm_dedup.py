@@ -309,9 +309,11 @@ FUZZY_MAX_EDITS = 10
     """,
     doc="Blocked fuzzy matching (entity resolution): Levenshtein "
         f"distance ≤ {FUZZY_MAX_EDITS} computed only WITHIN brand "
-        "blocks — the equi-join on the blocking key prunes the O(n²) "
-        "pair space before the expensive string metric runs; at scale "
-        "the blocking key is what makes fuzzy dedup feasible. Integer "
+        "blocks. This demonstrates the blocking PATTERN; p_brand has "
+        "only ~25 values, so here it is a constant-factor prune — a "
+        "production deployment picks a high-cardinality blocking key "
+        "(sorted-neighborhood windows, phonetic codes, shingle "
+        "buckets) so per-block pair counts stay bounded. Integer "
         "distance → engine-exact.",
     tags=("dedup", "fuzzy", "join"),
 )

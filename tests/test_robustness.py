@@ -14,8 +14,10 @@ from tests.test_etl_pipeline import make_run, write_run
 
 
 def test_load_unknown_table_fails_fast(spark):
+    from tests.conftest import SF_DIR
+
     with pytest.raises(KeyError):
-        load(spark, "/root/testdata/sf0.001", "not_a_table")
+        load(spark, SF_DIR, "not_a_table")
 
 
 def test_malformed_run_file_degrades_to_nulls(spark, tmp_path):

@@ -34,10 +34,15 @@ def test_streaming_dedup_suppresses_redelivery(spark, tmp_path):
                     + "\n"
                 )
 
-    # Batch 0: first 200 events; batch 1: events 100-300 (100 of them
-    # re-deliveries of batch 0's tail).
-    dump(pdf.iloc[:200], src / "b0.json")
-    dump(pdf.iloc[100:300], src / "b1.json")
+    # read_event_stream caps 4 files per trigger; 10 files forces at
+    # least 3 micro-batches, so the re-delivery files (the last four,
+    # repeating events 100-299) land in LATER batches than the
+    # originals — exercising cross-batch state, not just intra-batch
+    # dedup.
+    for i in range(6):
+        dump(pdf.iloc[i * 50 : (i + 1) * 50], src / f"orig_{i}.json")
+    for i in range(4):
+        dump(pdf.iloc[100 + i * 50 : 100 + (i + 1) * 50], src / f"redeliver_{i}.json")
 
     stream = dedup_events_stream(read_event_stream(spark, str(src)))
     query = (
@@ -57,4 +62,4 @@ def test_streaming_dedup_suppresses_redelivery(spark, tmp_path):
         query.stop()
 
     assert sorted(got) == sorted(set(got)), "duplicates survived"
-    assert sorted(set(got)) == sorted(int(e) for e in pdf.event_id.unique()[:300])
+    assert sorted(set(got)) == sorted(int(e) for e in pdf.event_id)

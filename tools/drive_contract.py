@@ -23,7 +23,10 @@ t0 = time.time()
 df = E.entry(spark)
 rows = df.collect()
 print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s, schema={[f.name for f in df.schema.fields]}")
-print("first row:", rows[0])
+if rows:
+    print("first row:", rows[0])
+else:
+    print("FAIL entry: returned 0 rows (smoke check expects > 0)")
 
 # --- correctness at sf0.01, driver-style ---
 SF = "/root/testdata/sf0.01"
