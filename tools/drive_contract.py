@@ -2,6 +2,7 @@
 fresh process, its own plain SparkSession (NOT etl_spark.session),
 entry() smoke at sf0.001, then every oracle-paired query at sf0.01
 compared to DuckDB."""
+import os
 import sys, time
 sys.path.insert(0, "/root/repo")
 
@@ -29,7 +30,7 @@ else:
     print("FAIL entry: returned 0 rows (smoke check expects > 0)")
 
 # --- correctness at sf0.01, driver-style ---
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 con.execute("SET TimeZone='UTC'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
