@@ -35,6 +35,8 @@ def connected_components(
     (undirected — both directions are derived internally).
     Returns (id, component).
     """
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     both_ways = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -68,4 +70,14 @@ def connected_components(
         labels = updated.select("id", F.col("new_component").alias("component"))
         if changed == 0:
             break
+    else:
+        # The loop exhausted max_iterations with labels still moving:
+        # returning would silently mislabel components (a vertex on a
+        # long chain keeps a non-minimum id). Fail loudly — the caller
+        # should raise max_iterations (diameter bound) instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); the graph "
+            "diameter exceeds max_iterations — raise it"
+        )
     return labels

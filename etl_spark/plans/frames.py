@@ -216,8 +216,12 @@ def window_lead_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "range_join_value_buckets",
     oracle=f"""
-    WITH buckets(bucket_id, lo, hi) AS (
-      VALUES {", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BUCKETS)}
+    WITH buckets AS (
+      SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+             CAST(lo AS DOUBLE)        AS lo,
+             CAST(hi AS DOUBLE)        AS hi
+      FROM (VALUES {", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BUCKETS)})
+           AS t(bucket_id, lo, hi)
     )
     SELECT b.bucket_id, b.lo, b.hi,
            COUNT(e.event_id)                                 AS n_events,

@@ -82,13 +82,18 @@ _SHINGLE_CACHE: dict = {}
 
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-token shingles per document: (doc_id, shingle)."""
-    key = (id(spark), sf_dir)
+    # Keyed on applicationId (stable for the session's lifetime), not
+    # id(spark): CPython can reuse an id() for a new session after the
+    # old one is collected, which would hand back a DataFrame bound to
+    # a stopped session.
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SHINGLE_CACHE.get(key)
     # Reuse only while still actually persisted — an external
     # clearCache() (bench reps do this) silently unpersists the
     # DataFrame and a stale reuse would run every consumer uncached.
     if cached is not None and cached.storageLevel.useMemory:
         return cached
+    _SHINGLE_CACHE.pop(key, None)  # evict stale/unpersisted entries
     toks = F.split(F.col("text"), " ")
     sh = F.when(
         F.size(toks) >= NGRAM,

@@ -243,10 +243,15 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    tri = F.transform(
-        F.sequence(F.lit(1), F.length("text") - 2),
-        lambda i: F.col("text").substr(i, F.lit(3)),
-    )
+    # Guard: F.sequence(1, len-2) DESCENDS when len(text) < 3 ([1,0,-1]),
+    # emitting bogus trigrams where the oracle's generate_series is empty.
+    tri = F.when(
+        F.length("text") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     tri_all = docs.select(
         "doc_id", F.col("lang"), F.explode(tri).alias("tri")
     )
