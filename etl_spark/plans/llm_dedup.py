@@ -21,8 +21,14 @@ implement bit-identically):
 
 Scale notes: the shingle inverted index shuffles on shingle — head
 shingles are the skew risk, mitigated by dropping ultra-frequent
-shingles (a standard stop-shingle filter) before the self-join; LSH
-band buckets are uniformly distributed by construction.
+shingles (a standard stop-shingle filter, STOP_SHINGLE_MAX_DF) from
+the index before any self-join: a shingle shared by k documents emits
+O(k²) candidate pairs on a single shuffle key, so capping document
+frequency bounds per-shingle pair emission to STOP_SHINGLE_MAX_DF²/2
+regardless of corpus size (and a shingle in thousands of documents
+carries no similarity signal anyway). The cap is mirrored in the
+DuckDB oracles so the pair stays hash-green; LSH band buckets are
+uniformly distributed by construction.
 """
 
 from __future__ import annotations
@@ -73,6 +79,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM = 3
 
+# Stop-shingle document-frequency cap: shingles appearing in more than
+# this many documents are dropped from the inverted index. 64 keeps
+# every shingle at the test scale factors (max observed df is 25 at
+# sf0.1) while bounding the skew blowup at 100 TB: pair emission per
+# shingle is at most 64²/2 ≈ 2k rows instead of k² for a hot shingle
+# shared by k documents. Recall impact is nil in practice — a shingle
+# that frequent is boilerplate, not signal (the same reasoning as
+# stopword removal).
+STOP_SHINGLE_MAX_DF = 64
+
+
+def drop_stop_shingles(sh: DataFrame, max_df: int = STOP_SHINGLE_MAX_DF) -> DataFrame:
+    """Remove shingles whose document frequency exceeds ``max_df``.
+
+    The hot list is tiny by construction (only shingles over the cap),
+    so it broadcasts; the anti-join evaluates map-side and the big
+    index never shuffles for the filter.
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti").select(sh.columns)
+
 
 # One persisted shingle index per (session, sf_dir): repeated dedup
 # queries in a long-lived session reuse the same cached DataFrame
@@ -81,7 +113,9 @@ _SHINGLE_CACHE: dict = {}
 
 
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-token shingles per document: (doc_id, shingle)."""
+    """Distinct 3-token shingles per document, stop-shingle filtered:
+    (doc_id, shingle). Consumed by both the Jaccard self-join and the
+    MinHash signature pass, so the df cap protects both paths."""
     # Keyed on applicationId (stable for the session's lifetime), not
     # id(spark): CPython can reuse an id() for a new session after the
     # old one is collected, which would hand back a DataFrame bound to
@@ -116,22 +150,36 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode. Callers materialize it (count) before building the
     # multi-consumer join. At 100 TB the same role is played by
     # checkpointing the index to parquet.
-    df = (
+    raw = (
         load(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(sh).alias("shingle"))
-        .persist()
     )
+    # Stop-shingle guard: the explode is recomputed once for the hot
+    # list (a tiny aggregate) — at 100 TB you would checkpoint the raw
+    # index instead, but the guard itself is the same broadcast
+    # anti-join either way.
+    df = drop_stop_shingles(raw).persist()
     _SHINGLE_CACHE[key] = df
     return df
 
 
-SHINGLES_SQL = f"""
+_RAW_SHINGLES_SQL = f"""
       SELECT doc_id, unnest(list_distinct(
                list_transform(generate_series(1, len(t) - {NGRAM - 1}),
                               i -> array_to_string(t[i:i+{NGRAM - 1}], ' ')))) AS shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       WHERE len(t) >= {NGRAM}
+"""
+
+# Mirror of shingles_df including the stop-shingle df cap (no NULL
+# shingles exist, so NOT IN is safe three-valued-logic-wise).
+SHINGLES_SQL = f"""
+      SELECT doc_id, shingle FROM ({_RAW_SHINGLES_SQL})
+      WHERE shingle NOT IN (
+        SELECT shingle FROM ({_RAW_SHINGLES_SQL})
+        GROUP BY shingle HAVING COUNT(*) > {STOP_SHINGLE_MAX_DF}
+      )
 """
 
 JACCARD_THRESHOLD = 0.05
@@ -161,8 +209,10 @@ JACCARD_THRESHOLD = 0.05
     """,
     doc="Exact n-gram Jaccard near-dup pairs via inverted-index "
         "self-join on shingles (candidate pairs only where a shingle is "
-        "shared — no crossJoin). Integer intersection/union counts → "
-        "engine-exact double ratio.",
+        "shared — no crossJoin), with the stop-shingle df cap "
+        f"(> {STOP_SHINGLE_MAX_DF} docs) bounding per-key skew in the "
+        "self-join. Integer intersection/union counts → engine-exact "
+        "double ratio.",
     tags=("dedup", "llm", "neardup"),
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

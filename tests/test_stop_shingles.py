@@ -1,0 +1,85 @@
+"""Stop-shingle skew guard: a shingle shared by k documents must not
+emit O(k²) candidate pairs into the Jaccard self-join (the classic
+inverted-index skew blowup at 100 TB)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import etl_spark.plans.llm_dedup as dd
+
+
+def _shingle_index(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "shingle"])
+
+
+def test_hot_shingle_dropped_cold_kept(spark):
+    # 1 shingle in 10 docs, 1 shingle in 2 docs, cap of 5.
+    rows = [(i, "the quick fox") for i in range(10)]
+    rows += [(0, "rare trigram one"), (1, "rare trigram one")]
+    out = dd.drop_stop_shingles(_shingle_index(spark, rows), max_df=5)
+    kept = {(r.doc_id, r.shingle) for r in out.collect()}
+    assert kept == {(0, "rare trigram one"), (1, "rare trigram one")}
+
+
+def test_cap_boundary_is_exclusive(spark):
+    # df == max_df survives; only df > max_df is a stop-shingle.
+    rows = [(i, "at the cap") for i in range(4)]
+    out = dd.drop_stop_shingles(_shingle_index(spark, rows), max_df=4)
+    assert out.count() == 4
+
+
+def test_hot_shingle_does_not_explode_candidates(spark, tmp_path, monkeypatch):
+    # 200 docs sharing one hot 3-token prefix, otherwise unique text.
+    # Unfiltered, the shared shingle alone would emit 200*199/2 ≈ 20k
+    # candidate pairs; with the guard the corpus has no near-dup pairs.
+    docs = [
+        (i, f"common shared prefix unique{i}a unique{i}b unique{i}c")
+        for i in range(200)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    monkeypatch.setattr(dd, "STOP_SHINGLE_MAX_DF", 50)
+    dd._SHINGLE_CACHE.clear()
+    try:
+        sh = dd.shingles_df(spark, sf_dir)
+        # The hot shingle ("common shared prefix") is gone from the index…
+        assert sh.filter(F.col("shingle") == "common shared prefix").count() == 0
+        # …so the candidate stage produces zero pairs instead of ~20k.
+        assert dd.dedup_jaccard_pairs(spark, sf_dir).count() == 0
+    finally:
+        for df in dd._SHINGLE_CACHE.values():
+            df.unpersist()
+        dd._SHINGLE_CACHE.clear()
+
+
+def test_sf_corpus_unaffected_by_cap(spark, duck):
+    # At test scale no shingle exceeds the cap (max df is ~25 at
+    # sf0.1), so the guard must be a no-op: Spark's filtered index
+    # matches the raw DuckDB index exactly.
+    from tests.conftest import SF_DIR
+
+    dd._SHINGLE_CACHE.clear()
+    try:
+        n_spark = dd.shingles_df(spark, SF_DIR).count()
+        n_raw = duck.execute(
+            f"SELECT COUNT(*) FROM ({dd._RAW_SHINGLES_SQL})"
+        ).fetchone()[0]
+        assert n_spark == n_raw
+    finally:
+        for df in dd._SHINGLE_CACHE.values():
+            df.unpersist()
+        dd._SHINGLE_CACHE.clear()
+
+
+def test_hot_list_broadcasts_not_shuffles(spark):
+    # The anti-join against the hot list must be a broadcast join —
+    # the big index side must not shuffle for the filter.
+    rows = [(i % 7, f"s{i % 13}") for i in range(100)]
+    out = dd.drop_stop_shingles(_shingle_index(spark, rows), max_df=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
