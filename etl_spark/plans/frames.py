@@ -76,6 +76,78 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_sets_status_priority",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      CAST(GROUPING(o_orderstatus) AS INTEGER)   AS g_status,
+      CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_totalprice
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS — an arbitrary set list ((status), "
+        "(priority), ()) that neither ROLLUP nor CUBE produces, with "
+        "GROUPING() flags disambiguating aggregated-away keys from "
+        "genuine NULLs. One shuffle; Spark's Expand handles the set "
+        "expansion map-side.",
+    tags=("aggregation", "grouping-sets"),
+)
+def agg_grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("sum_totalprice"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "sum_totalprice",
+        )
+    )
+
+
+@register(
+    "agg_approx_percentiles",
+    oracle=None,  # the sketch's cut points are engine-specific; the
+    # exact twin agg_percentiles is the oracle-checked form, and
+    # tests/test_approx.py bounds this sketch's rank error against it.
+    doc="approx_percentile (KLL-style sketch) per status — the form "
+        "that replaces exact percentiles at 100 TB: mergeable partial "
+        "sketches, fixed memory, no global per-group sort. Returns an "
+        "actual data value within 1/accuracy rank error of the true "
+        "percentile.",
+    tags=("aggregation", "percentile", "approx"),
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pcts = F.percentile_approx("o_totalprice", [0.5, 0.9], 10_000)
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(pcts.alias("pcts"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderstatus",
+            F.element_at("pcts", 1).alias("approx_p50_price"),
+            F.element_at("pcts", 2).alias("approx_p90_price"),
+            "n_orders",
+        )
+    )
+
+
+@register(
     "scalar_null_handling",
     oracle="""
     SELECT

@@ -95,6 +95,72 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_N = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS BIGINT) AS tf,
+             CAST(df.df AS BIGINT) AS df,
+             CAST(tf.tf AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {TFIDF_TOP_N}
+    """,
+    doc=f"Per-document TF-IDF term ranking (SURVEY.md §2.3 'TF-IDF via "
+        "joins+aggs'): tf per (doc, term), document frequency per term, "
+        "joined back and ranked per doc — top "
+        f"{TFIDF_TOP_N} most-characteristic terms each. The score is "
+        "tf/df (one exact IEEE division of integers — same per-doc "
+        "ranking as tf·idf with idf = 1/df, but engine-exact, unlike "
+        "ln()-based idf whose last ulp differs between runtimes). "
+        "Two shuffles (term, doc) regardless of corpus size.",
+    tags=("text", "llm", "tfidf", "join"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tf", "df", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 @register(
     "text_lang_source_rollup",
     oracle="""

@@ -274,6 +274,76 @@ def join_anti_no_f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_full_outer_status_counts",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, COUNT(*) AS n_open
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    ),
+    f AS (
+      SELECT o_custkey, COUNT(*) AS n_finished
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    )
+    SELECT
+      COALESCE(o.o_custkey, f.o_custkey)                 AS custkey,
+      COALESCE(o.n_open, 0)                              AS n_open,
+      COALESCE(f.n_finished, 0)                          AS n_finished,
+      CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END    AS only_finished,
+      CASE WHEN f.o_custkey IS NULL THEN 1 ELSE 0 END    AS only_open
+    FROM o FULL JOIN f ON o.o_custkey = f.o_custkey
+    """,
+    doc="Full outer join: per-customer open-order counts ⟗ finished-"
+        "order counts — both sides null-extend (customers with only "
+        "open or only finished orders survive), which no other join "
+        "type expresses. Same-source aggregates keep each side "
+        "pre-shuffled on the join key.",
+    tags=("join", "outer"),
+)
+def join_full_outer_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def per_cust(status: str, out: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderstatus") == status)
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    o = per_cust("O", "n_open").alias("o")
+    f = per_cust("F", "n_finished").alias("f")
+    return o.join(f, F.col("o.o_custkey") == F.col("f.o_custkey"), "full").select(
+        F.coalesce(F.col("o.o_custkey"), F.col("f.o_custkey")).alias("custkey"),
+        F.coalesce(F.col("n_open"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("n_finished"), F.lit(0)).alias("n_finished"),
+        F.when(F.col("o.o_custkey").isNull(), 1).otherwise(0).alias("only_finished"),
+        F.when(F.col("f.o_custkey").isNull(), 1).otherwise(0).alias("only_open"),
+    )
+
+
+@register(
+    "join_right_urgent_orders_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="Right outer join: every customer survives, urgent orders "
+        "attach where they exist (null-extended otherwise). Semantically "
+        "the mirror of join_left_customer_orders, registered so the "
+        "right-join code path is covered explicitly.",
+    tags=("join", "outer"),
+)
+def join_right_urgent_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cust = load(spark, sf_dir, "customer")
+    return urgent.join(cust, urgent.o_custkey == cust.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
     "join_broadcast_geo_rollup",
     oracle="""
     SELECT

@@ -90,6 +90,37 @@ def setop_intersect_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_union_by_name",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderstatus AS status, o_totalprice AS price
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_custkey, o_orderstatus, CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="unionByName with allowMissingColumns: the schema-drift-safe "
+        "union for long-lived pipelines — the second input arrives with "
+        "reordered columns and without `price`, and is aligned by NAME "
+        "(positional union would silently cross-wire custkey/status). "
+        "Missing columns null-fill, matching the SQL NULL projection.",
+    tags=("setop", "schema-drift"),
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    # Simulated drifted producer: columns reordered, `price` absent.
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_custkey").alias("custkey"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
     "setop_except_all_orders",
     oracle="""
     SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'

@@ -48,7 +48,11 @@ def test_lsh_probe_recall_vs_brute_force(spark):
     # fraction of the corpus scanned and (b) found neighbors close in
     # cosine to the true NN. Real near-dup corpora (cos > 0.9 pairs)
     # collide with probability ~(1-θ/π)^planes ≈ 0.9^8 ≈ 0.43/bucket.
-    scanned_fraction = 9 / (2 ** 8)  # 9 probes over 2^planes buckets (uniform)
+    from etl_spark.plans.llm_similarity import corpus_planes
+
+    planes = corpus_planes(spark, SF_DIR)
+    # planes+1 probes over 2^planes buckets (uniform corpus).
+    scanned_fraction = (planes + 1) / (2 ** planes)
     enrichment = recall / scanned_fraction
     assert enrichment >= 2.0, (
         f"recall {recall:.3f} not enriched over scan fraction "

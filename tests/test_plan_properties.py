@@ -79,3 +79,18 @@ def test_agg_has_partial_and_final(spark, name):
     # at least twice around the exchange.
     plan = plan_of(spark, name)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_embedding_cosine_dedup_has_no_cartesian(spark):
+    # The round-2 form joined on vec_id < vec_id only, which Spark
+    # executes as a cartesian/BNL join — quadratic at scale. The gated
+    # form must be an equi-join on the LSH bucket.
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_pairs_have_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
