@@ -53,7 +53,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view (for spark.sql plans)."""
-    for name in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register testdata tables as temp views (for spark.sql plans).
+
+    Pass ``names`` to register only the tables a query touches —
+    registering all ten re-reads every parquet footer per call, which
+    dominated sql_q3's bench time in round 2.
+    """
+    for name in names:
         load(spark, sf_dir, name).createOrReplaceTempView(name)

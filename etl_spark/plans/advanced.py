@@ -171,7 +171,7 @@ Q3_DATE = "1998-01-01"
     tags=("sql-api", "join", "aggregation"),
 )
 def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
     return spark.sql(
         f"""
         SELECT l.l_orderkey,

@@ -154,12 +154,16 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(sh).alias("shingle"))
+        .persist()
     )
-    # Stop-shingle guard: the explode is recomputed once for the hot
-    # list (a tiny aggregate) — at 100 TB you would checkpoint the raw
-    # index instead, but the guard itself is the same broadcast
-    # anti-join either way.
+    # Stop-shingle guard. The raw index is persisted only while the
+    # filtered index materializes (the hot-list aggregate and the
+    # anti-join input would otherwise each re-run the CPU-heavy
+    # explode), then dropped — steady state holds ONE cached copy. At
+    # 100 TB the same two-step is a checkpoint of the raw index.
     df = drop_stop_shingles(raw).persist()
+    df.count()
+    raw.unpersist()
     _SHINGLE_CACHE[key] = df
     return df
 

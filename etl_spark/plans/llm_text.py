@@ -321,17 +321,27 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri_all = docs.select(
         "doc_id", F.col("lang"), F.explode(tri).alias("tri")
     )
+    # The trigram explode (interpreted substr transform, a ~200x row
+    # multiplier) feeds BOTH the profile aggregation and the per-doc
+    # membership set; collapse it ONCE to per-doc trigram counts and
+    # persist those — the two consumers then derive from the (much
+    # smaller) count table instead of each re-running the explode.
+    cnt = (
+        tri_all.groupBy("doc_id", "lang", "tri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
     w_rank = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri").asc())
     profile = (
-        tri_all.groupBy("lang", "tri")
-        .agg(F.count(F.lit(1)).alias("n"))
+        cnt.groupBy("lang", "tri")
+        .agg(F.sum("n").alias("n"))
         .withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= LANGID_TOP_TRIGRAMS)
         .select(F.col("lang").alias("candidate_lang"), "tri")
     )
-    doc_tri = tri_all.select(
+    doc_tri = cnt.select(
         "doc_id", F.col("lang").alias("actual_lang"), "tri"
-    ).distinct()
+    )
     scored = (
         doc_tri.join(F.broadcast(profile), "tri")
         .groupBy("doc_id", "actual_lang", "candidate_lang")
