@@ -17,3 +17,4 @@ from etl_spark.plans import llm_similarity  # noqa: E402,F401
 from etl_spark.plans import multimodal  # noqa: E402,F401
 from etl_spark.plans import advanced  # noqa: E402,F401
 from etl_spark.plans import frames  # noqa: E402,F401
+from etl_spark.plans import sampling  # noqa: E402,F401

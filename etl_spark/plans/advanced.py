@@ -231,3 +231,42 @@ def agg_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         n_salts=N_SALTS,
     )
+
+
+@register(
+    "sql_q4_priority_with_returns",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H-Q4-shaped correlated EXISTS through the spark.sql() "
+        "front end: orders in a quarter having at least one returned "
+        "line, counted by priority. Catalyst de-correlates the EXISTS "
+        "into a left-semi join — asserted by the plan regression test, "
+        "because a naive per-row subquery would be quadratic at scale.",
+    tags=("sql-api", "join", "subquery"),
+)
+def sql_q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
+    )

@@ -70,3 +70,47 @@ def test_lsh_probe_recall_vs_brute_force(spark):
     # Exactness: reported cosines must match the exact matrix bitwise.
     for qid, (nn, c) in list(approx.items())[:50]:
         assert abs(cos[id_pos[qid], id_pos[nn]] - c) < 1e-12
+
+
+def test_lsh_probe_scaled_planes_at_sf01(spark):
+    # At sf0.1 the corpus (2000 vectors) derives 10 planes instead of
+    # the minimum 8; the probe must still enrich over its scan
+    # fraction and report exact cosines.
+    sf_dir = "/root/testdata/sf0.1"
+    from etl_spark.io import load
+    from etl_spark.plans.llm_similarity import corpus_planes, quantize
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    planes = corpus_planes(spark, sf_dir)
+    assert planes == 10  # floor(log2(2000))
+
+    approx = {
+        r["query_id"]: (r["nn_id"], r["cos_sim"])
+        for r in REGISTRY["sim_ann_lsh_probe"].builder(spark, sf_dir).collect()
+    }
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .collect()
+    )
+    ids = np.array(sorted(r["vec_id"] for r in rows))
+    by_id = {r["vec_id"]: r["q"] for r in rows}
+    Q = np.array([by_id[i] for i in ids], dtype=np.float64)
+    G = Q @ Q.T
+    norms = np.diag(G).copy()
+    cos = G / np.sqrt(np.outer(norms, norms))
+    np.fill_diagonal(cos, -np.inf)
+
+    assert set(approx) == set(int(i) for i in ids)
+    id_pos = {int(v): i for i, v in enumerate(ids)}
+    hits = sum(
+        1
+        for qid, (nn, _) in approx.items()
+        if int(ids[np.argmax(cos[id_pos[qid]])]) == nn
+    )
+    recall = hits / len(ids)
+    scanned_fraction = (planes + 1) / (2 ** planes)
+    assert recall / scanned_fraction >= 2.0
+    for qid, (nn, c) in list(approx.items())[:50]:
+        assert abs(cos[id_pos[qid], id_pos[nn]] - c) < 1e-12

@@ -94,3 +94,15 @@ def test_jaccard_pairs_have_no_cartesian(spark):
     plan = plan_of(spark, "dedup_jaccard_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_correlated_exists_decorrelates_to_semi_join(spark):
+    plan = plan_of(spark, "sql_q4_priority_with_returns")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_narrow_map(spark):
+    # Hash-gated sampling must not shuffle: no Exchange in the plan.
+    plan = plan_of(spark, "sample_stratified_docs")
+    assert "Exchange" not in plan
