@@ -94,3 +94,96 @@ def with_payload(docs: DataFrame) -> DataFrame:
             F.col("lang").alias("lang"),
         ),
     )
+
+
+FRAME_BYTES = 256
+FRAME_SAMPLE_EVERY = 2
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame_bytes: int = FRAME_BYTES,
+    every_n: int = FRAME_SAMPLE_EVERY,
+) -> DataFrame:
+    """Frame-sampling stage: split each payload into fixed-size frames
+    (the stand-in for video frame extraction) and emit every
+    ``every_n``-th frame as its own row — a 1:N mapInPandas whose
+    output batch is LARGER than its input batch, the shape a video
+    pipeline needs (decode libs absent; frames are byte chunks).
+
+    Narrow map: the payload is framed where it sits, only the sampled
+    frame rows continue downstream.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in it:
+            ids, idxs, sizes, md5s = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                payload = bytes(payload)
+                n_frames = len(payload) // frame_bytes + 1
+                for idx in range(0, n_frames, every_n):
+                    frame = payload[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    sizes.append(len(frame))
+                    md5s.append(_hashlib.md5(frame).hexdigest())
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "frame_idx": _pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": _pd.Series(sizes, dtype="int32"),
+                    "frame_md5": _pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+RESIZE_TARGET_BYTES = 512
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, orig_bytes int, new_bytes int, resized_md5 string"
+)
+
+
+def resize_payload(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target_bytes: int = RESIZE_TARGET_BYTES,
+) -> DataFrame:
+    """Resize stage (stand-in for image resize): truncate payloads over
+    the target, zero-pad payloads under it — a deterministic 1:1
+    transform with the exact batch shape a real resize has (binary in,
+    binary-derived features out, constant output size)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in it:
+            orig, md5s = [], []
+            for payload in pdf[payload_col]:
+                payload = bytes(payload)
+                orig.append(len(payload))
+                resized = payload[:target_bytes].ljust(target_bytes, b"\x00")
+                md5s.append(_hashlib.md5(resized).hexdigest())
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "orig_bytes": _pd.Series(orig, dtype="int32"),
+                    "new_bytes": _pd.Series(
+                        [target_bytes] * len(orig), dtype="int32"
+                    ),
+                    "resized_md5": _pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(batches, schema=RESIZE_SCHEMA)

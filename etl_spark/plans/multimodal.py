@@ -105,3 +105,40 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_payload(load(spark, sf_dir, "documents"))
     return extract_features(docs)
+
+
+@register(
+    "mm_frame_sample",
+    oracle=None,  # byte-level framing is not SQL-expressible (DuckDB
+    # cannot slice BLOBs); tests/test_multimodal.py recomputes every
+    # frame exactly in pure Python.
+    doc="Frame sampling over binary payloads (the video-pipeline "
+        "stand-in): fixed-size byte frames, every 2nd emitted as its "
+        "own row — a 1:N mapInPandas whose output batches are larger "
+        "than the input, with the frame payload md5'd where it sits "
+        "(operators/media.py sample_frames). Narrow map; only sampled "
+        "frame rows continue downstream.",
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.media import sample_frames, with_payload
+
+    docs = with_payload(load(spark, sf_dir, "documents"))
+    return sample_frames(docs)
+
+
+@register(
+    "mm_resize_payload",
+    oracle=None,  # byte-level truncate/pad not SQL-expressible on
+    # BLOBs; exact pure-Python recompute in tests/test_multimodal.py.
+    doc="Resize stage (image-resize stand-in): every payload truncated "
+        "or zero-padded to a constant size, output fingerprinted — the "
+        "deterministic 1:1 mapInPandas batch shape of a real decoder-"
+        "resize (operators/media.py resize_payload).",
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def mm_resize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.media import resize_payload, with_payload
+
+    docs = with_payload(load(spark, sf_dir, "documents"))
+    return resize_payload(docs)

@@ -143,3 +143,37 @@ def window_rank_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice",
         F.dense_rank().over(w).alias("price_rank"),
     )
+
+
+@register(
+    "window_rank_family_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(NTILE(4) OVER w AS INTEGER)       AS price_quartile,
+           CAST(DENSE_RANK() OVER w AS INTEGER)   AS price_dense_rank,
+           PERCENT_RANK() OVER w                  AS price_pct_rank,
+           CUME_DIST() OVER w                     AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    doc="The remaining ranking family in one pass: NTILE(4) (equal-"
+        "height buckets), DENSE_RANK (no rank gaps), PERCENT_RANK and "
+        "CUME_DIST (exact integer-ratio doubles — (rank-1)/(n-1) and "
+        "peers/n, engine-identical). One shuffle on the partition key, "
+        "all four functions share the same sort.",
+    tags=("window", "rank"),
+)
+def window_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.dense_rank().over(w).cast("int").alias("price_dense_rank"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )
