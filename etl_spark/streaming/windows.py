@@ -85,3 +85,46 @@ def run_available_now(result: DataFrame, query_name: str):
     )
     query.awaitTermination()
     return query
+
+
+# Static enrichment dim for the stream-static join: event_type →
+# (category, weight). Constant table — in production this is a parquet
+# dim reloaded per micro-batch by Spark automatically.
+EVENT_TYPE_DIM = (
+    ("click", "engagement", 1),
+    ("view", "engagement", 0),
+    ("purchase", "conversion", 5),
+    ("signup", "conversion", 3),
+    ("error", "quality", -1),
+)
+
+
+def event_type_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(EVENT_TYPE_DIM), ["event_type", "category", "weight"]
+    )
+
+
+def enriched_category_totals_stream(
+    events: DataFrame, dim: DataFrame
+) -> DataFrame:
+    """Stream-static join + windowed rollup: each micro-batch joins the
+    (broadcast) static dim — no state needed for the join itself, only
+    for the downstream window aggregation. The canonical enrichment
+    shape: at 100 TB the dim is a parquet table Spark re-resolves every
+    trigger, so slowly-changing dims are picked up without restarts."""
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .join(F.broadcast(dim), "event_type")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("weight").alias("total_weight"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "category",
+            "n_events",
+            "total_weight",
+        )
+    )

@@ -71,3 +71,68 @@ def test_streaming_hourly_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_static_join_matches_batch(spark, tmp_path):
+    from etl_spark.streaming.windows import (
+        enriched_category_totals_stream,
+        event_type_dim,
+    )
+
+    events = load(spark, SF_DIR, "events")
+    pdf = events.toPandas()
+    src = tmp_path / "stream_src2"
+    src.mkdir()
+    for i, chunk in enumerate(range(0, len(pdf), 300)):
+        rows = pdf.iloc[chunk : chunk + 300]
+        with open(src / f"batch_{i}.json", "w") as f:
+            for _, r in rows.iterrows():
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": int(r.event_id),
+                            "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                            "user_id": int(r.user_id),
+                            "event_type": r.event_type,
+                            "value": float(r.value),
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+
+    dim = event_type_dim(spark)
+    stream = read_event_stream(spark, str(src))
+    query = run_available_now(
+        enriched_category_totals_stream(stream, dim), "enrich_test"
+    )
+    try:
+        got = {
+            (r.window_start, r.category): (r.n_events, r.total_weight)
+            for r in spark.sql("SELECT * FROM enrich_test").collect()
+        }
+    finally:
+        query.stop()
+
+    batch = (
+        spark.read.json(str(src / "*.json"), schema=stream.schema)
+        .join(F.broadcast(dim), "event_type")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("weight").alias("total_weight"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "category",
+            "n_events",
+            "total_weight",
+        )
+    )
+    want = {
+        (r.window_start, r.category): (r.n_events, r.total_weight)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    assert {c for _, c in got} <= {"engagement", "conversion", "quality"}
