@@ -60,7 +60,13 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_props_map_funcs",
     oracle="""
     SELECT event_id,
-           array_to_string(json_keys(props), ',')               AS prop_keys,
+           -- array_to_string([]) is NULL in DuckDB but array_join([])
+           -- is '' in Spark; '' is the engine's (sensible) answer for
+           -- "object with zero keys", NULL stays reserved for NULL
+           -- props — mirror that split explicitly.
+           CASE WHEN props IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(json_keys(props), ','), '')
+           END                                                  AS prop_keys,
            CAST(len(json_keys(props)) AS INTEGER)               AS n_props,
            CAST(json_extract_string(props, '$.k') AS BIGINT)    AS k_value
     FROM events
@@ -220,13 +226,15 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window_native",
     oracle=f"""
     WITH flagged AS (
-      -- Native session_window treats windows as half-open
-      -- [start, last_ts + gap): an event exactly gap after its
-      -- predecessor starts a NEW session, hence >= (the standalone
-      -- events_sessionize query uses > by its own definition).
+      -- Native session_window MERGES an event landing exactly at
+      -- last_ts + gap (the merge test is start <= previous end,
+      -- i.e. the interval is closed at the gap boundary — verified
+      -- empirically in tests/test_edge_events_parity.py), so the
+      -- gaps-and-islands mirror uses strict >, same as
+      -- events_sessionize.
       SELECT user_id, event_id, ts,
              CASE WHEN lag_ts IS NULL
-                       OR epoch_us(ts) - epoch_us(lag_ts) >= {SESSION_GAP_US}
+                       OR epoch_us(ts) - epoch_us(lag_ts) > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_session
       FROM (
         SELECT user_id, event_id, ts,

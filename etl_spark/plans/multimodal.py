@@ -79,7 +79,9 @@ def udf_token_count_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _n_tokens(text):
         # Self-contained (no module references): cloudpickled by value.
-        return text.str.split(" ").str.len().astype("int32")
+        # Nullable Int32: NULL text must yield NULL (as the oracle's
+        # len(string_split(NULL)) does), not crash the NaN→int cast.
+        return text.str.split(" ").str.len().astype("Int32")
 
     # Real (non-string) annotations: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf can't interpret.
