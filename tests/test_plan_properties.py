@@ -102,6 +102,49 @@ def test_correlated_exists_decorrelates_to_semi_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_correlated_scalar_agg_decorrelates(spark):
+    # q17's per-part AVG subquery must become aggregate-then-join, not
+    # a per-outer-row rescan (which Spark would surface as a nested
+    # loop over the inner table).
+    plan = plan_of(spark, "q17_small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # The decorrelated per-part average shows up as an extra aggregate.
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_in_over_having_decorrelates_to_semi_join(spark):
+    plan = plan_of(spark, "q18_large_volume_customers")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_not_exists_decorrelates_to_anti_join(spark):
+    plan = plan_of(spark, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    # The one-row threshold broadcast is the ONLY nested-loop join
+    # allowed (build side is a single aggregated row, not data).
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_dims_all_broadcast(spark):
+    # Every dimension in the 8-way join must broadcast; the only
+    # shuffle joins are fact-fact (lineitem-orders, orders-customer).
+    plan = plan_of(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_prunes_scans(spark):
+    # Catalyst must extract the common-column hull of the OR bands and
+    # push brand membership down to the part scan.
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    assert "PushedFilters: [" in plan
+    # The brand disjunction reaches the part scan (as an Or tree of
+    # EqualTo or an In, depending on Spark's normalization).
+    assert "EqualTo(p_brand" in plan or "In(p_brand" in plan
+
+
 def test_stratified_sample_is_narrow_map(spark):
     # Hash-gated sampling must not shuffle: no Exchange in the plan.
     plan = plan_of(spark, "sample_stratified_docs")
