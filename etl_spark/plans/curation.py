@@ -1,0 +1,120 @@
+"""Corpus-curation operators for training-data pipelines: denylist
+redaction and corpus n-gram statistics (SURVEY.md §2.3 text-analysis
+extension; the reference has no text operators at all).
+
+Redaction at 100 TB is a pure narrow map — one regex pass per
+document, no shuffle, no explode — which is why the redaction query's
+plan must stay Exchange-free except the final presentation sort.
+The n-gram counter is the opposite shape: a deliberate (n-1)×
+row-multiplying explode feeding one hash aggregate, the same
+explode-then-agg contract as text_top_terms.
+
+Regex dialect note: Spark compiles Java regex, the DuckDB oracle
+compiles RE2. The subset used here — character classes, alternation,
+``\\b`` word boundaries (ASCII-word semantics in BOTH engines), bounded
+quantifiers — behaves identically; lookarounds and backreferences are
+banned from oracle-paired patterns because RE2 lacks them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.io import load
+from etl_spark.plans.registry import register
+
+# Denylist scrub: stand-in for the email/phone/SSN patterns a real
+# pipeline runs (the synthetic corpus is digit-free, so a literal PII
+# regex would be vacuously zero; the EMAIL_RE counter below keeps the
+# true-PII pattern exercised for dialect parity anyway).
+DENY_RE = r"\b(customer|spark|key)\b"
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+REDACTED = "[REDACTED]"
+
+
+@register(
+    "text_redact_denylist",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{DENY_RE}')) AS INTEGER)
+             AS n_redacted,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER)
+             AS n_email_like,
+           substr(regexp_replace(text, '{DENY_RE}', '{REDACTED}', 'g'), 1, 80)
+             AS redacted_prefix
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Denylist redaction scrub: per-document regexp_replace of "
+        "sensitive terms plus match counting, the exact shape of a "
+        "PII scrub (email counter included — zero on this corpus, but "
+        "the pattern runs through both engines). Narrow map, zero "
+        "shuffles before the presentation sort; the payload column is "
+        "prefix-bounded so the result stays hashable. DuckDB needs "
+        "the 'g' flag to match Spark's replace-all default.",
+    tags=("text", "curation", "regex"),
+)
+def text_redact_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(DENY_RE))).alias("n_redacted"),
+            F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE))).alias(
+                "n_email_like"
+            ),
+            F.substring(
+                F.regexp_replace("text", DENY_RE, REDACTED), 1, 80
+            ).alias("redacted_prefix"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOP_N_BIGRAMS = 20
+
+
+@register(
+    "text_bigram_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    bigrams AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+      WHERE len(t) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT {TOP_N_BIGRAMS}
+    """,
+    doc=f"Corpus bigram counts (n-gram LM statistics): adjacent-token "
+        f"pairs via transform over an index sequence — guarded for "
+        f"sub-2-token docs because Spark's sequence(1, 0) is the "
+        f"DESCENDING [1, 0] while DuckDB's generate_series is empty "
+        f"(the round-2 langid bug class). One explode (~token-count "
+        f"row multiplier), one two-phase hash aggregate, "
+        f"TakeOrdered top-{TOP_N_BIGRAMS}.",
+    tags=("text", "ngram", "aggregation"),
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(F.split("text", " ").alias("t"))
+    bigrams = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(TOP_N_BIGRAMS)
+    )

@@ -47,6 +47,8 @@ DOC_QUERIES = [
     "mm_binary_payload",
     "udf_token_count_pandas",
     "sample_stratified_docs",
+    "text_redact_denylist",
+    "text_bigram_counts",
 ]
 
 
