@@ -8,10 +8,10 @@ implement bit-identically):
 * exact        — content-hash grouping (the generalization of the
                  reference's latest-snapshot-wins S14 dedup,
                  reference main.py:149-157, to content identity).
-* n-gram Jaccard — exact set similarity over 3-token shingles via an
-                 inverted-index self-join (NEVER an all-pairs
-                 crossJoin: candidate pairs are generated only for
-                 docs that share at least one shingle).
+* n-gram Jaccard — exact set similarity over 3-token shingles via
+                 posting-list pair generation (NEVER an all-pairs
+                 crossJoin, and no self-join either: each shingle's
+                 doc list emits its pairs map-side).
 * MinHash + LSH — 16 md5-minhash signatures banded 4×4; candidate
                  pairs are docs colliding in ≥1 band. This is the
                  100 TB path: cost is O(docs × shingles) + a bucket
@@ -22,13 +22,14 @@ implement bit-identically):
 Scale notes: the shingle inverted index shuffles on shingle — head
 shingles are the skew risk, mitigated by dropping ultra-frequent
 shingles (a standard stop-shingle filter, STOP_SHINGLE_MAX_DF) from
-the index before any self-join: a shingle shared by k documents emits
-O(k²) candidate pairs on a single shuffle key, so capping document
-frequency bounds per-shingle pair emission to STOP_SHINGLE_MAX_DF²/2
-regardless of corpus size (and a shingle in thousands of documents
-carries no similarity signal anyway). The cap is mirrored in the
-DuckDB oracles so the pair stays hash-green; LSH band buckets are
-uniformly distributed by construction.
+the index before posting lists are collected: a shingle shared by k
+documents emits O(k²) candidate pairs, so capping document frequency
+bounds per-shingle pair emission to STOP_SHINGLE_MAX_DF²/2 regardless
+of corpus size (and a shingle in thousands of documents carries no
+similarity signal anyway) — and keeps every collected posting list at
+most STOP_SHINGLE_MAX_DF elements. The cap is mirrored in the DuckDB
+oracles so the pair stays hash-green; LSH band buckets are uniformly
+distributed by construction.
 """
 
 from __future__ import annotations
@@ -106,28 +107,15 @@ def drop_stop_shingles(sh: DataFrame, max_df: int = STOP_SHINGLE_MAX_DF) -> Data
     return sh.join(F.broadcast(hot), "shingle", "left_anti").select(sh.columns)
 
 
-# One persisted shingle index per (session, sf_dir): repeated dedup
-# queries in a long-lived session reuse the same cached DataFrame
-# instead of stacking duplicate persisted copies in storage memory.
+# One persisted posting-list index per (session, sf_dir): repeated
+# dedup queries in a long-lived session reuse the same cached
+# DataFrame instead of stacking duplicate persisted copies in storage
+# memory.
 _SHINGLE_CACHE: dict = {}
 
 
-def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-token shingles per document, stop-shingle filtered:
-    (doc_id, shingle). Consumed by both the Jaccard self-join and the
-    MinHash signature pass, so the df cap protects both paths."""
-    # Keyed on applicationId (stable for the session's lifetime), not
-    # id(spark): CPython can reuse an id() for a new session after the
-    # old one is collected, which would hand back a DataFrame bound to
-    # a stopped session.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SHINGLE_CACHE.get(key)
-    # Reuse only while still actually persisted — an external
-    # clearCache() (bench reps do this) silently unpersists the
-    # DataFrame and a stale reuse would run every consumer uncached.
-    if cached is not None and cached.storageLevel.useMemory:
-        return cached
-    _SHINGLE_CACHE.pop(key, None)  # evict stale/unpersisted entries
+def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unfiltered (doc_id, shingle) rows, one per distinct shingle per doc."""
     toks = F.split(F.col("text"), " ")
     sh = F.when(
         F.size(toks) >= NGRAM,
@@ -144,28 +132,64 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # right shape at any scale (a real corpus has many files, but
     # core-aligned partitions before a row-multiplying transform still
     # hold).
-    # persist(): the inverted index is consumed 2-3x per query (both
-    # sides of the self-join + the per-doc sizes); without it the
-    # concurrent stages of one job race and each recomputes the
-    # explode. Callers materialize it (count) before building the
-    # multi-consumer join. At 100 TB the same role is played by
-    # checkpointing the index to parquet.
-    raw = (
+    return (
         load(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(sh).alias("shingle"))
+    )
+
+
+def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-filtered inverted index as posting LISTS: (shingle,
+    docs sorted array<bigint>). The cached shape all dedup consumers
+    derive from:
+
+    * ``shingles_df`` re-explodes it map-side for signature passes;
+    * ``dedup_jaccard_pairs`` emits candidate pairs directly from each
+      list — map-side, NO self-join — which is the classic inverted-
+      index pair generation (cf. PPJoin): the df cap bounds every list
+      at {STOP_SHINGLE_MAX_DF}, so per-shingle pair emission is
+      bounded and the exchanges+sorts of a shingle self-join vanish.
+
+    The hot-list/anti-join step runs BEFORE collect_list so a 100 TB
+    hot shingle never materializes a giant in-memory list.
+    """
+    # Keyed on applicationId (stable for the session's lifetime), not
+    # id(spark): CPython can reuse an id() for a new session after the
+    # old one is collected, which would hand back a DataFrame bound to
+    # a stopped session.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    # Reuse only while still actually persisted — an external
+    # clearCache() (bench reps do this) silently unpersists the
+    # DataFrame and a stale reuse would run every consumer uncached.
+    if cached is not None and cached.storageLevel.useMemory:
+        return cached
+    _SHINGLE_CACHE.pop(key, None)  # evict stale/unpersisted entries
+    raw = _raw_shingles(spark, sf_dir)
+    # The raw explode is evaluated twice (hot-list aggregate + kept
+    # rows) instead of persisting the raw index: the explode is cheap
+    # relative to caching 10^5-10^6 rows, and steady state holds ONE
+    # cached structure — the posting lists. At 100 TB the same role is
+    # played by checkpointing the posting lists to parquet.
+    posting = (
+        drop_stop_shingles(raw)
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .persist()
     )
-    # Stop-shingle guard. The raw index is persisted only while the
-    # filtered index materializes (the hot-list aggregate and the
-    # anti-join input would otherwise each re-run the CPU-heavy
-    # explode), then dropped — steady state holds ONE cached copy. At
-    # 100 TB the same two-step is a checkpoint of the raw index.
-    df = drop_stop_shingles(raw).persist()
-    df.count()
-    raw.unpersist()
-    _SHINGLE_CACHE[key] = df
-    return df
+    posting.count()  # materialize before multi-consumer reuse
+    _SHINGLE_CACHE[key] = posting
+    return posting
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-token shingles per document, stop-shingle filtered:
+    (doc_id, shingle). Derived map-side from the cached posting lists;
+    consumed by the MinHash signature pass and per-doc size counts."""
+    return posting_lists(spark, sf_dir).select(
+        F.explode("docs").alias("doc_id"), "shingle"
+    )
 
 
 _RAW_SHINGLES_SQL = f"""
@@ -211,36 +235,53 @@ JACCARD_THRESHOLD = 0.05
     FROM pairs
     WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= {JACCARD_THRESHOLD}
     """,
-    doc="Exact n-gram Jaccard near-dup pairs via inverted-index "
-        "self-join on shingles (candidate pairs only where a shingle is "
-        "shared — no crossJoin), with the stop-shingle df cap "
-        f"(> {STOP_SHINGLE_MAX_DF} docs) bounding per-key skew in the "
-        "self-join. Integer intersection/union counts → engine-exact "
-        "double ratio.",
+    doc="Exact n-gram Jaccard near-dup pairs from the posting-list "
+        "inverted index: each shingle's (sorted, df-capped) doc list "
+        "emits its candidate pairs MAP-SIDE — no self-join, no "
+        "crossJoin — then one aggregation counts shared shingles per "
+        f"pair. The stop-shingle df cap (> {STOP_SHINGLE_MAX_DF} docs) "
+        "bounds per-list pair emission, so the exploded pair stream is "
+        "O(Σ df²) with df ≤ cap regardless of corpus size. Integer "
+        "intersection/union counts → engine-exact double ratio.",
     tags=("dedup", "llm", "neardup"),
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles_df(spark, sf_dir)
-    sh.count()  # materialize the persisted index once (see shingles_df)
-    # Attach per-doc set sizes to the index rows via a broadcast join so
-    # the pair aggregation already carries na/nb — avoids two extra
-    # shuffled joins after the (large) pair table exists.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sized = sh.join(F.broadcast(sizes), "doc_id")
-    a = sized.alias("a")
-    b = sized.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.any_value(F.col("a.n_sh")).alias("na"),
-            F.any_value(F.col("b.n_sh")).alias("nb"),
+    posting = posting_lists(spark, sf_dir)
+    # Per-doc (filtered) set sizes — small, broadcast onto the pair
+    # aggregate so no extra shuffled join touches the pair stream.
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # docs is sorted ascending, so nested (i, j>i) iteration yields
+    # each unordered pair exactly once with doc_a < doc_b by
+    # construction. The lambdas are interpreted, but they run over
+    # ≤-cap-length lists and emit exactly the candidate stream — far
+    # cheaper than exchanging+sorting both sides of a 10^5-row
+    # self-join.
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs")) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
     )
+    pairs = (
+        posting.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        pairs.filter(jac >= JACCARD_THRESHOLD)
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
     )
 
@@ -314,8 +355,9 @@ def _band_rows_sql() -> str:
     tags=("dedup", "llm", "neardup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shingles_df derives map-side from the cached posting lists
+    # (materialized inside posting_lists), so no extra action here.
     sh = shingles_df(spark, sf_dir)
-    sh.count()  # materialize the persisted index once (see shingles_df)
     hp = (
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
         % MERSENNE_P

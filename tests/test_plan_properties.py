@@ -94,6 +94,11 @@ def test_jaccard_pairs_have_no_cartesian(spark):
     plan = plan_of(spark, "dedup_jaccard_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # Pair generation is map-side from posting lists: the only joins
+    # are the two broadcast size-attachment joins — a shingle
+    # self-join (exchange + sort both sides) must not reappear.
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_correlated_exists_decorrelates_to_semi_join(spark):
