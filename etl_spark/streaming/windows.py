@@ -68,6 +68,22 @@ def hourly_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_counts_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of events_sliding_1h_30m: overlapping 1h windows
+    sliding every 30m — each event lands in exactly two window states;
+    the watermark closes both once event time moves past them."""
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def run_available_now(result: DataFrame, query_name: str):
     """Drain the current backlog into the in-memory sink and stop.
 
