@@ -20,3 +20,4 @@ from etl_spark.plans import frames  # noqa: E402,F401
 from etl_spark.plans import sampling  # noqa: E402,F401
 from etl_spark.plans import subqueries  # noqa: E402,F401
 from etl_spark.plans import curation  # noqa: E402,F401
+from etl_spark.plans import analytics  # noqa: E402,F401

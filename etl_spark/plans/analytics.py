@@ -1,0 +1,186 @@
+"""Product-analytics shapes over the events stream: funnel
+conversion, cohort retention, and fixed-width histograms — the
+workhorse queries of any behavioral analytics engine (reference has
+no aggregations at all; SURVEY.md §2.2 planned surface).
+
+Scale shapes:
+
+* funnel — each stage is an aggregate-then-join on user_id, so every
+  shuffle key is the user; stage N's input is already one row per
+  user (tiny). Never a self-join of raw events against raw events.
+* retention — two distinct-aggregations (first-seen, active-weeks)
+  joined on user_id; the cohort matrix output is O(weeks²).
+* histogram — one map-side bucket computation + one aggregation;
+  bucket math is identical IEEE double ops in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.io import load
+from etl_spark.plans.registry import register
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.signup_ts
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)              AS n_signup,
+           CAST(COUNT(s2.user_id) AS BIGINT)     AS n_click_after_signup,
+           CAST(COUNT(s3.user_id) AS BIGINT)     AS n_purchase_after_click
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    doc="Ordered funnel conversion (signup → first later click → "
+        "first later purchase): each stage aggregates to one row per "
+        "user BEFORE joining the next stage's events, so the raw "
+        "event table is scanned once per stage and every join input "
+        "after stage 1 is user-cardinality. The strictly-later "
+        "ordering makes it a true sequential funnel, not three "
+        "independent existence checks.",
+    tags=("events", "funnel", "aggregation"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            F.count("click_ts").alias("n_click_after_signup"),
+            F.count("purchase_ts").alias("n_purchase_after_click"),
+        )
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT strftime(f.cohort_week, '{TS_FMT_DUCK}') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS INTEGER)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM first_seen f
+    JOIN active a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by first-seen week, "
+        "counted in each subsequent activity week. Two aggregations "
+        "(first-seen per user; distinct active weeks per user) joined "
+        "on user_id — the join inputs are user- and user×week-"
+        "cardinality, never raw events. Week offsets are integer "
+        "day-arithmetic on week-truncated timestamps (exact in both "
+        "engines; both date_trunc('week') anchor Monday).",
+    tags=("events", "retention", "aggregation"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        first_seen.join(active, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", TS_FMT_SPARK).alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+HIST_LO = 0.0
+HIST_WIDTH = 50.0
+HIST_BUCKETS = 10
+
+
+@register(
+    "agg_value_histogram",
+    oracle=f"""
+    SELECT CAST(LEAST(FLOOR((value - {HIST_LO}) / {HIST_WIDTH}),
+                      {HIST_BUCKETS - 1}) AS INTEGER)   AS bucket,
+           CAST(COUNT(*) AS BIGINT)                      AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc=f"Fixed-width histogram of event values: {HIST_BUCKETS} "
+        f"buckets of width {HIST_WIDTH} with a clamped overflow "
+        "bucket. The bucket expression is the same FLOOR-of-division "
+        "double op in both engines (bit-identical), the value sum is "
+        "decimal-exact; one map-side projection + one aggregation.",
+    tags=("aggregation", "histogram"),
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.least(
+            F.floor((F.col("value") - HIST_LO) / HIST_WIDTH),
+            F.lit(HIST_BUCKETS - 1),
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
