@@ -72,6 +72,56 @@ def text_redact_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+      WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {CHUNK_STRIDE} AS INTEGER)        AS chunk_idx,
+           array_to_string(t[s:s + {CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+           CAST(LEAST({CHUNK_TOKENS}, len(t) - s + 1) AS INTEGER) AS n_tokens
+    FROM toks, unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS g(s)
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc=f"Sliding-window document chunking ({CHUNK_TOKENS}-token "
+        f"chunks, stride {CHUNK_STRIDE} → {CHUNK_TOKENS - CHUNK_STRIDE}-"
+        "token overlap): the standard context-window preparation step "
+        "for embedding/training pipelines. Pure built-in HOFs — a "
+        "stepped sequence of chunk starts exploded against a token "
+        "slice — so the row-multiplying transform stays JVM-side; "
+        "chunk boundaries clamp at the document tail in both engines.",
+    tags=("text", "curation", "chunking"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    chunk = F.expr(
+        f"""
+        explode(transform(
+          sequence(1, size(t), {CHUNK_STRIDE}),
+          s -> struct(
+            CAST((s - 1) DIV {CHUNK_STRIDE} AS INT)          AS chunk_idx,
+            array_join(slice(t, s, {CHUNK_TOKENS}), ' ')     AS chunk_text,
+            CAST(LEAST({CHUNK_TOKENS}, size(t) - s + 1) AS INT) AS n_tokens
+          )
+        ))
+        """
+    ).alias("c")
+    return (
+        toks.select("doc_id", chunk)
+        .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 TOP_N_BIGRAMS = 20
 
 

@@ -94,6 +94,62 @@ def udf_token_count_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udaf_weighted_value_mean",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         * (1 + user_id % 5)) AS DOUBLE)
+                / (100.0 * SUM(1 + user_id % 5)) AS DOUBLE) AS weighted_mean
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Grouped-aggregate pandas UDF (the UDAF surface): per-type "
+        "weighted mean of event values with deterministic integer "
+        "weights. Values are 2-decimal, so the UDAF accumulates exact "
+        "int64 cents × weight — float summation order (which differs "
+        "between numpy and any SQL engine) never touches the "
+        "accumulator, making the Arrow-batched custom aggregate "
+        "oracle-exact. Spark runs it as a real aggregate exchange "
+        "(partial batches → grouped Arrow UDAF), not a collect.",
+    tags=("udf", "udaf", "pandas-udf", "aggregation"),
+)
+def udaf_weighted_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _wmean(value, weight):
+        # Self-contained (cloudpickled by value). Exact integer-cent
+        # accumulation: round() undoes the one-ulp noise of value*100
+        # in binary floating point before the int cast. NULL values
+        # drop from the numerator only (SQL SUM semantics: the
+        # denominator still counts every row's weight); an all-NULL
+        # group is NULL, as SUM over no rows is.
+        w = weight.astype("int64")
+        mask = value.notna()
+        if not mask.any():
+            return None
+        cents = (value[mask] * 100).round().astype("int64")
+        return float((cents * w[mask]).sum()) / (100.0 * float(w.sum()))
+
+    _wmean.__annotations__ = {
+        "value": pd.Series,
+        "weight": pd.Series,
+        "return": float,
+    }
+    wmean = pandas_udf(_wmean, "double")
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "weight", (F.lit(1) + F.col("user_id") % 5)
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(wmean("value", "weight").alias("weighted_mean"))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "mm_extract_features",
     oracle=None,  # Pandas-UDF pipeline; verified rows-only by the driver,
     # exactly by tests/test_multimodal.py against pure-Python recompute.

@@ -65,6 +65,10 @@ EVENT_QUERIES = [
     "agg_collect_events",
     "agg_salted_event_counts",
     "range_join_value_buckets",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "agg_value_histogram",
+    "udaf_weighted_value_mean",
 ]
 
 

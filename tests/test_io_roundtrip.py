@@ -49,3 +49,23 @@ def test_csv_roundtrip_with_schema(spark, tmp_path):
     df.write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.schema(df.schema).option("header", True).csv(path)
     assert as_rows(back) == as_rows(df)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Long-lived datasets gain columns over time; readers must see the
+    union schema with nulls for files written before a column existed
+    (mergeSchema opt-in — by default Spark takes one footer's schema)."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    v1.write.parquet(f"{path}/batch=1")
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 1.5)], "id bigint, name string, score double"
+    )
+    v2.write.parquet(f"{path}/batch=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert {f.name for f in merged.schema.fields} == {"id", "name", "score", "batch"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows[1] == ("a", None)  # pre-evolution file null-extends
+    assert rows[3] == ("c", 0.5)
+    assert len(rows) == 4
