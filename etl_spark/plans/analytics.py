@@ -143,6 +143,54 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_rolling_7d_active_users",
+    oracle="""
+    WITH day_users AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM day_users)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS active_users_7d
+    FROM days
+    JOIN day_users du
+      ON du.d <= days.d AND du.d > days.d - INTERVAL 7 DAY
+    GROUP BY days.d
+    ORDER BY days.d
+    """,
+    doc="Rolling 7-day distinct active users: distinct counts don't "
+        "compose across window frames, so the scalable exact form "
+        "pre-aggregates to DISTINCT (day, user) — collapsing arbitrary "
+        "event volume to at most days×users rows — then range-joins "
+        "over the tiny day dimension and counts distinct per anchor "
+        "day. At 100 TB the pre-aggregation is the only pass that "
+        "touches raw events; the 7-day fan-out multiplies day-grain "
+        "rows only. (The sketch alternative is a mergeable HLL per "
+        "day; this is the exact twin.)",
+    tags=("events", "window-agg", "distinct"),
+)
+def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_users = (
+        load(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("d"), "user_id")
+        .distinct()
+    )
+    # Broadcast the DAY dimension (bounded: one row per calendar day);
+    # the (day, user) side is data-sized and must never broadcast.
+    days = day_users.select("d").distinct().alias("days")
+    du = day_users.alias("du")
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("du.d") <= F.col("days.d"))
+            & (F.col("du.d") > F.col("days.d") - F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy(F.date_format("days.d", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("du.user_id").alias("active_users_7d"))
+        .orderBy("day")
+    )
+
+
 HIST_LO = 0.0
 HIST_WIDTH = 50.0
 HIST_BUCKETS = 10

@@ -398,6 +398,57 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(SUM({_REV_SQL}
+                    - CAST(p.p_retailprice AS DECIMAL(14,2))
+                      * CAST(l.l_quantity AS DECIMAL(9,2)) * 0.08)
+                AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY nation, order_year
+    ORDER BY nation, order_year DESC
+    """,
+    doc="TPC-H-Q9-shaped profit rollup (the testdata has no partsupp, "
+        "so supply cost is proxied as 8% of retail price — the plan "
+        "shape, a 5-way join with a two-table computed measure grouped "
+        "by nation×year, is what's exercised): dims broadcast, the "
+        "lineitem-orders fact join shuffles once, profit arithmetic "
+        "stays in exact decimals until the final double.",
+    tags=("join", "aggregation"),
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    profit = dec("l_extendedprice") * one_minus("l_discount") - (
+        dec("p_retailprice")
+        * F.col("l_quantity").cast("decimal(9,2)")
+        * F.lit("0.08").cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(dsum(profit, "profit"))
+        .orderBy(F.col("nation").asc(), F.col("order_year").desc())
+    )
+
+
 Q22_CUTOFF = "2000-01-01"
 
 
