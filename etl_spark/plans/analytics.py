@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_spark.functions.money import dec
 from etl_spark.io import load
 from etl_spark.plans.registry import register
 
@@ -188,6 +189,110 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.date_format("days.d", "yyyy-MM-dd").alias("day"))
         .agg(F.count_distinct("du.user_id").alias("active_users_7d"))
         .orderBy("day")
+    )
+
+
+@register(
+    "orders_monthly_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT month,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(CASE WHEN lag(rev) OVER (ORDER BY month) IS NULL THEN NULL
+                ELSE (CAST(rev AS DOUBLE)
+                      - CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE))
+                     / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE)
+                END AS DOUBLE) AS mom_growth
+    FROM monthly
+    ORDER BY month
+    """,
+    doc="Month-over-month revenue growth: monthly decimal-exact rollup, "
+        "then LAG over the (tiny) month series. The growth ratio "
+        "divides doubles cast from identical exact decimals, so it is "
+        "engine-identical; the first month is NULL, not zero. The "
+        "window runs over month-cardinality rows — a single-partition "
+        "sort of a few dozen rows, never of raw orders.",
+    tags=("window", "aggregation", "bi"),
+)
+def orders_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.sum(dec("o_totalprice", 18, 2)).alias("rev"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    growth = F.when(
+        prev.isNull(), F.lit(None).cast("double")
+    ).otherwise((F.col("rev").cast("double") - prev.cast("double")) / prev.cast("double"))
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        growth.cast("double").alias("mom_growth"),
+    ).orderBy("month")
+
+
+@register(
+    "part_price_zscore_by_type",
+    oracle="""
+    WITH stats AS (
+      SELECT p_type,
+             CAST(COUNT(*) AS BIGINT)                      AS n,
+             SUM(CAST(p_retailprice AS DECIMAL(14,2)))     AS s1,
+             SUM(CAST(p_retailprice AS DECIMAL(14,2))
+                 * CAST(p_retailprice AS DECIMAL(14,2)))   AS s2
+      FROM part GROUP BY p_type
+    )
+    SELECT p.p_partkey, p.p_type,
+           CAST((CAST(p.p_retailprice AS DOUBLE)
+                 - CAST(s.s1 AS DOUBLE) / s.n)
+                / sqrt((CAST(s.s2 AS DOUBLE)
+                        - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
+                       / (s.n - 1)) AS DOUBLE) AS price_z
+    FROM part p
+    JOIN stats s ON p.p_type = s.p_type
+    ORDER BY p.p_partkey
+    """,
+    doc="Within-group standardization (z-score) computed from DECIMAL-"
+        "exact sum and sum-of-squares — NOT the built-in stddev, whose "
+        "streaming (Welford) accumulation is partition-order-dependent "
+        "and diverges between engines in the last ulps. From exact "
+        "(n, Σx, Σx²) every engine derives bit-identical doubles. One "
+        "aggregation + a broadcast stats join; the numerically-stable-"
+        "at-scale caveat (catastrophic cancellation when σ ≪ μ) is "
+        "accepted for 2-decimal prices with σ/μ ≈ 0.5.",
+    tags=("aggregation", "statistics", "join"),
+)
+def part_price_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    price = dec("p_retailprice")
+    stats = part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(price).alias("s1"),
+        F.sum(price * price).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return (
+        part.join(F.broadcast(stats), "p_type")
+        .select(
+            "p_partkey",
+            "p_type",
+            ((F.col("p_retailprice").cast("double") - mean) / F.sqrt(var))
+            .cast("double")
+            .alias("price_z"),
+        )
+        .orderBy("p_partkey")
     )
 
 

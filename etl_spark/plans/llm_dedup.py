@@ -286,6 +286,73 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sized AS (
+      SELECT doc_id, shingle,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+      FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_common,
+             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+      FROM sized a JOIN sized b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / LEAST(na, nb) AS containment
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / LEAST(na, nb) >= {CONTAINMENT_THRESHOLD}
+    """,
+    doc="Asymmetric containment near-dup pairs: |A∩B| / min(|A|,|B|) — "
+        "the measure that catches a document EMBEDDED in a larger one, "
+        "which symmetric Jaccard misses (a 100-token doc pasted into a "
+        "10k-token doc has tiny Jaccard but containment 1.0). Shares "
+        "the posting-list candidate machinery with dedup_jaccard_pairs: "
+        "pairs emit map-side from df-capped lists, one aggregation, "
+        "two broadcast size joins.",
+    tags=("dedup", "llm", "neardup"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posting = posting_lists(spark, sf_dir)
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs")) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    pairs = (
+        posting.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    containment = F.col("n_common").cast("double") / F.least("na", "nb")
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(containment >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", containment.alias("containment"))
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH. Engine-portable AND cheap: ONE md5 per shingle → a
 # 60-bit integer h, then N_HASHES universal-hash mixes
