@@ -296,6 +296,123 @@ def part_price_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_revenue_pareto",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             SUM(rev) OVER ()                          AS total_rev,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey ASC) AS rnk,
+             COUNT(*) OVER ()                          AS n_cust
+      FROM per_cust
+    )
+    SELECT CAST(MIN(rnk) AS BIGINT)                       AS customers_for_80pct,
+           CAST(MIN(CAST(rnk AS DOUBLE) / n_cust) AS DOUBLE)
+                                                          AS customer_share,
+           CAST(MIN(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE))
+                AS DOUBLE)                                AS revenue_share
+    FROM ranked
+    WHERE CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) >= 0.8
+    """,
+    doc="Pareto concentration (the 80/20 query): smallest customer "
+        "prefix covering 80% of revenue, via a deterministic cumulative "
+        "decimal sum (revenue desc, custkey tiebreak). The windows run "
+        "over customer-cardinality pre-aggregated rows; cumulative/"
+        "total shares divide doubles cast from exact decimals. MIN "
+        "over the qualifying prefix keeps the result a single stable "
+        "row.",
+    tags=("window", "aggregation", "bi"),
+)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice", 18, 2)).alias("rev"))
+    )
+    order = [F.col("rev").desc(), F.col("o_custkey").asc()]
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+        F.row_number().over(Window.orderBy(*order)).alias("rnk"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    )
+    rev_share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
+    return (
+        ranked.filter(rev_share >= 0.8)
+        .agg(
+            F.min("rnk").cast("bigint").alias("customers_for_80pct"),
+            F.min(F.col("rnk").cast("double") / F.col("n_cust")).alias(
+                "customer_share"
+            ),
+            F.min(rev_share).cast("double").alias("revenue_share"),
+        )
+    )
+
+
+MAD_K = 3.0
+
+
+@register(
+    "events_value_outliers_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med_v
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             ANY_VALUE(m.med_v) AS med_v,
+             quantile_cont(abs(e.value - m.med_v), 0.5) AS mad_v
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e
+    JOIN mad m ON e.event_type = m.event_type
+    WHERE abs(e.value - m.med_v) > {MAD_K} * m.mad_v
+    ORDER BY e.event_id
+    """,
+    doc=f"Robust outlier flagging via median absolute deviation "
+        f"(|x − median| > {MAD_K}·MAD per event type): two aggregation "
+        "passes — group medians, then medians of absolute deviations — "
+        "each joined back broadcast (group-cardinality stats). Both "
+        "engines interpolate the 0.5 quantile identically on the same "
+        "doubles (proven by agg_percentiles), so the flag set is "
+        "engine-exact. The mean/stddev alternative would be skew-"
+        "sensitive AND order-dependent.",
+    tags=("aggregation", "statistics", "join"),
+)
+def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med_v")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med_v").alias("med_v"),
+            F.expr("percentile(abs(value - med_v), 0.5)").alias("mad_v"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med_v")) > MAD_K * F.col("mad_v"))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
 HIST_LO = 0.0
 HIST_WIDTH = 50.0
 HIST_BUCKETS = 10
