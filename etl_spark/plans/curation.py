@@ -122,6 +122,95 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_TOKENS = 20
+MIN_DISTINCT_RATIO = 0.3
+SAMPLE_KEEP_BUCKETS = 32768  # of 65536 → deterministic 50% hash gate
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    WITH dedup AS (
+      SELECT doc_id, text, lang
+      FROM (
+        SELECT doc_id, text, lang,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE doc_id = canonical_id
+    ),
+    quality AS (
+      SELECT doc_id, text, lang
+      FROM dedup
+      WHERE len(string_split(text, ' ')) >= {MIN_TOKENS}
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) >= {MIN_DISTINCT_RATIO}
+    ),
+    sampled AS (
+      SELECT doc_id, text, lang FROM quality
+      WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+          < {SAMPLE_KEEP_BUCKETS}
+    ),
+    toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM sampled)
+    SELECT doc_id, lang,
+           CAST((s - 1) // {CHUNK_STRIDE} AS INTEGER)        AS chunk_idx,
+           array_to_string(t[s:s + {CHUNK_TOKENS - 1}], ' ') AS chunk_text
+    FROM toks, unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS g(s)
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="The end-to-end training-data curation pipeline as ONE "
+        "composed plan: exact dedup (md5 canonical window) → heuristic "
+        "quality gate (length + lexical diversity) → deterministic "
+        "50% hash-gate sample → overlapping context-window chunking. "
+        "Total cost at any scale: ONE shuffle (the dedup window on the "
+        "32-byte hash) — every other stage is a narrow map, and the "
+        "quality/sample filters run BEFORE the row-multiplying chunk "
+        "explode so the explode touches only surviving documents.",
+    tags=("text", "curation", "pipeline", "dedup"),
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from pyspark.sql import Window
+
+    canonical = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    dedup = (
+        docs.withColumn("canonical_id", canonical)
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id", "text", "lang")
+    )
+    toks = F.split("text", " ")
+    quality = dedup.filter(
+        (F.size(toks) >= MIN_TOKENS)
+        & (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            >= MIN_DISTINCT_RATIO
+        )
+    )
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    sampled = quality.filter(h16 < SAMPLE_KEEP_BUCKETS)
+    chunk = F.expr(
+        f"""
+        explode(transform(
+          sequence(1, size(t), {CHUNK_STRIDE}),
+          s -> struct(
+            CAST((s - 1) DIV {CHUNK_STRIDE} AS INT)      AS chunk_idx,
+            array_join(slice(t, s, {CHUNK_TOKENS}), ' ') AS chunk_text
+          )
+        ))
+        """
+    ).alias("c")
+    return (
+        sampled.select("doc_id", "lang", F.split("text", " ").alias("t"))
+        .select("doc_id", "lang", chunk)
+        .select("doc_id", "lang", "c.chunk_idx", "c.chunk_text")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 TOP_N_BIGRAMS = 20
 
 

@@ -51,6 +51,7 @@ DOC_QUERIES = [
     "text_bigram_counts",
     "text_chunk_windows",
     "dedup_containment_pairs",
+    "pipeline_curate_corpus",
 ]
 
 

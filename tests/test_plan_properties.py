@@ -198,6 +198,14 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.set(k, v)
 
 
+def test_curation_pipeline_single_data_shuffle(spark):
+    # Dedup window (hash exchange) + presentation sort (range
+    # exchange) only — quality gate, hash sample, and chunk explode
+    # must all stay narrow.
+    plan = plan_of(spark, "pipeline_curate_corpus")
+    assert plan.count("Exchange") == 2
+
+
 def test_stratified_sample_is_narrow_map(spark):
     # Hash-gated sampling must not shuffle: no Exchange in the plan.
     plan = plan_of(spark, "sample_stratified_docs")
