@@ -359,6 +359,44 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_rolling_7d_active_users_approx",
+    oracle=None,  # HLL sketch — engine-specific hashing; the error
+    # bound vs the exact twin is asserted by tests/test_approx.py.
+    doc="Sketch twin of events_rolling_7d_active_users: same day-grain "
+        "pre-agg + broadcast day-dim range join, but the per-day count "
+        "is approx_count_distinct (HyperLogLog++). At 100 TB this is "
+        "the form that survives — HLL sketches are mergeable, so the "
+        "partial aggregation combines map-side and the shuffle carries "
+        "fixed-size sketches instead of user-id sets.",
+    tags=("events", "window-agg", "distinct", "approx"),
+)
+def events_rolling_7d_active_users_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    day_users = (
+        load(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("d"), "user_id")
+        .distinct()
+    )
+    days = day_users.select("d").distinct().alias("days")
+    du = day_users.alias("du")
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("du.d") <= F.col("days.d"))
+            & (F.col("du.d") > F.col("days.d") - F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy(F.date_format("days.d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.approx_count_distinct("du.user_id", rsd=0.02).alias(
+                "active_users_7d_approx"
+            )
+        )
+        .orderBy("day")
+    )
+
+
 MAD_K = 3.0
 
 

@@ -47,3 +47,22 @@ def test_approx_distinct_within_rsd(spark):
     for prio, n in exact.items():
         # rsd=0.02 → allow 5 sigma plus integer slack.
         assert abs(approx[prio] - n) <= max(3, 0.1 * n), (prio, approx[prio], n)
+
+
+def test_approx_rolling_dau_within_rsd(spark):
+    approx = {
+        r["day"]: r["active_users_7d_approx"]
+        for r in REGISTRY["events_rolling_7d_active_users_approx"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    exact = {
+        r["day"]: r["active_users_7d"]
+        for r in REGISTRY["events_rolling_7d_active_users"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for day, n in exact.items():
+        # rsd=0.02 → allow 5 sigma plus integer slack.
+        assert abs(approx[day] - n) <= max(3, 0.1 * n), (day, approx[day], n)
