@@ -505,3 +505,233 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_mktsegment
         """
     )
+
+
+LATE_DAYS = 365  # ship >1y after order date = "late" (no receipt/commit dates in the testdata)
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle=f"""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+    doc="TPC-H-Q21-style 'suppliers who kept orders waiting': the "
+        "double-correlated EXISTS + NOT EXISTS shape (lateness adapted "
+        "to shipdate >1y after orderdate; the testdata has no commit/"
+        "receipt dates — reference has no joins at all, SURVEY.md:186). "
+        "Catalyst decorrelates both subqueries into a left-semi and a "
+        "left-anti join on l_orderkey, so the whole query is three "
+        "hash joins sharing one orderkey shuffle — the naive form is a "
+        "per-row rescan of lineitem, O(n^2) at 100 TB. Plan-asserted "
+        "cartesian-free in tests/test_plan_properties.py.",
+    tags=("sql-api", "subquery", "semi-join", "anti-join", "aggregation"),
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    return spark.sql(
+        f"""
+        WITH late AS (
+          SELECT l.l_orderkey, l.l_suppkey
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+            AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM late l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        """
+    )
+
+
+Q11_NATION = "NATION_3"
+
+
+@register(
+    "q11_part_value_share",
+    oracle=f"""
+    WITH val AS (
+      SELECT l.l_partkey, SUM({_REV_SQL}) AS value_dec
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = '{Q11_NATION}'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT SUM(value_dec) AS total_dec FROM val)
+    SELECT v.l_partkey AS partkey,
+           CAST(v.value_dec AS DOUBLE) AS part_value
+    FROM val v, tot t
+    WHERE v.value_dec * 4000 > t.total_dec * 3
+    ORDER BY part_value DESC, partkey
+    """,
+    doc="TPC-H-Q11-style 'important stock' share: per-part value from "
+        "one nation's suppliers, kept only where the part's share "
+        "exceeds 1.5x the average (value*4000 > total*3, exact decimal "
+        "multiplication — no engine ever divides, so borderline parts "
+        "cannot flip between engines). The global total is a one-row "
+        "aggregate cross-joined as a broadcast literal — the same plan "
+        "Catalyst builds for a scalar subquery in HAVING, made "
+        "explicit. At scale the val aggregation is the only data "
+        "shuffle; tot reuses it.",
+    tags=("sql-api", "subquery", "aggregation"),
+)
+def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(
+        f"""
+        WITH val AS (
+          SELECT l.l_partkey, SUM({_REV_SQL}) AS value_dec
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n   ON n.n_nationkey = s.s_nationkey
+          WHERE n.n_name = '{Q11_NATION}'
+          GROUP BY l.l_partkey
+        ),
+        tot AS (SELECT SUM(value_dec) AS total_dec FROM val)
+        SELECT v.l_partkey AS partkey,
+               CAST(v.value_dec AS DOUBLE) AS part_value
+        FROM val v, tot t
+        WHERE v.value_dec * 4000 > t.total_dec * 3
+        ORDER BY part_value DESC, partkey
+        """
+    )
+
+
+Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+
+
+@register(
+    "q16_supplier_variety",
+    oracle=f"""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN {Q16_SIZES}
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H-Q16-style supplier variety per part attribute (partsupp "
+        "proxied by the lineitem part-supplier association): COUNT "
+        "DISTINCT over a NOT IN exclusion subquery. Spark executes the "
+        "NOT IN as a null-aware anti join against the (tiny, "
+        "broadcast) excluded-supplier set; the distinct count is the "
+        "usual two-phase partial/final aggregate. The part predicates "
+        "all push to the parquet scan.",
+    tags=("sql-api", "subquery", "anti-join", "aggregation"),
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("part", "lineitem", "supplier"))
+    return spark.sql(
+        f"""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN {Q16_SIZES}
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             l_extendedprice / l_quantity AS unit_price
+      FROM lineitem
+    )
+    SELECT DISTINCT
+           s.s_name, n.n_name AS nation,
+           p.p_partkey, p.p_brand,
+           u.unit_price AS min_unit_price
+    FROM part p
+    JOIN unit u     ON u.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = u.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'ECONOMY' AND p.p_size <= 5
+      AND u.unit_price = (
+        SELECT MIN(u2.unit_price) FROM unit u2
+        WHERE u2.l_partkey = p.p_partkey
+      )
+    ORDER BY nation, s.s_name, p.p_partkey
+    """,
+    doc="TPC-H-Q2-style min-cost supplier per part (supply cost "
+        "proxied by the observed lineitem unit price — the testdata "
+        "has no partsupp): the classic correlated scalar-MIN subquery. "
+        "Catalyst decorrelates it into a per-partkey MIN aggregate "
+        "joined back on (partkey, unit_price) — one aggregation plus "
+        "one equi-join instead of a per-row rescan. unit_price is a "
+        "single IEEE division (correctly rounded, engine-identical) "
+        "and MIN never accumulates, so the double column is "
+        "hash-stable. DISTINCT guards against a supplier hitting the "
+        "same minimum twice in two lineitems.",
+    tags=("sql-api", "subquery", "join"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("part", "lineitem", "supplier", "nation"))
+    return spark.sql(
+        """
+        WITH unit AS (
+          SELECT l_partkey, l_suppkey,
+                 l_extendedprice / l_quantity AS unit_price
+          FROM lineitem
+        )
+        SELECT DISTINCT
+               s.s_name, n.n_name AS nation,
+               p.p_partkey, p.p_brand,
+               u.unit_price AS min_unit_price
+        FROM part p
+        JOIN unit u     ON u.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = u.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_type = 'ECONOMY' AND p.p_size <= 5
+          AND u.unit_price = (
+            SELECT MIN(u2.unit_price) FROM unit u2
+            WHERE u2.l_partkey = p.p_partkey
+          )
+        ORDER BY nation, s.s_name, p.p_partkey
+        """
+    )

@@ -210,3 +210,29 @@ def test_stratified_sample_is_narrow_map(spark):
     # Hash-gated sampling must not shuffle: no Exchange in the plan.
     plan = plan_of(spark, "sample_stratified_docs")
     assert "Exchange" not in plan
+
+
+def test_q21_double_exists_decorrelates(spark):
+    # EXISTS -> left-semi, NOT EXISTS -> left-anti; the naive form is a
+    # per-late-row rescan of lineitem (quadratic at scale).
+    plan = plan_of(spark, "q21_sole_late_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_decorrelates(spark):
+    # The per-part scalar MIN must run as aggregate-then-join, never a
+    # per-outer-row rescan of the unit-price CTE.
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q16_not_in_is_null_aware_anti_join(spark):
+    # NOT IN over the excluded-supplier subquery: Spark plans a
+    # null-aware anti join with the (tiny) exclusion set broadcast.
+    plan = plan_of(spark, "q16_supplier_variety")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
