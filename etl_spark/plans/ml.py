@@ -1,0 +1,205 @@
+"""Distributed ML building blocks over the embeddings table.
+
+k-means is the workhorse of training-data curation at scale (corpus
+clustering for mixture balancing, semantic dedup via cluster-then-
+compare, IVF coarse quantizer training). The reference engine has no
+ML surface (its 190-line core is ETL only); SURVEY.md §2.3 plans the
+embedding column as a first-class citizen, and these queries give it
+the iterative-algorithm coverage the similarity family (llm_similarity)
+probes but never trains.
+
+Spark shape — both queries follow the same scale discipline:
+
+* the per-point assignment step is ONE corpus scan: the k centroids are
+  a config-sized constant (k × dim floats) shipped inside a mapInPandas
+  closure, and each Arrow batch is scored against all centroids with a
+  single numpy matmul (no per-pair interpreted lambdas, no join);
+* the centroid-update step is a posexplode → groupBy(cluster, pos)
+  partial-aggregated sum — output is k × dim rows regardless of corpus
+  size, so the shuffle is dimension-bounded, not data-bounded;
+* nothing data-sized is ever collected: the driver only sees k × dim
+  centroid sums per iteration (the same contract as connected
+  components' convergence counters in operators/graph.py).
+
+Exactness (ml_kmeans_step is oracle-paired — rare for ML): quantized
+integer coordinates (see llm_similarity.quantize) make every squared
+L2 distance an exact BIGINT via ||a||² + ||b||² − 2·a·b, and float64
+matmul of integer matrices below 2^53 is exact in any summation order,
+so Spark and DuckDB agree bit-for-bit on every distance and tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.io import load
+from etl_spark.plans.llm_similarity import _vec_cte, quantize
+from etl_spark.plans.registry import register
+
+K_CLUSTERS = 8
+MAX_ITERS = 8
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings as exact-integer vectors, spread across cores."""
+    return (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+    )
+
+
+def _assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """One assignment pass: nearest centroid per vector, one matmul per
+    Arrow batch. Ties break to the lowest cluster id (numpy argmin
+    returns the first minimum — same order as the oracle's
+    ``ORDER BY d2, cluster``)."""
+    cvecs = [list(c) for c in centroids]  # plain lists: closure is self-contained
+
+    def score(it):
+        import numpy as np
+        import pandas as pd
+
+        S = np.array(cvecs, dtype=np.float64)  # (k, dim)
+        s_norms = (S * S).sum(axis=1)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["q"].tolist(), dtype=np.float64)
+            d2 = (C * C).sum(axis=1)[:, None] + s_norms[None, :] - 2.0 * (C @ S.T)
+            cl = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "q": pdf["q"],
+                    "cluster": cl.astype("int32"),
+                    "d2": d2[np.arange(len(cl)), cl],
+                }
+            )
+
+    return emb.mapInPandas(
+        score, schema="vec_id bigint, q array<bigint>, cluster int, d2 double"
+    )
+
+
+def _cluster_stats(assigned: DataFrame, exact: bool) -> DataFrame:
+    # Seed-step distances are exact integers (oracle compares BIGINT);
+    # after the first centroid update they are genuine doubles.
+    d2 = F.col("d2").cast("bigint") if exact else F.col("d2")
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(d2).alias("inertia"),
+    )
+
+
+@register(
+    "ml_kmeans_step",
+    oracle=f"""
+    WITH vec AS ({_vec_cte()}),
+    seeds AS (
+      SELECT vec_id AS cluster, q AS sq, norm AS snorm
+      FROM vec WHERE vec_id < {K_CLUSTERS}
+    ),
+    dist AS (
+      SELECT v.vec_id, s.cluster,
+             v.norm + s.snorm
+               - 2 * CAST(list_dot_product(v.q, s.sq) AS BIGINT) AS d2
+      FROM vec v CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, cluster, d2, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      FROM dist
+    )
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(d2) AS BIGINT) AS inertia
+    FROM best WHERE rn = 1
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+    doc=f"One exact Lloyd iteration of k-means (k={K_CLUSTERS}, seeds = "
+        f"the first {K_CLUSTERS} vectors): assign every embedding to "
+        "its nearest seed by squared L2 over quantized integer "
+        "coordinates, then report per-cluster size and inertia. The "
+        "centroids ride inside the mapInPandas closure (k×dim floats), "
+        "so assignment is one corpus scan with a numpy matmul per "
+        "Arrow batch — no join, no per-pair lambdas; the only shuffle "
+        "is the k-row stats aggregate. Distances are exact BIGINTs "
+        "(quantization proof at llm_similarity.py:40-46), so this "
+        "inherently-numeric step is fully oracle-hashable.",
+    tags=("ml", "kmeans", "llm", "pandas-udf"),
+)
+def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _quantized(spark, sf_dir)
+    seed_rows = sorted(
+        emb.filter(F.col("vec_id") < K_CLUSTERS).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    assigned = _assign(emb, [r["q"] for r in seed_rows])
+    return _cluster_stats(assigned, exact=True).orderBy("cluster")
+
+
+@register(
+    "ml_kmeans_lloyd",
+    oracle=None,  # iterative fixpoint: not SQL-expressible; bounds in tests/test_ml.py
+    doc=f"Full Lloyd's algorithm to convergence (≤{MAX_ITERS} iters, "
+        f"k={K_CLUSTERS}): alternate the one-scan assignment step with "
+        "a dimension-bounded centroid update (posexplode → "
+        "groupBy(cluster, pos) sum → k×dim rows to the driver — the "
+        "config-sized convergence channel, same contract as "
+        "operators/graph.py's counters). Stops when inertia stops "
+        "improving. Returns final per-cluster size, "
+        "inertia (exact BIGINT on the seed pass, double thereafter), "
+        "and the iteration count. Verified by tests/test_ml.py: "
+        "iteration 1 equals ml_kmeans_step exactly; inertia is "
+        "monotonically non-increasing.",
+    tags=("ml", "kmeans", "llm", "iterative", "pandas-udf"),
+)
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _quantized(spark, sf_dir)
+    # Lineage grows per iteration; cache the (small) quantized input so
+    # each pass rescans memory, not parquet.
+    emb.persist()
+    try:
+        seed_rows = sorted(
+            emb.filter(F.col("vec_id") < K_CLUSTERS).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        centroids = [[float(x) for x in r["q"]] for r in seed_rows]
+        prev_inertia = None
+        n_iter = 0
+        assigned = None
+        for _ in range(MAX_ITERS):
+            assigned = _assign(emb, centroids)
+            assigned.persist()
+            n_iter += 1
+            inertia = assigned.agg(F.sum("d2").alias("i")).collect()[0]["i"]
+            if prev_inertia is not None and inertia >= prev_inertia:
+                break
+            prev_inertia = inertia
+            # Centroid update: k × dim output rows however big the corpus —
+            # partial aggregation does the heavy lifting executor-side.
+            sums = (
+                assigned.select("cluster", F.posexplode("q").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            by_cluster: dict[int, list[float]] = {}
+            for row in sums:
+                vec = by_cluster.setdefault(row["cluster"], [0.0] * len(centroids[0]))
+                vec[row["pos"]] = row["sx"] / row["n"]
+            # Empty clusters keep their previous centroid.
+            centroids = [
+                by_cluster.get(c, centroids[c]) for c in range(K_CLUSTERS)
+            ]
+            assigned.unpersist()
+        return (
+            _cluster_stats(assigned, exact=False)
+            .withColumn("n_iter", F.lit(n_iter))
+            .orderBy("cluster")
+        )
+    finally:
+        emb.unpersist()
