@@ -311,3 +311,72 @@ def events_latest_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type
+      FROM events
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ),
+    grid AS (
+      SELECT s.hour_start, t.event_type
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+    ),
+    agg AS (
+      SELECT h AS hour_start, event_type, COUNT(*) AS c
+      FROM ev GROUP BY ALL
+    )
+    SELECT strftime(g.hour_start, '{TS_FMT_DUCK}') AS hour_start,
+           g.event_type,
+           CAST(COALESCE(a.c, 0) AS BIGINT) AS n_events
+    FROM grid g
+    LEFT JOIN agg a
+      ON a.hour_start = g.hour_start AND a.event_type = g.event_type
+    """,
+    doc="Gap-filled hourly event counts (the dashboard/date-spine "
+        "pattern): a complete hour x event_type grid built from "
+        "sequence()-explode over the observed [min, max] hour range, "
+        "left-joined to the hourly aggregate so silent hours surface "
+        "as explicit zeros — time-series models and monitors need the "
+        "zeros, not missing rows. Scale shape: the spine is "
+        "calendar-bounded (hours x types, thousands of rows however "
+        "big the fact table), built from a one-row bounds aggregate "
+        "and broadcast into the left join; the only data-sized "
+        "shuffle is the hourly groupBy.",
+    tags=("events", "window-agg", "gapfill"),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    )
+    spine = (
+        ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hour_start")
+        )
+    )
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    agg = ev.groupBy("h", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        F.broadcast(grid)
+        .join(
+            agg,
+            (grid["hour_start"] == agg["h"])
+            & (grid["event_type"] == agg["event_type"]),
+            "left",
+        )
+        .select(
+            F.date_format(grid["hour_start"], TS_FMT_SPARK).alias("hour_start"),
+            grid["event_type"],
+            F.coalesce(F.col("c"), F.lit(0).cast("bigint")).alias("n_events"),
+        )
+    )

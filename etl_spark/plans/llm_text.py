@@ -227,6 +227,110 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REP_DUP_TOKEN_MAX = 0.7  # Gopher-style: too few distinct tokens = boilerplate
+REP_TOP_BIGRAM_MAX = 0.2  # one bigram dominating = templated/spammy text
+
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1]) AS bigrams
+      FROM toks
+    ),
+    bg AS (
+      SELECT doc_id, n_tokens, n_distinct, unnest(bigrams) AS bigram
+      FROM base
+    ),
+    cnt AS (
+      SELECT doc_id, n_tokens, n_distinct, bigram, COUNT(*) AS c
+      FROM bg GROUP BY ALL
+    ),
+    agg AS (
+      SELECT doc_id, n_tokens, n_distinct,
+             MAX(c) AS mx,
+             CAST(SUM(c) AS BIGINT) AS tot,
+             CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup
+      FROM cnt GROUP BY ALL
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+           CAST(mx AS DOUBLE) / tot AS top_bigram_share,
+           CAST(dup AS DOUBLE) / tot AS dup_bigram_frac,
+           CAST(CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens
+                  > {REP_DUP_TOKEN_MAX}
+                OR CAST(mx AS DOUBLE) / tot > {REP_TOP_BIGRAM_MAX}
+                AS INTEGER) AS repetition_fail
+    FROM agg
+    """,
+    doc="Gopher/C4-style repetition quality signals per document: "
+        "duplicate-token fraction, most-frequent-bigram share, and the "
+        "fraction of bigram occurrences belonging to repeated bigrams, "
+        "plus a threshold flag — the standard pre-training boilerplate/"
+        "spam filter. One explode and one two-level aggregate keyed by "
+        "doc_id (per-doc constants ride in the grouping key, so there "
+        "is no join); all ratios are single divisions of exact integer "
+        "counts, hence hash-stable. Documents with fewer than two "
+        "tokens have no bigrams and are excluded by both engines "
+        "(explode and unnest both drop empty arrays); the Spark "
+        "sequence() is guarded so such docs can never produce the "
+        "descending-sequence bogus n-grams the round-2 advice flagged "
+        "on text_langid_ngram.",
+    tags=("text", "llm", "quality", "curation"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens_col()
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_bigram = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.explode(bigrams).alias("bigram"),
+        )
+        .groupBy("doc_id", "n_tokens", "n_distinct", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per_bigram.groupBy("doc_id", "n_tokens", "n_distinct").agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("tot"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias("dup"),
+    )
+    dup_token_frac = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col(
+        "n_tokens"
+    )
+    top_bigram_share = F.col("mx").cast("double") / F.col("tot")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        dup_token_frac.alias("dup_token_frac"),
+        top_bigram_share.alias("top_bigram_share"),
+        (F.col("dup").cast("double") / F.col("tot")).alias("dup_bigram_frac"),
+        (
+            (dup_token_frac > REP_DUP_TOKEN_MAX)
+            | (top_bigram_share > REP_TOP_BIGRAM_MAX)
+        )
+        .cast("int")
+        .alias("repetition_fail"),
+    )
+
+
 BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 

@@ -705,3 +705,48 @@ def q10_returned_revenue_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "unpivot_returnflag_measures",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)      AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+             CAST(COUNT(*) AS DOUBLE)                                    AS n_items
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value FROM (
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_base_price', sum_base_price FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'n_items', n_items FROM wide
+    )
+    """,
+    doc="Wide-to-long reshaping with DataFrame.unpivot (melt): one "
+        "aggregate row per return flag becomes one row per (flag, "
+        "measure). Catalyst's Expand node emits all measure rows in "
+        "the same pass — a narrow map after the aggregate, no second "
+        "shuffle and no 3x self-read the UNION ALL oracle implies. "
+        "The inverse of pivot_user_event_counts; measures are cast to "
+        "one common type (double) as unpivot requires.",
+    tags=("reshape", "unpivot", "aggregation"),
+)
+def unpivot_returnflag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            dsum(dec("l_quantity"), "sum_qty"),
+            dsum(dec("l_extendedprice"), "sum_base_price"),
+            F.count(F.lit(1)).cast("double").alias("n_items"),
+        )
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_base_price", "n_items"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

@@ -49,6 +49,7 @@ DOC_QUERIES = [
     "sample_stratified_docs",
     "text_redact_denylist",
     "text_bigram_counts",
+    "text_repetition_signals",
     "text_chunk_windows",
     "dedup_containment_pairs",
     "pipeline_curate_corpus",
