@@ -589,18 +589,25 @@ Q11_NATION = "NATION_3"
       WHERE n.n_name = '{Q11_NATION}'
       GROUP BY l.l_partkey
     ),
-    tot AS (SELECT SUM(value_dec) AS total_dec FROM val)
+    tot AS (
+      SELECT CAST(SUM(CAST(value_dec * 10000 AS BIGINT)) AS BIGINT) AS total_u,
+             CAST(COUNT(*) AS BIGINT) AS nparts
+      FROM val
+    )
     SELECT v.l_partkey AS partkey,
            CAST(v.value_dec AS DOUBLE) AS part_value
     FROM val v, tot t
-    WHERE v.value_dec * 4000 > t.total_dec * 3
+    WHERE CAST(v.value_dec * 10000 AS BIGINT) * 2 * t.nparts > t.total_u * 3
     ORDER BY part_value DESC, partkey
     """,
     doc="TPC-H-Q11-style 'important stock' share: per-part value from "
         "one nation's suppliers, kept only where the part's share "
-        "exceeds 1.5x the average (value*4000 > total*3, exact decimal "
-        "multiplication — no engine ever divides, so borderline parts "
-        "cannot flip between engines). The global total is a one-row "
+        "exceeds 1.5x the AVERAGE part share (value_units * 2 * nparts "
+        "> total_units * 3 — pure BIGINT arithmetic on scale-4 decimal "
+        "units, no engine ever divides, so borderline parts cannot "
+        "flip between engines, and the count-scaled threshold stays "
+        "non-trivial at every scale factor, unlike TPC-H's "
+        "SF-hardcoded fraction). The global total is a one-row "
         "aggregate cross-joined as a broadcast literal — the same plan "
         "Catalyst builds for a scalar subquery in HAVING, made "
         "explicit. At scale the val aggregation is the only data "
@@ -619,11 +626,15 @@ def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE n.n_name = '{Q11_NATION}'
           GROUP BY l.l_partkey
         ),
-        tot AS (SELECT SUM(value_dec) AS total_dec FROM val)
+        tot AS (
+          SELECT CAST(SUM(CAST(value_dec * 10000 AS BIGINT)) AS BIGINT) AS total_u,
+                 CAST(COUNT(*) AS BIGINT) AS nparts
+          FROM val
+        )
         SELECT v.l_partkey AS partkey,
                CAST(v.value_dec AS DOUBLE) AS part_value
         FROM val v, tot t
-        WHERE v.value_dec * 4000 > t.total_dec * 3
+        WHERE CAST(v.value_dec * 10000 AS BIGINT) * 2 * t.nparts > t.total_u * 3
         ORDER BY part_value DESC, partkey
         """
     )
