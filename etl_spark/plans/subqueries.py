@@ -746,3 +746,59 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation, s.s_name, p.p_partkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion / excess stock. Completes the 22-query
+# TPC-H shape family.
+# --------------------------------------------------------------------------
+
+_Q20_SQL = """
+    WITH partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey FROM partsupp ps
+      WHERE ps.ps_partkey IN
+            (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+        AND ps.ps_availqty > 2 * (
+          SELECT SUM(CAST(l.l_quantity AS BIGINT))
+          FROM lineitem l
+          WHERE l.l_partkey = ps.ps_partkey
+            AND l.l_suppkey = ps.ps_suppkey
+            AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+    )
+    ORDER BY nation, s.s_name
+"""
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    oracle=_Q20_SQL,
+    doc="TPC-H-Q20-style excess-stock suppliers (available quantity "
+        "proxied by all-time shipped quantity per (part, supplier) — "
+        "the testdata has no partsupp): the deepest nesting in the "
+        "family — IN over a subquery that itself contains an IN plus "
+        "a CORRELATED scalar aggregate. Catalyst decorrelates all "
+        "three levels: part filter -> semi join, the correlated "
+        "1997-window SUM -> aggregate-then-join on (partkey, "
+        "suppkey), the outer IN -> semi join against the qualifying "
+        "supplier set; the executed plan is joins+aggregates only "
+        "(plan-asserted cartesian-free). Quantities are "
+        "integer-valued doubles, so every SUM and the doubled "
+        "threshold compare in exact BIGINT arithmetic — no "
+        "borderline supplier can flip between engines. The empty "
+        "1997 window yields a NULL scalar (authentic TPC-H "
+        "three-valued logic) and fails the > in both engines "
+        "identically.",
+    tags=("sql-api", "subquery", "join", "aggregation"),
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem", "part", "supplier", "nation"))
+    return spark.sql(_Q20_SQL)

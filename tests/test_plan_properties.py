@@ -236,3 +236,13 @@ def test_q16_not_in_is_null_aware_anti_join(spark):
     plan = plan_of(spark, "q16_supplier_variety")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q20_triple_nesting_decorrelates(spark):
+    # IN( ... IN(...) AND correlated-scalar-SUM ... ): all three
+    # nesting levels must land as joins+aggregates — a rescan of
+    # lineitem per (part, supplier) would be quadratic at scale.
+    plan = plan_of(spark, "q20_excess_stock_suppliers")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
