@@ -18,10 +18,11 @@ banned from oracle-paired patterns because RE2 lacks them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_spark.io import load
+from etl_spark.plans.llm_dedup import SHINGLES_SQL, shingles_df
 from etl_spark.plans.registry import register
 
 # Denylist scrub: stand-in for the email/phone/SSN patterns a real
@@ -257,3 +258,86 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(TOP_N_BIGRAMS)
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap between a (small) eval
+# split and the training corpus.
+# --------------------------------------------------------------------------
+
+# Hash-gated split: ~1/16 of documents act as the "benchmark" set.
+# md5 is the one hash both engines share (the sampling convention from
+# plans/sampling.py); keying on doc_id makes the split reproducible
+# and independent of text content.
+EVAL_SPLIT_PRED = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'"
+DECONTAM_MIN_SHARED = 3
+
+
+@register(
+    "text_decontam_pairs",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    ev AS (
+      SELECT doc_id, shingle,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_eval_sh
+      FROM sh WHERE {EVAL_SPLIT_PRED}
+    ),
+    tr AS (
+      SELECT doc_id, shingle
+      FROM sh WHERE NOT ({EVAL_SPLIT_PRED})
+    )
+    SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(e.n_eval_sh) AS eval_overlap
+    FROM ev e JOIN tr t ON e.shingle = t.shingle
+    GROUP BY e.doc_id, t.doc_id
+    HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
+    ORDER BY eval_doc, train_doc
+    """,
+    doc="Benchmark decontamination (train/eval n-gram overlap): the "
+        "documents table is hash-split into a ~1/16 'benchmark' set "
+        "and the training corpus; any (eval, train) pair sharing >= "
+        f"{DECONTAM_MIN_SHARED} distinct stop-filtered shingles is "
+        "reported with its shared count and the fraction of the eval "
+        "doc's shingles covered. This is the standard pre-training "
+        "hygiene step (the GPT-3/PaLM 13-gram check, at the corpus's "
+        "3-gram granularity). Scale shape: the eval side is tiny by "
+        "construction (benchmarks are MBs, corpora are TBs) so it "
+        "BROADCASTS — the training corpus streams through the join "
+        "map-side and only matching pair rows reach the one "
+        "aggregation shuffle; the shared stop-shingle df cap bounds "
+        "per-shingle fan-out exactly as in dedup_jaccard_pairs.",
+    tags=("text", "llm", "dedup", "curation"),
+)
+def text_decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles_df(spark, sf_dir)
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    ev = (
+        sh.filter(is_eval)
+        .withColumn(
+            "n_eval_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        .select(
+            F.col("doc_id").alias("eval_doc"), "shingle", "n_eval_sh"
+        )
+    )
+    tr = sh.filter(~is_eval).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    pairs = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("eval_doc", "train_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first("n_eval_sh").alias("n_eval_sh"),
+        )
+        .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
+    )
+    return pairs.select(
+        "eval_doc",
+        "train_doc",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n_eval_sh")).alias(
+            "eval_overlap"
+        ),
+    ).orderBy("eval_doc", "train_doc")

@@ -246,3 +246,12 @@ def test_q20_triple_nesting_decorrelates(spark):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontam_eval_side_broadcasts(spark):
+    # The benchmark split is the small side by construction; the
+    # training corpus must stream through a broadcast join, not
+    # shuffle on shingle.
+    plan = plan_of(spark, "text_decontam_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
