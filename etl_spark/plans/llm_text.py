@@ -506,3 +506,78 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
         .alias("shingle_fingerprint"),
     )
+
+
+VOCAB_SIZE = 16
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM toks
+      GROUP BY term
+      ORDER BY COUNT(*) DESC, term ASC
+      LIMIT {VOCAB_SIZE}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc=f"Vocabulary coverage / out-of-vocabulary rate: build the "
+        f"top-{VOCAB_SIZE} corpus vocabulary by term frequency "
+        "(deterministic term-asc tiebreak at the cut; 16 because the "
+        "synthetic corpus has only ~31 distinct tokens — a real corpus "
+        "uses 32k-256k), then score "
+        "each document's fraction of tokens outside it — the "
+        "tokenizer-fit diagnostic run before committing a vocab to a "
+        "training corpus. Two-pass shape: pass 1 is the "
+        "explode->agg->TakeOrdered vocab build (the vocab is "
+        "KB-sized at any corpus scale, so it BROADCASTS); pass 2 "
+        "re-streams tokens through the broadcast membership join and "
+        "aggregates per doc — no token-keyed shuffle anywhere, only "
+        "the per-doc count shuffle. The OOV count stays integer; the "
+        "single division per row is correctly-rounded IEEE, so the "
+        "rate is hash-stable.",
+    tags=("text", "llm", "aggregation"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens_col()).alias("term"))
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(VOCAB_SIZE)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
