@@ -41,3 +41,37 @@ def salted_aggregate(
     )
     partial = salted.groupBy(*keys, SALT_COL).agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*merge_aggs())
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    big_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the dim side.
+
+    Each big-side row gets a deterministic salt; the dim side is
+    replicated ``n_salts`` times (one copy per salt value) so every
+    (key, salt) partition finds its match. A hot join key that would
+    land on one reducer in a plain shuffle join spreads over
+    ``n_salts`` of them, at the cost of an n_salts-times-larger build
+    side — which is why the pattern only applies when ``dim`` is small
+    relative to ``big`` but too large (or the join too constrained)
+    to broadcast. AQE's skew-join splitting is the automatic
+    equivalent; this is the explicit form for when it isn't available.
+
+    The dim key is renamed to ``big_key`` so the join can use
+    name-equality on (key, salt) and the output carries one key column.
+    """
+    salted = big.withColumn(
+        SALT_COL, (F.monotonically_increasing_id() % n_salts).cast("int")
+    )
+    replicated = dim.withColumnRenamed(dim_key, big_key).withColumn(
+        SALT_COL,
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
+    )
+    return salted.join(
+        replicated.hint("shuffle_hash"), [big_key, SALT_COL]
+    ).drop(SALT_COL)

@@ -270,3 +270,51 @@ def sql_q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderpriority
         """
     )
+
+
+@register(
+    "join_salted_event_geo",
+    oracle="""
+    SELECT n.n_name AS nation, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, e.event_type
+    ORDER BY nation, event_type
+    """,
+    doc=f"Skew-safe salted JOIN (the join-side counterpart of "
+        f"agg_salted_event_counts): the event stream is salted "
+        f"{N_SALTS} ways and the customer->nation dim is replicated "
+        f"once per salt, so a hot user_id spreads over {N_SALTS} "
+        "reducers instead of stalling one. The dim join is pinned to "
+        "shuffle-hash (broadcast would make salting a no-op — the "
+        "pattern exists for dims too big to broadcast). Result is "
+        "identical to the plain join (the oracle IS the plain join); "
+        "plan-asserted to contain no broadcast on the salted edge.",
+    tags=("join", "skew"),
+)
+def join_salted_event_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    dim = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    joined = salted_join(ev, dim, big_key="user_id", dim_key="c_custkey")
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("nation", "event_type")
+    )

@@ -255,3 +255,11 @@ def test_decontam_eval_side_broadcasts(spark):
     plan = plan_of(spark, "text_decontam_pairs")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_edge_is_shuffle_hash(spark):
+    # Salting is a no-op under broadcast; the pattern must keep the
+    # salted edge as a shuffle join (that's the case it exists for).
+    plan = plan_of(spark, "join_salted_event_geo")
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
