@@ -341,3 +341,75 @@ def text_decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eval_overlap"
         ),
     ).orderBy("eval_doc", "train_doc")
+
+
+# Shared bigram derivation for the LM-statistics queries (doc_id kept).
+_DOC_BIGRAMS_SQL = """
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE text IS NOT NULL)
+      WHERE len(t) >= 2
+"""
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH big AS ({_DOC_BIGRAMS_SQL}),
+    cnt AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM big GROUP BY bigram
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c.n) AS BIGINT) AS sum_bigram_freq,
+           CAST(SUM(c.n) AS DOUBLE) / COUNT(*) AS mean_bigram_freq
+    FROM big b JOIN cnt c ON b.bigram = c.bigram
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc="Count-based LM fluency score: each document's mean corpus "
+        "frequency of its bigrams — the integer-exact stand-in for "
+        "KenLM-style perplexity filtering (low score = bigrams the "
+        "corpus has rarely seen = disfluent/outlier text; log-prob "
+        "itself is banned from hashed outputs because ln() is not "
+        "correctly-rounded). Two passes over the bigram stream: "
+        "count, then join the counts back per doc — the join keys on "
+        "the bigram vocabulary (bounded, Zipf-concentrated), and "
+        "AQE's skew split covers the stop-bigram head. Sub-2-token "
+        "docs have no bigrams and drop out in both engines.",
+    tags=("text", "llm", "curation", "aggregation"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    big = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(t[i-1], ' ', t[i]))"
+            )
+        ).alias("bigram"),
+    )
+    cnt = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        big.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("n").alias("sum_bigram_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_bigram_freq",
+            (
+                F.col("sum_bigram_freq").cast("double")
+                / F.col("n_bigrams")
+            ).alias("mean_bigram_freq"),
+        )
+        .orderBy("doc_id")
+    )

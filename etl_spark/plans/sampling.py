@@ -76,3 +76,49 @@ def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", h.alias("hash_bucket"))
         .filter(F.col("hash_bucket") < threshold)
     )
+
+
+SAMPLE_K_PER_GROUP = 5
+
+
+@register(
+    "sample_fixed_k_per_group",
+    oracle=f"""
+    SELECT doc_id, lang, rnk
+    FROM (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INTEGER) AS rnk
+      FROM documents
+    )
+    WHERE rnk <= {SAMPLE_K_PER_GROUP}
+    ORDER BY lang, rnk
+    """,
+    doc=f"Exact-k-per-group reproducible sampling: rank each group's "
+        f"rows by the md5 of their key (a uniform, engine-identical "
+        f"shuffle of the group) and keep the first {SAMPLE_K_PER_GROUP} "
+        "— the deterministic equivalent of per-stratum reservoir "
+        "sampling, used when a quota must be EXACT (eval-set "
+        "construction, per-language probes) rather than a rate like "
+        "sample_stratified_docs. One shuffle on the group key; at "
+        "scale the rank is a TopK per group (window + filter "
+        "pushes the limit into the sort), never a global sort.",
+    tags=("sampling", "llm", "curation"),
+)
+def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= SAMPLE_K_PER_GROUP)
+        .orderBy("lang", "rnk")
+    )
