@@ -22,3 +22,4 @@ from etl_spark.plans import subqueries  # noqa: E402,F401
 from etl_spark.plans import curation  # noqa: E402,F401
 from etl_spark.plans import analytics  # noqa: E402,F401
 from etl_spark.plans import ml  # noqa: E402,F401
+from etl_spark.plans import quality  # noqa: E402,F401

@@ -347,9 +347,10 @@ def events_latest_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "as explicit zeros — time-series models and monitors need the "
         "zeros, not missing rows. Scale shape: the spine is "
         "calendar-bounded (hours x types, thousands of rows however "
-        "big the fact table), built from a one-row bounds aggregate "
-        "and broadcast into the left join; the only data-sized "
-        "shuffle is the hourly groupBy.",
+        "big the fact table), built from a one-row bounds aggregate; "
+        "the hourly aggregate is calendar-bounded too, so it "
+        "broadcasts as the build side of the left join and the only "
+        "data-sized shuffle is the hourly groupBy.",
     tags=("events", "window-agg", "gapfill"),
 )
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,9 +368,8 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spine.crossJoin(ev.select("event_type").distinct())
     agg = ev.groupBy("h", "event_type").agg(F.count(F.lit(1)).alias("c"))
     return (
-        F.broadcast(grid)
-        .join(
-            agg,
+        grid.join(
+            F.broadcast(agg),
             (grid["hour_start"] == agg["h"])
             & (grid["event_type"] == agg["event_type"]),
             "left",
@@ -379,4 +379,95 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             grid["event_type"],
             F.coalesce(F.col("c"), F.lit(0).cast("bigint")).alias("n_events"),
         )
+    )
+
+
+@register(
+    "events_hourly_locf",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ),
+    grid AS (
+      SELECT s.hour_start, t.event_type
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+    ),
+    agg AS (
+      SELECT h AS hour_start, event_type,
+             CAST(SUM(v) AS DOUBLE) AS hour_value
+      FROM ev GROUP BY ALL
+    )
+    SELECT strftime(g.hour_start, '{TS_FMT_DUCK}') AS hour_start,
+           g.event_type,
+           CASE WHEN a.hour_value IS NULL THEN 0 ELSE 1 END AS observed,
+           last_value(a.hour_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hour_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM grid g
+    LEFT JOIN agg a
+      ON a.hour_start = g.hour_start AND a.event_type = g.event_type
+    """,
+    doc="Forward-fill / last-observation-carried-forward over the "
+        "hourly spine: silent hours inherit the most recent observed "
+        "hourly value per event_type (the sensor/metrics imputation "
+        "pattern — the sibling of events_hourly_gapfill, which fills "
+        "zeros). The fill is last_value(... IGNORE NULLS) over an "
+        "unbounded-preceding ROWS frame — a running O(1)-state "
+        "window, never a self-join; hours before the first "
+        "observation stay NULL in both engines. Hourly sums go "
+        "through DECIMAL so the carried values are bit-identical. "
+        "Scale shape: identical to the gapfill (broadcast grid, one "
+        "data shuffle for the hourly agg, one partition-local window "
+        "per event_type).",
+    tags=("events", "window", "gapfill", "timeseries"),
+)
+def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    spine = (
+        ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hour_start")
+        )
+    )
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    agg = ev.groupBy("h", "event_type").agg(
+        F.sum("v").cast("double").alias("hour_value")
+    )
+    joined = (
+        grid.join(
+            F.broadcast(agg),
+            (grid["hour_start"] == agg["h"])
+            & (grid["event_type"] == agg["event_type"]),
+            "left",
+        )
+        .select(
+            grid["hour_start"].alias("hs"),
+            grid["event_type"],
+            F.col("hour_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.date_format("hs", TS_FMT_SPARK).alias("hour_start"),
+        "event_type",
+        F.when(F.col("hour_value").isNull(), 0).otherwise(1).alias("observed"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
     )

@@ -1,0 +1,217 @@
+"""Data-quality auditing: constraint checks and column profiling.
+
+Every 100 TB pipeline runs these before training jobs do — a dangling
+foreign key or an unexpected null column silently poisons every
+downstream join/aggregate. Both queries are expressed so the full
+audit is ONE pass over each fact table:
+
+* the constraint audit is a union of anti-join counts (each check is
+  a broadcast or shuffle anti join followed by a count — no data ever
+  leaves the executors, only one BIGINT per check);
+* the profile computes every column's statistics in a single
+  wide aggregate over the table (one scan, one single-row result),
+  then reshapes the row to check-per-row form with ``stack`` — the
+  same Expand-based reshape as the unpivot query.
+
+The expected output on healthy data IS mostly zeros — the audit's
+value is that a regression (a writer dropping referential integrity,
+a schema change introducing nulls) flips a hashed value the driver
+pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.io import load
+from etl_spark.plans.registry import register
+
+
+@register(
+    "dq_constraint_audit",
+    oracle="""
+    SELECT 'lineitem.orderkey->orders' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders.custkey->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders.orderkey unique',
+           CAST((SELECT COUNT(*) FROM (
+                   SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING COUNT(*) > 1))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer without orders',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey))
+                AS BIGINT)
+    ORDER BY check_name
+    """,
+    doc="Referential-integrity and uniqueness audit as one result set: "
+        "dangling-FK counts (lineitem->orders/part, orders->customer), "
+        "a primary-key uniqueness check, and an orphan-coverage count "
+        "(customers with no orders — nonzero by nature, so the audit "
+        "hash is never vacuously all-zero). Each check is an anti "
+        "join (dim side broadcast when small) feeding a single-row "
+        "count; the union of five scalar rows costs five scans but "
+        "zero data shuffles — at 100 TB each scan is "
+        "column-pruned to the key being checked.",
+    tags=("quality", "join", "aggregation"),
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+    cust = load(spark, sf_dir, "customer")
+
+    def count_of(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    checks = [
+        count_of(
+            li.join(
+                orders.select("o_orderkey"),
+                li["l_orderkey"] == F.col("o_orderkey"),
+                "left_anti",
+            ),
+            "lineitem.orderkey->orders",
+        ),
+        count_of(
+            li.join(
+                part.select("p_partkey"),
+                li["l_partkey"] == F.col("p_partkey"),
+                "left_anti",
+            ),
+            "lineitem.partkey->part",
+        ),
+        count_of(
+            orders.join(
+                cust.select("c_custkey"),
+                orders["o_custkey"] == F.col("c_custkey"),
+                "left_anti",
+            ),
+            "orders.custkey->customer",
+        ),
+        count_of(
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1),
+            "orders.orderkey unique",
+        ),
+        count_of(
+            cust.join(
+                orders.select("o_custkey"),
+                cust["c_custkey"] == F.col("o_custkey"),
+                "left_anti",
+            ),
+            "customer without orders",
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
+
+
+@register(
+    "dq_profile_orders",
+    oracle="""
+    WITH p AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN o_orderkey    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_key,
+        CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_status,
+        CAST(SUM(CASE WHEN o_totalprice  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_price,
+        CAST(COUNT(DISTINCT o_orderkey)    AS BIGINT) AS nd_key,
+        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+        CAST(COUNT(DISTINCT o_totalprice)  AS BIGINT) AS nd_price,
+        CAST(MIN(o_orderkey) AS VARCHAR) AS min_key,
+        CAST(MAX(o_orderkey) AS VARCHAR) AS max_key,
+        CAST(MIN(o_orderstatus) AS VARCHAR) AS min_status,
+        CAST(MAX(o_orderstatus) AS VARCHAR) AS max_status,
+        CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS min_price,
+        CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS max_price
+      FROM orders
+    )
+    SELECT col_name, n_rows, n_nulls, n_distinct, min_value, max_value
+    FROM (
+      SELECT 'o_orderkey' AS col_name, n_rows, nn_key AS n_nulls,
+             nd_key AS n_distinct, min_key AS min_value, max_key AS max_value
+      FROM p
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, nn_status, nd_status,
+             min_status, max_status FROM p
+      UNION ALL
+      SELECT 'o_totalprice', n_rows, nn_price, nd_price,
+             min_price, max_price FROM p
+    )
+    ORDER BY col_name
+    """,
+    doc="Single-pass column profile of the orders table (null counts, "
+        "exact distinct counts, min/max rendered to engine-portable "
+        "strings — doubles via DECIMAL(18,2) because raw "
+        "double->string differs between Java and C formatting): ALL "
+        "columns' statistics come from ONE wide aggregate (one scan, "
+        "one single-row result; the distinct counts expand per-column "
+        "but Spark plans them as one multi-distinct aggregate), then "
+        "the row is reshaped to profile-row-per-column with stack — "
+        "the Expand pattern, so the reshape is free. At 100 TB "
+        "swap COUNT(DISTINCT) for approx_count_distinct per the "
+        "approx twins.",
+    tags=("quality", "aggregation", "reshape"),
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    p = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nn_key"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nn_status"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nn_price"),
+        F.count_distinct("o_orderkey").alias("nd_key"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.count_distinct("o_totalprice").alias("nd_price"),
+        F.min("o_orderkey").cast("string").alias("min_key"),
+        F.max("o_orderkey").cast("string").alias("max_key"),
+        F.min("o_orderstatus").cast("string").alias("min_status"),
+        F.max("o_orderstatus").cast("string").alias("max_status"),
+        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("min_price"),
+        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("max_price"),
+    )
+    return (
+        p.select(
+            F.expr(
+                """
+                stack(3,
+                  'o_orderkey',    n_rows, nn_key,    nd_key,    min_key,    max_key,
+                  'o_orderstatus', n_rows, nn_status, nd_status, min_status, max_status,
+                  'o_totalprice',  n_rows, nn_price,  nd_price,  min_price,  max_price
+                ) AS (col_name, n_rows, n_nulls, n_distinct, min_value, max_value)
+                """
+            )
+        )
+        .orderBy("col_name")
+    )
