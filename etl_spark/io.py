@@ -36,13 +36,16 @@ def default_sf_dir() -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
-    DuckDB truncates nanos → micros on read; to keep both engines on
-    identical values we read nanos as raw longs
-    (spark.sql.legacy.parquet.nanosAsLong, set in session.tune_session)
-    and truncate to microseconds explicitly (integer div — same
-    truncation DuckDB applies).
+    Timestamp normalization: the driver's parquet has shipped two
+    flavors across rounds — TIMESTAMP(NANOS) (rejected by the
+    vectorized reader; read as raw longs via
+    spark.sql.legacy.parquet.nanosAsLong and truncated to micros, the
+    same truncation DuckDB applies) and plain no-timezone micros
+    (arrives as TIMESTAMP_NTZ). Both are normalized to classic
+    TIMESTAMP here: the session timezone is pinned UTC, so the
+    NTZ→TIMESTAMP cast is value-preserving and every downstream plan
+    (unix_micros gaps, window(), date_format) sees one stable type that
+    matches DuckDB's naive read.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -50,6 +53,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if name == "events" and field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
