@@ -24,3 +24,4 @@ from etl_spark.plans import analytics  # noqa: E402,F401
 from etl_spark.plans import ml  # noqa: E402,F401
 from etl_spark.plans import quality  # noqa: E402,F401
 from etl_spark.plans import stats  # noqa: E402,F401
+from etl_spark.plans import timeseries  # noqa: E402,F401

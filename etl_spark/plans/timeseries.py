@@ -1,0 +1,206 @@
+"""Time-series extensions over the events stream: EWMA smoothing and
+banded interval (event-window) joins.
+
+The reference has no time dimension at all beyond the extraction
+timestamp partition key (reference main.py:129); these extend the
+§2.2 event-time family (SURVEY.md "Streaming") with the two shapes a
+metrics pipeline hits next: trend smoothing and within-window
+attribution.
+
+Determinism: the EWMA decay 0.8 = 4/5 is rational, so the truncated
+weighted sum is computed entirely in integers — weight w_j = 0.8^j
+scaled by 5^(T-1) is the exact integer 4^j * 5^(T-1-j), numerator and
+denominator are exact BIGINT sums, and the single final double
+division is bit-identical across engines. (A float-weight formulation
+was tried first and diverged from DuckDB by 1 ulp on ~3% of rows —
+floating-point *chains* are not portable even with identical literals;
+one division of exact integers is.) The interval join compares integer
+microseconds (unix_micros / epoch_us), no float time math anywhere.
+
+Scale posture: the EWMA windows over the *hourly aggregate* (rows =
+types x hours, thousands per year — tiny at any corpus size), never
+over raw events. The interval join never builds a time-range cross
+product: candidates come from an equi-join on (user, hour-bucket) with
+the error side exploded to exactly 2 buckets, so the shuffle is
+co-partitioned and per-key work is bounded by per-user-per-hour
+activity. This is the standard bucketed range-join decomposition
+(same family as range_join_value_buckets, which broadcasts instead
+because its band dim is small).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark.io import load
+from etl_spark.plans.registry import register
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+EWMA_TERMS = 12
+# decay 0.8 = 4/5; scaled by 5^(T-1) every weight is an exact integer.
+_INT_WEIGHTS = [
+    4**j * 5 ** (EWMA_TERMS - 1 - j) for j in range(EWMA_TERMS)
+]
+
+HOUR_US = 3_600_000_000
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"{w} * COALESCE(LAG(n_events, {j}) OVER w, 0)"
+        for j, w in enumerate(_INT_WEIGHTS)
+    )
+    den = " + ".join(
+        f"{w} * (CASE WHEN LAG(n_events, {j}) OVER w IS NULL"
+        " THEN 0 ELSE 1 END)"
+        for j, w in enumerate(_INT_WEIGHTS)
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS hour_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, hour_ts
+    )
+    SELECT event_type,
+           strftime(hour_ts, '{TS_FMT_DUCK}') AS hour,
+           n_events,
+           CAST(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)
+                AS DOUBLE) AS ewma_events
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts)
+    ORDER BY event_type, hour
+    """
+
+
+@register(
+    "events_ewma_hourly",
+    oracle=_ewma_oracle(),
+    doc="Exponentially-weighted moving average of hourly event counts "
+        "per type, over the last 12 observed hourly buckets (decay "
+        "0.8). Expressed as an explicit finite weighted LAG chain — "
+        "the truncated form of the recursive EWMA, which no SQL window "
+        "can state exactly. Missing buckets are excluded from the "
+        "weight mass (see events_hourly_gapfill for the explicit-zeros "
+        "spine alternative). Windows run over the hourly aggregate, "
+        "not raw events, so the sort is over thousands of rows at any "
+        "corpus size.",
+    tags=("events", "window", "timeseries"),
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    num_terms = [
+        F.lit(wt) * F.coalesce(F.lag("n_events", j).over(w), F.lit(0))
+        for j, wt in enumerate(_INT_WEIGHTS)
+    ]
+    den_terms = [
+        F.lit(wt)
+        * F.when(F.lag("n_events", j).over(w).isNull(), F.lit(0)).otherwise(
+            F.lit(1)
+        )
+        for j, wt in enumerate(_INT_WEIGHTS)
+    ]
+    num = reduce(lambda a, b: a + b, num_terms)
+    den = reduce(lambda a, b: a + b, den_terms)
+    return (
+        hourly.select(
+            "event_type",
+            F.date_format("hour_ts", TS_FMT_SPARK).alias("hour"),
+            "n_events",
+            (num.cast("double") / den.cast("double"))
+            .cast("double")
+            .alias("ewma_events"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@register(
+    "events_error_click_followup",
+    oracle=f"""
+    WITH errors AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS te_us
+      FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+      SELECT user_id, epoch_us(ts) AS tc_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '{TS_FMT_DUCK}') AS error_ts,
+           CAST(COUNT(c.tc_us) AS BIGINT) AS n_clicks_1h
+    FROM errors e
+    LEFT JOIN clicks c
+      ON c.user_id = e.user_id
+     AND c.tc_us > e.te_us
+     AND c.tc_us <= e.te_us + {HOUR_US}
+    GROUP BY e.event_id, e.user_id, e.ts
+    ORDER BY e.event_id
+    """,
+    doc="Within-window attribution: for every error, how many clicks "
+        "the same user made in the following hour. The oracle states "
+        "the naive theta join; the Spark plan decomposes it into an "
+        "equi-join on (user_id, hour_bucket) with the error side "
+        "exploded to its 2 covering buckets, then the exact integer-"
+        "microsecond filter — candidates are co-partitioned and "
+        "bounded by per-user-per-hour activity, never a per-user time "
+        "cross product. Zero-match errors are restored by a final "
+        "left join against the (small) per-error counts.",
+    tags=("events", "join", "timeseries", "range-join"),
+)
+def events_error_click_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("error_ts"),
+        F.unix_micros("ts").alias("te_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.unix_micros("ts").alias("tc_us"),
+    )
+    # Error e at hour h can only match clicks bucketed at h or h+1.
+    probe = errors.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"te_us div {HOUR_US}"),
+                F.expr(f"te_us div {HOUR_US}") + 1,
+            )
+        ),
+    )
+    cand = probe.join(
+        clicks.withColumn("c_bucket", F.expr(f"tc_us div {HOUR_US}")),
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("bucket") == F.col("c_bucket")),
+    )
+    matched = (
+        cand.filter(
+            (F.col("tc_us") > F.col("te_us"))
+            & (F.col("tc_us") <= F.col("te_us") + HOUR_US)
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    return (
+        errors.join(matched, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "error_ts",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).cast("bigint").alias(
+                "n_clicks_1h"
+            ),
+        )
+        .orderBy("event_id")
+    )
