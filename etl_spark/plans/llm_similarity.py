@@ -478,3 +478,130 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
     )
+
+
+@register(
+    "emb_label_centroid_sim",
+    oracle=f"""
+    WITH vec AS (
+      SELECT label, {_QUANT_SQL} AS q FROM embeddings
+    ),
+    dims AS (
+      SELECT label, i, q[i] AS v
+      FROM vec CROSS JOIN UNNEST(range(1, {DIM + 1})) AS t(i)
+    ),
+    sums AS (
+      SELECT label, i, CAST(SUM(v) AS BIGINT) AS s
+      FROM dims GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label, list(s ORDER BY i) AS sv,
+             CAST(MIN(cnt) AS BIGINT) AS n_vecs
+      FROM (SELECT s.*,
+                   (SELECT COUNT(*) FROM vec v WHERE v.label = s.label) AS cnt
+            FROM sums s)
+      GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           a.n_vecs AS n_a, b.n_vecs AS n_b,
+           CAST(CAST(list_dot_product(a.sv, b.sv) AS DOUBLE)
+                / sqrt(CAST(list_dot_product(a.sv, a.sv) AS DOUBLE)
+                       * CAST(list_dot_product(b.sv, b.sv) AS DOUBLE))
+                AS DOUBLE) AS centroid_cos
+    FROM cent a JOIN cent b ON a.label < b.label
+    ORDER BY label_a, label_b
+    """,
+    doc="Pairwise cosine similarity between per-label mean embeddings "
+        "(cluster separation report). Key identity: cos(S_a/n_a, "
+        "S_b/n_b) = cos(S_a, S_b) — the counts cancel — so centroids "
+        "are kept as exact integer SUM-vectors and never divided, "
+        "making the result bit-identical to the oracle. Plan: "
+        "posexplode to (label, dim) — a 64x row map-side multiplier — "
+        "one combinable groupBy, re-assemble k x 64 sum-vectors, then "
+        "a trivial k^2 self-join (k = #labels, config-sized).",
+    tags=("similarity", "llm", "statistics"),
+)
+def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label", quantize(F.col("embedding")).alias("q")
+    )
+    dims = emb.select(
+        "label", F.posexplode("q").alias("pos", "v")
+    )
+    sums = dims.groupBy("label", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt")
+    )
+    cent = sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda x: x.s,
+        ).alias("sv"),
+        F.min("cnt").alias("n_vecs"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        F.col("sv").alias("sv_a"),
+        F.col("n_vecs").alias("n_a"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("sv").alias("sv_b"),
+        F.col("n_vecs").alias("n_b"),
+    )
+    pair = a.join(b, F.col("label_a") < F.col("label_b"))
+    cos = cosine(
+        dot(F.col("sv_a"), F.col("sv_b")),
+        dot(F.col("sv_a"), F.col("sv_a")),
+        dot(F.col("sv_b"), F.col("sv_b")),
+    )
+    return pair.select(
+        "label_a", "label_b", "n_a", "n_b", cos.alias("centroid_cos")
+    ).orderBy("label_a", "label_b")
+
+
+@register(
+    "emb_norm_stats",
+    oracle=f"""
+    WITH vec AS (
+      SELECT label,
+             CAST(list_dot_product({_QUANT_SQL}, {_QUANT_SQL}) AS BIGINT)
+               AS norm2
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT)   AS n_vecs,
+           CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+           CAST(MAX(norm2) AS BIGINT) AS max_norm2,
+           CAST(CAST(SUM(norm2) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             AS avg_norm2
+    FROM vec
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Per-label distribution of squared embedding L2 norms "
+        "(quantized-integer units): the standard sanity audit before "
+        "any cosine pipeline — un-normalized or degenerate vectors "
+        "show up as norm outliers. Per-row integer dot product, one "
+        "map-combinable aggregate; nothing but (label, bigint) ever "
+        "shuffles.",
+    tags=("similarity", "llm", "statistics", "aggregation"),
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label",
+        dot(
+            quantize(F.col("embedding")), quantize(F.col("embedding"))
+        ).alias("norm2"),
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm2").alias("min_norm2"),
+            F.max("norm2").alias("max_norm2"),
+            (F.sum("norm2").cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("avg_norm2"),
+        )
+        .orderBy("label")
+    )
