@@ -581,3 +581,83 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_word_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT)  AS n_tokens,
+             CAST(COUNT(*) AS BIGINT)  AS n_distinct,
+             list_reduce(
+               list_transform(list(cnt ORDER BY term),
+                              c -> CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))),
+               (a, b) -> a + b) AS clog
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(ROUND(log2(CAST(n_tokens AS DOUBLE)) - clog / n_tokens, 9)
+                AS DOUBLE) AS word_entropy,
+           CAST(CAST(n_distinct AS DOUBLE) / n_tokens AS DOUBLE) AS ttr
+    FROM agg ORDER BY doc_id
+    """,
+    doc="Per-document unigram Shannon entropy (plus type-token ratio): "
+        "the information-density quality signal — low entropy flags "
+        "repetitive/templated text that repetition heuristics "
+        "(text_repetition_signals) can miss. Determinism: the "
+        "Sigma c*log2(c) float sum is order-dependent, so both engines "
+        "fold it over the term-SORTED count array (Spark aggregate() "
+        "over array_sort, DuckDB list_reduce over list(... ORDER BY)) "
+        "— a defined fold order makes float summation portable. log2 "
+        "itself is NOT: libm transcendentals differ between the JVM "
+        "and DuckDB by 1 ulp on some inputs, so the final entropy is "
+        "rounded to 9 decimals on both sides (noise ~1e-15, signal "
+        "~log2(vocab)). "
+        "Scale: explode-then-count shuffles (doc_id, term) pairs — the "
+        "long-document-safe path; the per-doc count array is bounded "
+        "by per-doc vocabulary.",
+    tags=("text", "llm", "statistics"),
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    counts = tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    clog = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("term", "cnt"))),
+            lambda x: x.cnt.cast("double") * F.log2(x.cnt.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        clog.alias("clog"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.log2(F.col("n_tokens").cast("double"))
+            - F.col("clog") / F.col("n_tokens"),
+            9,
+        )
+        .cast("double")
+        .alias("word_entropy"),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+        .cast("double")
+        .alias("ttr"),
+    ).orderBy("doc_id")
