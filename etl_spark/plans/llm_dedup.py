@@ -445,10 +445,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ((s[0] * 31 + s[1]) * 31 + s[2]) * 31 + s[3]
 
     band_hashes = [band_hash(b) for b in range(N_BANDS)]
+    # Persist + materialize the band table before the self-join: the
+    # executed plan shows NO ReusedExchange for the two join sides, so
+    # an unmaterialized band table would run the whole signature pass
+    # (corpus scan -> md5 -> 16-way min-agg) TWICE. The table is
+    # N_BANDS rows per doc — bounded, and exactly what an LSH index
+    # materializes at scale anyway. Spark's CacheManager keys on the
+    # canonicalized plan, so repeated builder calls reuse one entry.
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
-    )
+    ).persist()
+    bands.count()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
