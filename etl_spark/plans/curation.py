@@ -413,3 +413,190 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CTX_TOKENS = 256
+N_SHARDS = 16
+MIX_ALPHA = 0.7
+
+# md5 hex -> 60-bit int, DuckDB side (no hex->int builtin there);
+# Spark side uses conv(). Same trick as llm_dedup's minhash.
+from etl_spark.plans.llm_dedup import _H60_SQL  # noqa: E402
+
+
+@register(
+    "curation_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, start_offset,
+           CAST(start_offset // {CTX_TOKENS} AS BIGINT) AS pack_id,
+           CAST(CASE WHEN start_offset // {CTX_TOKENS}
+                      <> (start_offset + n_tokens - 1) // {CTX_TOKENS}
+                THEN 1 ELSE 0 END AS INTEGER) AS spans_boundary
+    FROM placed
+    ORDER BY lang, doc_id
+    """,
+    doc=f"Concatenate-and-chunk sequence packing (the GPT-style "
+        f"pretraining prep step): documents are laid end-to-end per "
+        f"language in doc_id order and cut into {CTX_TOKENS}-token "
+        "context windows; each doc reports its window and whether it "
+        "straddles a cut. The running offset is a window cumsum "
+        "PARTITIONED BY the pack stream (lang) — never a global "
+        "single-partition sort: at 100 TB each stream's window "
+        "parallelizes across its partition, and more streams = more "
+        "parallelism (a real pipeline packs per shard x language). "
+        "Integer token counts only; no floats anywhere.",
+    tags=("curation", "llm", "window"),
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = toks.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    pack_id = F.expr(f"start_offset div {CTX_TOKENS}")
+    last_pack = F.expr(f"(start_offset + n_tokens - 1) div {CTX_TOKENS}")
+    return placed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "start_offset",
+        pack_id.alias("pack_id"),
+        F.when(pack_id != last_pack, 1).otherwise(0).cast("int").alias(
+            "spans_boundary"
+        ),
+    ).orderBy("lang", "doc_id")
+
+
+@register(
+    "curation_shard_assignment",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ({_H60_SQL}) % {N_SHARDS} AS shard_id
+      FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents)
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_doc_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+    FROM sharded
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+    doc=f"Deterministic output sharding for training-data writes: "
+        f"shard = md5(doc_id) mod {N_SHARDS} (content-independent, "
+        "reshuffle-stable), reported as a per-shard balance audit "
+        "(doc and token totals). The md5 gate is the same "
+        "engine-portable hash used by the sampling family; at scale "
+        "this column feeds df.write.partitionBy/repartition so every "
+        "shard lands as one file set. Map-combinable aggregate, "
+        f"{N_SHARDS}-row result.",
+    tags=("curation", "llm", "aggregation"),
+)
+def curation_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    sharded = docs.select(
+        (h60 % N_SHARDS).alias("shard_id"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_doc_tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@register(
+    "sample_mixture_weights",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts),
+    weighted AS (
+      SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) / n_total AS raw_share,
+             pow(CAST(n_docs AS DOUBLE) / n_total, {MIX_ALPHA}) AS w
+      FROM counts CROSS JOIN tot
+    )
+    SELECT lang, n_docs,
+           CAST(ROUND(raw_share, 9) AS DOUBLE) AS raw_share,
+           CAST(ROUND(w / (SELECT SUM(w) FROM weighted), 9) AS DOUBLE)
+             AS sampled_share,
+           CAST(ROUND((w / (SELECT SUM(w) FROM weighted)) / raw_share, 9)
+                AS DOUBLE) AS upsample_factor
+    FROM weighted
+    ORDER BY lang
+    """,
+    doc=f"Temperature-based language mixture weights (alpha = "
+        f"{MIX_ALPHA}, the multilingual-pretraining resampling rule): "
+        "sampled share proportional to (n_l/N)^alpha — flattens the "
+        "head, boosts the tail. Rounded to 9 decimals on both sides: "
+        "pow() is a libm transcendental (not cross-engine "
+        "bit-portable, same caveat as text_word_entropy's log2) and "
+        "the normalizing sum runs over the config-sized language "
+        "list. Two tiny aggregates; the corpus is scanned once.",
+    tags=("curation", "llm", "sampling", "statistics"),
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n_total"))
+    weighted = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_total")).alias("raw_share"),
+        F.pow(
+            F.col("n_docs").cast("double") / F.col("n_total"), F.lit(MIX_ALPHA)
+        ).alias("w"),
+    )
+    wsum = weighted.agg(F.sum("w").alias("w_sum"))
+    return (
+        weighted.crossJoin(F.broadcast(wsum))
+        .select(
+            "lang",
+            "n_docs",
+            F.round("raw_share", 9).cast("double").alias("raw_share"),
+            F.round(F.col("w") / F.col("w_sum"), 9)
+            .cast("double")
+            .alias("sampled_share"),
+            F.round((F.col("w") / F.col("w_sum")) / F.col("raw_share"), 9)
+            .cast("double")
+            .alias("upsample_factor"),
+        )
+        .orderBy("lang")
+    )

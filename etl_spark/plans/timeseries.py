@@ -204,3 +204,95 @@ def events_error_click_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+ZSCORE_WINDOW = 24  # trailing hourly buckets
+ZSCORE_FLAG = 3.0
+
+
+@register(
+    "events_rolling_zscore",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS hour_ts,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY event_type, hour_ts
+    ),
+    rolled AS (
+      SELECT event_type, hour_ts, cents,
+             CAST(COUNT(*) OVER w AS BIGINT)      AS n,
+             CAST(SUM(cents) OVER w AS BIGINT)    AS s1,
+             CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           strftime(hour_ts, '{TS_FMT_DUCK}') AS hour,
+           cents,
+           CAST(CASE WHEN n >= 2
+                      AND n * s2 - s1 * s1 > 0
+                THEN (cents - CAST(s1 AS DOUBLE) / n)
+                     / sqrt((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                            / (n - 1))
+                ELSE NULL END AS DOUBLE) AS zscore,
+           CAST(CASE WHEN n >= 2 AND n * s2 - s1 * s1 > 0
+                      AND abs((cents - CAST(s1 AS DOUBLE) / n)
+                          / sqrt((CAST(s2 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                    / n)
+                                 / (n - 1))) > {ZSCORE_FLAG}
+                THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+    FROM rolled
+    ORDER BY event_type, hour
+    """,
+    doc=f"Rolling anomaly detection: each hourly revenue bucket scored "
+        f"against the trailing {ZSCORE_WINDOW} buckets' mean/stddev, "
+        f"flagged when |z| > {ZSCORE_FLAG}. The window carries exact "
+        "integer (n, Σx, Σx²) — the same portable-moments rule as "
+        "part_price_zscore_by_type, but over a sliding ROWS frame — "
+        "so z is derived identically in both engines. Degenerate "
+        "windows (n < 2 or zero variance, possible on integer cents) "
+        "yield NULL. Windows run over the hourly aggregate, not raw "
+        "events.",
+    tags=("events", "window", "timeseries", "statistics"),
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-ZSCORE_WINDOW, -1)
+    )
+    rolled = hourly.select(
+        "event_type",
+        "hour_ts",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    ok = (n >= 2) & (n * s2 - s1 * s1 > 0)
+    z = (F.col("cents") - s1.cast("double") / n) / F.sqrt(
+        (s2.cast("double") - s1.cast("double") * s1.cast("double") / n)
+        / (n - 1)
+    )
+    return rolled.select(
+        "event_type",
+        F.date_format("hour_ts", TS_FMT_SPARK).alias("hour"),
+        "cents",
+        F.when(ok, z).otherwise(F.lit(None)).cast("double").alias("zscore"),
+        F.when(ok & (F.abs(z) > ZSCORE_FLAG), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_anomaly"),
+    ).orderBy("event_type", "hour")
