@@ -492,3 +492,55 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "events_user_lifecycle",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+           CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS span_days,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+           CAST(CAST(COUNT(*) AS DOUBLE)
+                / COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE)
+             AS events_per_active_day
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Per-user lifecycle profile: first/last seen, calendar span, "
+        "distinct active days, events per active day — the standard "
+        "user-level engagement rollup. One aggregation keyed on "
+        "user_id; COUNT(DISTINCT date) expands to Spark's two-phase "
+        "distinct aggregate automatically. Timestamps surface as "
+        "formatted strings (hash-stable), the ratio is one exact "
+        "integer division.",
+    tags=("events", "aggregation", "product-analytics"),
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_seen"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_seen"
+            ),
+            F.datediff(F.max("ts"), F.min("ts")).cast("bigint").alias(
+                "span_days"
+            ),
+            F.count_distinct(F.to_date("ts")).alias("active_days"),
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.count_distinct(F.to_date("ts"))
+            )
+            .cast("double")
+            .alias("events_per_active_day"),
+        )
+        .orderBy("user_id")
+    )

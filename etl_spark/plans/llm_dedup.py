@@ -399,37 +399,18 @@ def _band_rows_sql() -> str:
     return "\n      UNION ALL\n      ".join(rows)
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH sh AS ({SHINGLES_SQL}),
-    sig AS (
-      {_minhash_signature_sql()}
-    ),
-    bands AS (
-      {_band_rows_sql()}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-               AND a.doc_id < b.doc_id
-    """,
-    doc=f"MinHash LSH candidate pairs: {N_HASHES} md5-minhash signatures "
-        f"banded {N_BANDS}×{ROWS_PER_BAND}; docs colliding in any band are "
-        "candidates. The scale path for near-dup at 100 TB: signature "
-        "computation is one pass over shingles, the band join touches "
-        "only colliding buckets.",
-    tags=("dedup", "llm", "neardup", "lsh"),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # shingles_df derives map-side from the cached posting lists
-    # (materialized inside posting_lists), so no extra action here.
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s0..s{N_HASHES-1}) MinHash signature table.
+
+    shingles_df derives map-side from the cached posting lists
+    (materialized inside posting_lists), so no extra action here.
+    """
     sh = shingles_df(spark, sf_dir)
     hp = (
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
         % MERSENNE_P
     ).alias("hp")
-    sig = (
+    return (
         sh.select("doc_id", hp)
         .groupBy("doc_id")
         .agg(
@@ -439,6 +420,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding in >= 1 LSH band."""
+    sig = minhash_signatures(spark, sf_dir)
 
     def band_hash(b: int):
         s = [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -469,6 +455,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sig AS (
+      {_minhash_signature_sql()}
+    ),
+    bands AS (
+      {_band_rows_sql()}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+    """,
+    doc=f"MinHash LSH candidate pairs: {N_HASHES} md5-minhash signatures "
+        f"banded {N_BANDS}×{ROWS_PER_BAND}; docs colliding in any band are "
+        "candidates. The scale path for near-dup at 100 TB: signature "
+        "computation is one pass over shingles, the band join touches "
+        "only colliding buckets.",
+    tags=("dedup", "llm", "neardup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidates(spark, sf_dir)
 
 
 FUZZY_MAX_EDITS = 2
@@ -612,3 +624,180 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return votes.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+def _sig_match_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+
+
+@register(
+    "dedup_minhash_error",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sig AS (
+      {_minhash_signature_sql()}
+    ),
+    bands AS (
+      {_band_rows_sql()}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({{match_expr}} AS BIGINT) AS n_sig_match,
+           CAST(CAST({{match_expr}} AS DOUBLE) / {N_HASHES} AS DOUBLE)
+             AS est_jaccard,
+           CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+           CAST(CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+                / (sa2.n_sh + sb2.n_sh - COALESCE(cm.n_common, 0)) AS DOUBLE)
+             AS true_jaccard,
+           CAST(abs(CAST({{match_expr}} AS DOUBLE) / {N_HASHES}
+                    - CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+                      / (sa2.n_sh + sb2.n_sh - COALESCE(cm.n_common, 0)))
+                AS DOUBLE) AS abs_error
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    JOIN sizes sa2 ON sa2.doc_id = c.doc_a
+    JOIN sizes sb2 ON sb2.doc_id = c.doc_b
+    LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+    """.replace("{match_expr}", _sig_match_sql()),
+    doc=f"Sketch-quality audit: for every LSH candidate pair, the "
+        f"MinHash Jaccard estimate (matching signature fraction, "
+        f"{N_HASHES} hashes) against the TRUE shingle Jaccard, with "
+        "absolute error — the measurement that justifies trusting the "
+        "sketch at 100 TB where the exact join is unaffordable. All "
+        "inputs are exact integers (signature matches, intersection "
+        "counts), so estimate/truth/error are engine-identical "
+        "doubles. Candidates and truth reuse the shared posting-list "
+        "index; the exact-pair stage runs only over the LSH-pruned "
+        "candidate set, not all pairs.",
+    tags=("dedup", "llm", "neardup", "lsh", "statistics"),
+)
+def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = lsh_candidates(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir)
+    posting = posting_lists(spark, sf_dir)
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs")) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    common = (
+        posting.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    ).cast("bigint")
+    ncm = F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint")
+    est = matches.cast("double") / N_HASHES
+    true_j = ncm.cast("double") / (F.col("na") + F.col("nb") - ncm)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .join(common, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.alias("n_sig_match"),
+            est.cast("double").alias("est_jaccard"),
+            ncm.alias("n_common"),
+            true_j.cast("double").alias("true_jaccard"),
+            F.abs(est - true_j).cast("double").alias("abs_error"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "graph_dup_triangles",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sized AS (
+      SELECT doc_id, shingle,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+      FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_common,
+             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+      FROM sized a JOIN sized b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
+            >= {JACCARD_THRESHOLD}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.doc_a = e1.doc_b
+    JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    """,
+    doc="Triangle count over the near-dup similarity graph (edges = "
+        "Jaccard pairs over threshold, oriented doc_a < doc_b): the "
+        "standard cohesion check before transitive-closure dedup — "
+        "many triangles means clusters are dense cliques (safe to "
+        "collapse), few means chains of borderline pairs (risky). "
+        "Ordered-triple enumeration (e1.b joins e2.a, closed by e3) "
+        "counts each triangle exactly once; edge orientation by id is "
+        "the degree-independent special case of the orient-by-degree "
+        "trick that bounds per-vertex fan-out at scale. Edge lists "
+        "come from the shared posting index; at 100 TB you'd run "
+        "this on the (tiny) post-threshold edge set, exactly as here.",
+    tags=("dedup", "llm", "neardup", "graph"),
+)
+def graph_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+    e2 = edges.select(F.col("doc_a").alias("y"), F.col("doc_b").alias("z"))
+    e3 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(tri).select("n_edges", "n_triangles")

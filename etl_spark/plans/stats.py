@@ -297,3 +297,50 @@ def stats_mode_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_equidepth_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(price) AS DOUBLE) AS lo_price,
+           CAST(MAX(price) AS DOUBLE) AS hi_price,
+           CAST(SUM(price) AS DOUBLE) AS decile_revenue
+    FROM ranked
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    doc="Equi-DEPTH histogram via NTILE(10): each bucket holds the "
+        "same row count and the bucket edges are the empirical "
+        "deciles — the complement of agg_value_histogram's equi-width "
+        "buckets. NTILE ties are broken by the (totalprice, orderkey) "
+        "sort, identical in both engines. The global NTILE sort is "
+        "the scale cost (one range-partitioned sort, same as any "
+        "ORDER BY); decimal-exact revenue sums.",
+    tags=("aggregation", "statistics", "window"),
+)
+def agg_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    ranked = orders.select(
+        dec("o_totalprice").alias("price"),
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("decile"),
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("price").cast("double").alias("lo_price"),
+            F.max("price").cast("double").alias("hi_price"),
+            F.sum("price").cast("double").alias("decile_revenue"),
+        )
+        .orderBy("decile")
+    )
