@@ -69,3 +69,26 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert rows[1] == ("a", None)  # pre-evolution file null-extends
     assert rows[3] == ("c", 0.5)
     assert len(rows) == 4
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the other columnar format Spark ships natively; the
+    engine's IO layer must roundtrip it with types intact (a warehouse
+    migrating from Hive/ORC reads through the same DataFrame surface)."""
+    df = sample(spark)
+    path = str(tmp_path / "orders_orc")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == df.schema
+    assert as_rows(back) == as_rows(df)
+
+
+def test_orc_predicate_pushdown(spark, tmp_path):
+    """ORC scans must receive pushed filters just like parquet — the
+    format choice must not cost the pushdown optimization."""
+    df = sample(spark)
+    path = str(tmp_path / "orders_orc_pd")
+    df.write.mode("overwrite").orc(path)
+    scan = spark.read.orc(path).filter(F.col("o_orderkey") < 100)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:120]
