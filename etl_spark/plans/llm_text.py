@@ -661,3 +661,121 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ttr"),
     ).orderBy("doc_id")
+
+
+# Count-min sketch: K independent hash rows of W buckets, every term
+# occurrence increments one bucket per row, estimate = min over rows.
+# Hashes reuse the md5->60-bit->universal-mix machinery from the
+# MinHash family, so both engines compute identical integers.
+from etl_spark.plans.llm_dedup import (  # noqa: E402
+    HASH_A,
+    HASH_B,
+    MERSENNE_P,
+    _H60_SQL,
+)
+
+CMS_K = 4
+CMS_W = 256
+CMS_TOP = 20
+
+
+def _cms_bucket_sql(i: int) -> str:
+    return f"(({HASH_A[i]} * hp + {HASH_B[i]}) % {MERSENNE_P}) % {CMS_W}"
+
+
+@register(
+    "text_cms_term_counts",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    hashed AS (
+      SELECT term, ({_H60_SQL}) % {MERSENNE_P} AS hp
+      FROM (SELECT term, md5(term) AS h FROM tok)
+    ),
+    bexp AS (
+      {" UNION ALL ".join(f"SELECT term, {i} AS row_i, {_cms_bucket_sql(i)} AS bucket FROM hashed" for i in range(CMS_K))}
+    ),
+    cms AS (
+      SELECT row_i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bexp GROUP BY row_i, bucket
+    ),
+    top AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM tok GROUP BY term
+      ORDER BY true_count DESC, term ASC LIMIT {CMS_TOP}
+    ),
+    top_hashed AS (
+      SELECT term, true_count, ({_H60_SQL}) % {MERSENNE_P} AS hp
+      FROM (SELECT term, true_count, md5(term) AS h FROM top)
+    ),
+    probes AS (
+      {" UNION ALL ".join(f"SELECT term, true_count, {i} AS row_i, {_cms_bucket_sql(i)} AS bucket FROM top_hashed" for i in range(CMS_K))}
+    )
+    SELECT p.term, p.true_count,
+           CAST(MIN(cms.c) AS BIGINT) AS est_count,
+           CAST(MIN(cms.c) - p.true_count AS BIGINT) AS overestimate
+    FROM probes p JOIN cms ON cms.row_i = p.row_i AND cms.bucket = p.bucket
+    GROUP BY p.term, p.true_count
+    ORDER BY p.true_count DESC, p.term ASC
+    """,
+    doc=f"Count-min sketch frequency estimation, audited against exact "
+        f"counts: {CMS_K} hash rows x {CMS_W} buckets built in ONE "
+        "pass over token occurrences (the sketch is K*W integers — "
+        "constant size however large the corpus), then the true "
+        f"top-{CMS_TOP} terms are probed and estimate-vs-truth "
+        "reported. CMS never underestimates, so `overestimate` >= 0 "
+        "by construction — visible directly in the result. This is "
+        "the heavy-hitter machinery for corpora whose exact term "
+        "counts would not fit anywhere; all hashing is md5-derived "
+        "integer math, engine-identical.",
+    tags=("text", "llm", "sketch", "statistics"),
+)
+def text_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    hp = (
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint")
+        % MERSENNE_P
+    )
+
+    def bucket(i: int):
+        return ((F.lit(HASH_A[i]) * F.col("hp") + F.lit(HASH_B[i])) % MERSENNE_P) % CMS_W
+
+    hashed = tok.select("term", hp.alias("hp"))
+    bexp = hashed.select(
+        F.posexplode(F.array(*[bucket(i) for i in range(CMS_K)])).alias(
+            "row_i", "bucket"
+        )
+    )
+    cms = bexp.groupBy("row_i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("term"))
+        .limit(CMS_TOP)
+    )
+    probes = top.select(
+        "term",
+        "true_count",
+        hp.alias("hp"),
+    ).select(
+        "term",
+        "true_count",
+        F.posexplode(F.array(*[bucket(i) for i in range(CMS_K)])).alias(
+            "row_i", "bucket"
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["row_i", "bucket"])
+        .groupBy("term", "true_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return est.select(
+        "term",
+        "true_count",
+        F.col("est_count").cast("bigint").alias("est_count"),
+        (F.col("est_count") - F.col("true_count"))
+        .cast("bigint")
+        .alias("overestimate"),
+    ).orderBy(F.desc("true_count"), F.asc("term"))
