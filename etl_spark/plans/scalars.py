@@ -141,3 +141,110 @@ def scalar_case_quantity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+_STOP = ("the", "a", "of", "and", "to", "in")
+
+
+@register(
+    "scalar_array_ops",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(toks[1:3], ' ')                     AS first3,
+           toks[-1]                                            AS last_token,
+           list_contains(toks, 'spark')                        AS mentions_spark,
+           CAST(len(list_intersect(list_distinct(toks),
+                                   {list(_STOP)!r})) AS INTEGER)
+                                                               AS n_stop_kinds,
+           list_sort(list_distinct(toks))[1]                   AS first_sorted,
+           CAST(NULLIF(list_position(toks, 'spark'), 0) AS INTEGER)
+                                                               AS spark_pos
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Array scalar library over the token array (SURVEY.md §2.2 "
+        "scalar library, array row): slice/join, negative indexing, "
+        "membership, set intersection, sort-then-index, position — all "
+        "in-row built-ins in both engines (Spark slice/element_at/"
+        "array_contains/array_intersect/array_sort/array_position vs "
+        "DuckDB list_*). Zero shuffles beyond the presentation sort; "
+        "the whole query is a narrow map at any scale.",
+    tags=("scalar", "array", "text"),
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+    # array_position returns 0 when absent (matches DuckDB NULL? no —
+    # DuckDB list_position yields NULL when absent; align via nullif).
+    pos = F.array_position(toks, "spark")
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+            F.element_at(toks, -1).alias("last_token"),
+            F.array_contains(toks, "spark").alias("mentions_spark"),
+            F.size(
+                F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in _STOP]))
+            ).alias("n_stop_kinds"),
+            F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias(
+                "first_sorted"
+            ),
+            F.nullif(pos, F.lit(0)).cast("int").alias("spark_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "scalar_try_safe_ops",
+    oracle="""
+    WITH q AS (
+      SELECT event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CAST(event_id AS VARCHAR) AS id_str
+      FROM events
+    )
+    SELECT event_id,
+           TRY_CAST(id_str AS BIGINT)               AS parsed_id,
+           TRY_CAST(concat('x', id_str) AS BIGINT)  AS parsed_junk,
+           CAST(cents / k AS DOUBLE)                AS cents_per_k,
+           cents % NULLIF(k, 0)                     AS cents_mod_k,
+           TRY_CAST('not a time' AS TIMESTAMP) IS NULL AS bad_ts_is_null
+    FROM q
+    ORDER BY event_id
+    """,
+    doc="Error-safe scalar surface (ANSI mode without the blast "
+        "radius): try_cast on clean and junk strings, division and "
+        "modulo by a sometimes-zero divisor yielding NULL instead of "
+        "aborting the job — Spark try_divide/try_mod paired with "
+        "DuckDB's NULL-on-zero division. At 100 TB one malformed row "
+        "must never kill a stage; this is the pattern every ingest "
+        "projection uses. Pure narrow map.",
+    tags=("scalar", "null-handling"),
+)
+def scalar_try_safe_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.col("event_id").cast("string").alias("id_str"),
+    )
+    return q.select(
+        "event_id",
+        F.try_to_number(F.col("id_str"), F.lit("999999999999")).cast(
+            "bigint"
+        ).alias("parsed_id"),
+        F.expr("try_cast(concat('x', id_str) AS BIGINT)").alias("parsed_junk"),
+        F.try_divide(F.col("cents"), F.col("k")).cast("double").alias(
+            "cents_per_k"
+        ),
+        F.expr("try_mod(cents, nullif(k, 0))").alias("cents_mod_k"),
+        F.expr("try_cast('not a time' AS TIMESTAMP)").isNull().alias(
+            "bad_ts_is_null"
+        ),
+    ).orderBy("event_id")
