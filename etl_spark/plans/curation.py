@@ -600,3 +600,49 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    first_seen AS (
+      SELECT shingle, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_novel,
+           CAST(CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 0 ELSE 1 END)
+                     AS DOUBLE) / COUNT(*) AS DOUBLE) AS novelty
+    FROM sh s JOIN first_seen f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    doc="Per-document n-gram novelty: the fraction of a doc's shingles "
+        "not seen in any LOWER-doc_id document (doc_id as ingestion "
+        "order) — the streaming-corpus duplicate-content signal used "
+        "to down-rank late near-copies without pairwise comparison at "
+        "all. One first-seen aggregate over the shared (df-capped) "
+        "shingle index, joined back on shingle — two shuffles keyed "
+        "on shingle/doc, never any pair enumeration. Integer counts, "
+        "one exact division.",
+    tags=("curation", "llm", "dedup", "text"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles_df(spark, sf_dir)
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(first_seen, "shingle")
+    novel = F.when(F.col("first_doc") < F.col("doc_id"), 0).otherwise(1)
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
