@@ -203,3 +203,134 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         emb.unpersist()
+
+
+@register(
+    "ml_cluster_separation",
+    oracle=f"""
+    WITH vec AS (
+      SELECT vec_id, label, q,
+             CAST(list_dot_product(q, q) AS BIGINT) AS xx
+      FROM (SELECT vec_id, label,
+                   list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+            FROM embeddings)
+    ),
+    dims AS (
+      SELECT label, i, q[i] AS v
+      FROM vec CROSS JOIN UNNEST(range(1, 65)) AS t(i)
+    ),
+    cent AS (
+      SELECT label, list(s ORDER BY i) AS sv, CAST(MIN(n) AS BIGINT) AS n
+      FROM (
+        SELECT d.label, d.i, CAST(SUM(d.v) AS BIGINT) AS s,
+               (SELECT COUNT(*) FROM vec v2 WHERE v2.label = d.label) AS n
+        FROM dims d GROUP BY d.label, d.i
+      ) GROUP BY label
+    ),
+    scored AS (
+      SELECT v.vec_id, v.label, c.label AS c_label,
+             CAST(v.xx AS DOUBLE)
+               - (2.0 * CAST(list_dot_product(v.q, c.sv) AS DOUBLE)) / c.n
+               + CAST(list_dot_product(c.sv, c.sv) AS DOUBLE) / c.n / c.n
+               AS d2
+      FROM vec v CROSS JOIN cent c
+    ),
+    own AS (
+      SELECT vec_id, label, d2 AS own_d2 FROM scored WHERE label = c_label
+    ),
+    best_other AS (
+      SELECT vec_id, c_label AS nearest_other, d2 AS other_d2
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rn
+        FROM scored WHERE label <> c_label
+      ) WHERE rn = 1
+    )
+    SELECT o.vec_id, o.label, o.own_d2,
+           CAST(b.nearest_other AS INTEGER) AS nearest_other,
+           b.other_d2,
+           CAST(CASE WHEN o.own_d2 < b.other_d2 THEN 1 ELSE 0 END AS INTEGER)
+             AS well_separated
+    FROM own o JOIN best_other b ON b.vec_id = o.vec_id
+    ORDER BY o.vec_id
+    """,
+    doc="Cluster-separation audit (simplified silhouette): each "
+        "vector's squared distance to its OWN label centroid vs the "
+        "nearest OTHER centroid. The centroid never materializes as "
+        "floats — d2(x, S/n) expands to xx - 2(x.S)/n + (S.S)/n^2 "
+        "with exact-integer xx, x.S, S.S, so both engines derive "
+        "identical doubles. Cost is the standard n x k assignment "
+        "join (k = #labels, broadcast); one window picks the nearest "
+        "rival. The go/no-go check after any clustering or labeling "
+        "pass, at any corpus size.",
+    tags=("ml", "similarity", "statistics"),
+)
+def ml_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    vec = emb.withColumn("xx", dot(F.col("q"), F.col("q")))
+    sums = vec.select("label", F.posexplode("q").alias("pos", "v")).groupBy(
+        "label", "pos"
+    ).agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    cent = sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x.s
+        ).alias("sv"),
+        F.min("cnt").alias("n"),
+    ).select(
+        F.col("label").alias("c_label"), "sv", "n"
+    )
+    scored = vec.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        (
+            F.col("xx").cast("double")
+            - (F.lit(2.0) * dot(F.col("q"), F.col("sv")).cast("double"))
+            / F.col("n")
+            + dot(F.col("sv"), F.col("sv")).cast("double")
+            / F.col("n")
+            / F.col("n")
+        ).alias("d2"),
+    )
+    own = scored.filter(F.col("label") == F.col("c_label")).select(
+        "vec_id", "label", F.col("d2").alias("own_d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_label"))
+    best_other = (
+        scored.filter(F.col("label") != F.col("c_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("c_label").cast("int").alias("nearest_other"),
+            F.col("d2").alias("other_d2"),
+        )
+    )
+    return (
+        own.join(best_other, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "own_d2",
+            "nearest_other",
+            "other_d2",
+            F.when(F.col("own_d2") < F.col("other_d2"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("well_separated"),
+        )
+        .orderBy("vec_id")
+    )
