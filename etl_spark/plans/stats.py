@@ -344,3 +344,60 @@ def agg_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(MIN(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN price END) AS DOUBLE) AS p50_disc,
+           CAST(MIN(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                    THEN price END) AS DOUBLE) AS p90_disc
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Discrete percentiles (PERCENTILE_DISC semantics: an actual "
+        "data value, never interpolated — required when the quantile "
+        "must be a realizable value, e.g. a price or latency). Both "
+        "engines state the same explicit rank formula (value at row "
+        "ceil(p*n) of the (price, orderkey)-sorted group) rather than "
+        "trusting builtin disc-percentile tie rules to agree. "
+        "Complements agg_percentiles (interpolated) and "
+        "agg_approx_percentiles (sketch).",
+    tags=("aggregation", "statistics", "window"),
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        dec("o_totalprice").alias("price"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def disc(p: float):
+        at = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        return F.min(F.when(F.col("rn") == at, F.col("price")))
+
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            disc(0.5).cast("double").alias("p50_disc"),
+            disc(0.9).cast("double").alias("p90_disc"),
+        )
+        .orderBy("o_orderpriority")
+    )
