@@ -801,3 +801,52 @@ def graph_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.crossJoin(tri).select("n_edges", "n_triangles")
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH flagged AS (
+      SELECT lang, source,
+             CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT)   AS n_dupes,
+           CAST(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             AS dup_rate
+    FROM flagged
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    doc="Duplicate-rate report by corpus segment: exact-dup flags "
+        "(md5 canonical window, same rule as dedup_exact) rolled up "
+        "per (lang, source) — the curator's dashboard number that "
+        "decides which sources get the aggressive near-dup pass. One "
+        "hash-keyed window + one small rollup; only the 32-byte hash "
+        "and two integers ever shuffle.",
+    tags=("dedup", "llm", "aggregation"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    flagged = docs.select(
+        "lang",
+        "source",
+        F.when(F.col("doc_id") != F.min("doc_id").over(w), 1)
+        .otherwise(0)
+        .alias("is_dup"),
+    )
+    return (
+        flagged.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dupes"),
+            (F.sum("is_dup").cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("dup_rate"),
+        )
+        .orderBy("lang", "source")
+    )
