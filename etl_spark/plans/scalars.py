@@ -155,7 +155,7 @@ _STOP = ("the", "a", "of", "and", "to", "in")
     SELECT doc_id,
            array_to_string(toks[1:3], ' ')                     AS first3,
            toks[-1]                                            AS last_token,
-           list_contains(toks, 'spark')                        AS mentions_spark,
+           COALESCE(list_contains(toks, 'spark'), FALSE)       AS mentions_spark,
            CAST(len(list_intersect(list_distinct(toks),
                                    {list(_STOP)!r})) AS INTEGER)
                                                                AS n_stop_kinds,
@@ -185,7 +185,9 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
             F.element_at(toks, -1).alias("last_token"),
-            F.array_contains(toks, "spark").alias("mentions_spark"),
+            F.coalesce(F.array_contains(toks, "spark"), F.lit(False)).alias(
+                "mentions_spark"
+            ),
             F.size(
                 F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in _STOP]))
             ).alias("n_stop_kinds"),

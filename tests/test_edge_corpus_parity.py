@@ -53,6 +53,19 @@ DOC_QUERIES = [
     "text_chunk_windows",
     "dedup_containment_pairs",
     "pipeline_curate_corpus",
+    "text_oov_rate",
+    "text_bigram_lm_score",
+    "text_decontam_pairs",
+    "text_word_entropy",
+    "text_cms_term_counts",
+    "text_ngram_novelty",
+    "scalar_array_ops",
+    "curation_pack_sequences",
+    "curation_shard_assignment",
+    "sample_mixture_weights",
+    "dedup_rate_by_source",
+    "dedup_minhash_error",
+    "graph_dup_triangles",
 ]
 
 
