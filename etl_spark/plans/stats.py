@@ -61,15 +61,15 @@ def _cents(col: str) -> F.Column:
     )
     SELECT event_type, n,
            CAST((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                       * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                / NULLIF(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0)
                 AS DOUBLE) AS corr_xy,
            CAST((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / NULLIF(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
                 AS DOUBLE) AS slope,
            CAST((CAST(sy AS DOUBLE)
                  - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / NULLIF(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
                    * CAST(sx AS DOUBLE)) / n
                 AS DOUBLE) AS intercept
     FROM s
@@ -106,11 +106,16 @@ def stats_linfit_value_on_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = n * sxy - sx * sy
     var_x = n * sxx - sx * sx
     var_y = n * syy - sy * sy
-    slope = cov_n / var_x
+    # Degenerate groups (single point, or zero variance after NULL
+    # x/y rows drop out of the sums) get NULL, matching the oracle's
+    # NULLIF guard — never a DIVIDE_BY_ZERO abort under ANSI mode.
+    slope = cov_n / F.nullif(var_x, F.lit(0.0))
     return s.select(
         "event_type",
         "n",
-        (cov_n / F.sqrt(var_x * var_y)).cast("double").alias("corr_xy"),
+        (cov_n / F.nullif(F.sqrt(var_x * var_y), F.lit(0.0)))
+        .cast("double")
+        .alias("corr_xy"),
         slope.cast("double").alias("slope"),
         ((sy - slope * sx) / n).cast("double").alias("intercept"),
     ).orderBy("event_type")
@@ -180,8 +185,8 @@ def stats_minmax_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT)     AS n_events,
-           bool_and(cents > 0)          AS all_value_positive,
-           bool_or(k >= 95)             AS any_high_k,
+           COALESCE(bool_and(cents > 0), TRUE)  AS all_value_positive,
+           COALESCE(bool_or(k >= 95), FALSE)    AS any_high_k,
            CAST(bit_and(k) AS BIGINT)   AS k_bit_and,
            CAST(bit_or(k) AS BIGINT)    AS k_bit_or,
            CAST(bit_xor(k) AS BIGINT)   AS k_bit_xor
@@ -205,8 +210,14 @@ def stats_bool_bit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.bool_and(F.col("cents") > 0).alias("all_value_positive"),
-            F.bool_or(F.col("k") >= 95).alias("any_high_k"),
+            # All-NULL groups take the vacuous identity (AND of
+            # nothing = TRUE, OR of nothing = FALSE) in both engines.
+            F.coalesce(F.bool_and(F.col("cents") > 0), F.lit(True)).alias(
+                "all_value_positive"
+            ),
+            F.coalesce(F.bool_or(F.col("k") >= 95), F.lit(False)).alias(
+                "any_high_k"
+            ),
             F.bit_and("k").alias("k_bit_and"),
             F.bit_or("k").alias("k_bit_or"),
             F.bit_xor("k").alias("k_bit_xor"),

@@ -69,6 +69,13 @@ EVENT_QUERIES = [
     "events_retention_cohorts",
     "agg_value_histogram",
     "udaf_weighted_value_mean",
+    "events_ewma_hourly",
+    "events_rolling_zscore",
+    "events_error_click_followup",
+    "events_user_lifecycle",
+    "stats_linfit_value_on_k",
+    "stats_bool_bit_events",
+    "scalar_try_safe_ops",
 ]
 
 
