@@ -40,6 +40,10 @@ def get_spark(app_name: str = "test-etl-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # No-timezone parquet micros read as classic TIMESTAMP (UTC
+        # session) rather than TIMESTAMP_NTZ; io.load also normalizes
+        # any NTZ column for sessions built without this conf.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
@@ -63,6 +67,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # events.parquet carries TIMESTAMP(NANOS); read as long + explicit
     # micros truncation (see io.load) — vectorized reader rejects nanos.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Static confs (driver memory, master) cannot be changed on a live
     # session; everything above is runtime-settable.
     return spark
