@@ -646,3 +646,68 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "curation_gate_funnel",
+    oracle=f"""
+    WITH gated AS (
+      SELECT
+        CASE WHEN len(string_split(text, ' ')) >= {MIN_TOKENS}
+             THEN 1 ELSE 0 END AS pass_length,
+        CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) >= {MIN_DISTINCT_RATIO}
+             THEN 1 ELSE 0 END AS pass_diversity,
+        CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+             THEN 1 ELSE 0 END AS pass_dedup
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+      CAST(SUM(pass_dedup) AS BIGINT)                   AS after_dedup,
+      CAST(SUM(pass_dedup * pass_length) AS BIGINT)     AS after_length,
+      CAST(SUM(pass_dedup * pass_length * pass_diversity) AS BIGINT)
+                                                        AS after_diversity,
+      CAST(CAST(SUM(pass_dedup * pass_length * pass_diversity) AS DOUBLE)
+           / COUNT(*) AS DOUBLE)                        AS keep_rate
+    FROM gated
+    """,
+    doc="Curation funnel report: how many documents survive each gate "
+        "of pipeline_curate_corpus (dedup -> length -> lexical "
+        "diversity), cumulatively, plus the final keep rate — the "
+        "dashboard that tells a curator WHICH gate is eating the "
+        "corpus before they ship a config change. Same gate "
+        "definitions as the pipeline (constants shared), one window "
+        "+ one global aggregate; the result is a single row at any "
+        "corpus size.",
+    tags=("curation", "llm", "aggregation"),
+)
+def curation_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    w = Window.partitionBy(F.md5("text"))
+    gated = docs.select(
+        F.when(F.size(toks) >= MIN_TOKENS, 1).otherwise(0).alias("pass_length"),
+        F.when(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            >= MIN_DISTINCT_RATIO,
+            1,
+        )
+        .otherwise(0)
+        .alias("pass_diversity"),
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+        .otherwise(0)
+        .alias("pass_dedup"),
+    )
+    keep = F.col("pass_dedup") * F.col("pass_length") * F.col("pass_diversity")
+    return gated.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pass_dedup").cast("bigint").alias("after_dedup"),
+        F.sum(F.col("pass_dedup") * F.col("pass_length"))
+        .cast("bigint")
+        .alias("after_length"),
+        F.sum(keep).cast("bigint").alias("after_diversity"),
+        (F.sum(keep).cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("keep_rate"),
+    )

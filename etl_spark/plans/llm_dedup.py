@@ -850,3 +850,53 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "dedup_crosslingual_content",
+    oracle="""
+    WITH hashed AS (
+      SELECT md5(text) AS content_hash, lang, doc_id FROM documents
+      WHERE text IS NOT NULL
+    ),
+    multi AS (
+      SELECT content_hash,
+             CAST(COUNT(*) AS BIGINT)              AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT)  AS n_langs,
+             string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+             CAST(MIN(doc_id) AS BIGINT)           AS canonical_id
+      FROM hashed
+      GROUP BY content_hash
+      HAVING COUNT(DISTINCT lang) > 1
+    )
+    SELECT content_hash, n_docs, n_langs, langs, canonical_id
+    FROM multi
+    ORDER BY content_hash
+    """,
+    doc="Cross-lingual contamination: identical content carrying "
+        "DIFFERENT language labels — mislabeled or copy-pasted docs "
+        "that per-language dedup would miss entirely (each lang "
+        "partition sees it once). One hash-keyed aggregate with a "
+        "distinct-lang HAVING gate; the ordered DISTINCT string_agg "
+        "is array_join(array_sort(collect_set)) on the Spark side. "
+        "Only the 32-byte hash and the lang code ever shuffle.",
+    tags=("dedup", "llm", "aggregation"),
+)
+def dedup_crosslingual_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hashed = docs.select(
+        F.md5("text").alias("content_hash"), "lang", "doc_id"
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias(
+                "langs"
+            ),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_langs") > 1)
+        .orderBy("content_hash")
+    )

@@ -66,6 +66,8 @@ DOC_QUERIES = [
     "dedup_rate_by_source",
     "dedup_minhash_error",
     "graph_dup_triangles",
+    "dedup_crosslingual_content",
+    "curation_gate_funnel",
 ]
 
 
