@@ -56,3 +56,42 @@ def test_dedup_clusters_matches_union_find(spark):
     # Canonical representative: min id of the component in both cases.
     # Union-find roots are already minimal because union parents max→min.
     assert got == want
+
+
+# --- property-based: random graphs vs union-find ---------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_vertex = st.integers(min_value=0, max_value=25)
+
+
+@settings(
+    max_examples=8,  # each example runs an iterative Spark job
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edge_list=st.lists(st.tuples(_vertex, _vertex), max_size=40))
+def test_connected_components_matches_union_find_on_random_graphs(
+    spark, edge_list
+):
+    """Min-label propagation must agree with a sequential union-find on
+    arbitrary graphs — self-loops, duplicate and reversed edges, chains
+    whose diameter approaches the iteration cap, isolated vertices."""
+    vertex_ids = sorted({v for e in edge_list for v in e} | {77})  # 77 isolated
+    vertices = spark.createDataFrame([(v,) for v in vertex_ids], ["id"])
+    edges_rows = [(a, b) for a, b in edge_list] or [(77, 77)]
+    edges = spark.createDataFrame(edges_rows, ["src", "dst"])
+
+    uf = UnionFind()
+    for v in vertex_ids:
+        uf.find(v)
+    for a, b in edge_list:
+        uf.union(a, b)
+    want = {v: uf.find(v) for v in vertex_ids}
+
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == want
