@@ -87,3 +87,84 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TIMEOUT_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start string, session_end string,"
+    " n_events bigint, closed_by string"
+)
+
+
+def sessionize_stream_with_timeout(events: DataFrame) -> DataFrame:
+    """Sessions emitted ONLY when closed — by a gap-exceeding next
+    event, or by an EVENT-TIME TIMEOUT once the watermark passes the
+    open session's gap horizon (idle user). This is the production
+    form the plain ``sessionize_stream`` docstring promises: no
+    open-session snapshots, state for idle keys is reaped by the
+    timeout instead of living forever.
+
+    Requires a watermark on the input (timeout firing is driven by
+    watermark advancement). Emitted rows carry ``closed_by``:
+    'gap' (explicit next event) or 'timeout' (idle horizon).
+    """
+
+    def update(key, pdf_iter, state):
+        # Self-contained closure (workers may lack repo on PYTHONPATH).
+        import pandas as pd
+
+        GAP = 600_000_000
+
+        def fmt(us):
+            return pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S")
+
+        def emit(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(rows),
+                    "session_start": [fmt(s) for s, _, _, _ in rows],
+                    "session_end": [fmt(e) for _, e, _, _ in rows],
+                    "n_events": [n for _, _, n, _ in rows],
+                    "closed_by": [how for _, _, _, how in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit([(start_us, last_us, n, "timeout")])
+            return
+
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        closed = []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                us = ts.value // 1000
+                if start_us is None:
+                    start_us, last_us, n = us, us, 1
+                elif us - last_us > GAP:
+                    closed.append((start_us, last_us, n, "gap"))
+                    start_us, last_us, n = us, us, 1
+                else:
+                    last_us, n = us, n + 1
+        if start_us is not None:
+            state.update((int(start_us), int(last_us), int(n)))
+            # Fire once the watermark passes the open session's gap
+            # horizon: end + GAP (in ms for the state API).
+            state.setTimeoutTimestamp((last_us + GAP) // 1000)
+        if closed:
+            yield emit(closed)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TIMEOUT_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

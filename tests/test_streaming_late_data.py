@@ -57,7 +57,7 @@ def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
     ]
     for i, rows in enumerate(batches):
         _write_batch(src / f"b{i}.json", rows)
-        time.sleep(0.05)  # distinct mod times → deterministic batch order
+        time.sleep(0.2)  # distinct mod times → deterministic batch order
 
     events = (
         spark.readStream.schema(EVENT_SCHEMA)
