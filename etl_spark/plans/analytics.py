@@ -544,3 +544,139 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_activity_heatmap",
+    oracle="""
+    WITH q AS (
+      SELECT
+        -- Portable day-of-week: engines disagree on DOW numbering
+        -- (Spark 1=Sun, DuckDB 0=Sun), so derive it from epoch days:
+        -- 1970-01-01 was a Thursday; (days + 3) % 7 makes 0=Monday
+        -- (day 0 maps to 3 = Thursday).
+        CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
+        CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT)       AS hour_of_day,
+        CAST(ROUND(value * 100) AS BIGINT)                    AS cents
+      FROM events
+    )
+    SELECT dow, hour_of_day,
+           CAST(COUNT(*) AS BIGINT)    AS n_events,
+           CAST(SUM(cents) AS BIGINT)  AS total_cents
+    FROM q
+    GROUP BY dow, hour_of_day
+    ORDER BY dow, hour_of_day
+    """,
+    doc="Day-of-week x hour-of-day activity heatmap (the classic "
+        "engagement grid). DOW is derived from integer epoch "
+        "arithmetic — (epoch_days + 3) % 7, 0 = Monday — because the "
+        "built-in dayofweek() numbering differs between engines "
+        "(Spark 1=Sunday, DuckDB 0=Sunday) and a silent off-by-one "
+        "here is exactly the bug class the oracle exists to catch. "
+        "One map-combinable aggregate onto a fixed 168-cell grid.",
+    tags=("events", "aggregation", "product-analytics"),
+)
+def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        ((F.expr("unix_micros(ts) div 86400000000") + 3) % 7).alias("dow"),
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hour_of_day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        q.groupBy("dow", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("dow", "hour_of_day")
+    )
+
+
+@register(
+    "lineitem_ship_delay_stats",
+    oracle="""
+    WITH delays AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS delay_days,
+             l.l_orderkey, l.l_linenumber
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+      SELECT o_orderpriority, delay_days,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY delay_days, l_orderkey, l_linenumber)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM delays
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT)           AS n_lineitems,
+           CAST(MIN(delay_days) AS BIGINT)  AS min_delay,
+           CAST(MAX(delay_days) AS BIGINT)  AS max_delay,
+           CAST(CAST(SUM(delay_days) AS DOUBLE) / MAX(n) AS DOUBLE)
+                                            AS avg_delay,
+           CAST(MIN(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN delay_days END) AS BIGINT) AS p50_delay
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Order-to-ship latency distribution per priority: the "
+        "operational SLA query — a fact-fact join producing a derived "
+        "time metric, then exact integer stats and a discrete median "
+        "(same ceil(p*n) rank rule as agg_percentile_disc). The join "
+        "shuffles on orderkey once; everything downstream is "
+        "integer-exact.",
+    tags=("join", "aggregation", "statistics", "timeseries"),
+)
+def lineitem_ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    delays = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias(
+            "delay_days"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wo = Window.partitionBy("o_orderpriority").orderBy(
+        "delay_days", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = delays.select(
+        "o_orderpriority",
+        "delay_days",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    p50 = F.min(
+        F.when(
+            F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"),
+            F.col("delay_days"),
+        )
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lineitems"),
+            F.min("delay_days").alias("min_delay"),
+            F.max("delay_days").alias("max_delay"),
+            (F.sum("delay_days").cast("double") / F.max("n"))
+            .cast("double")
+            .alias("avg_delay"),
+            p50.cast("bigint").alias("p50_delay"),
+        )
+        .orderBy("o_orderpriority")
+    )
