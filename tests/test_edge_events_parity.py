@@ -76,6 +76,7 @@ EVENT_QUERIES = [
     "stats_linfit_value_on_k",
     "stats_bool_bit_events",
     "scalar_try_safe_ops",
+    "events_activity_heatmap",
 ]
 
 
