@@ -88,6 +88,7 @@ TOP_K = 5
              CAST(list_dot_product(q.q, c.q) AS DOUBLE)
                / sqrt(CAST(q.norm AS DOUBLE) * CAST(c.norm AS DOUBLE)) AS cos_sim
       FROM vec q JOIN vec c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+       AND q.norm > 0 AND c.norm > 0
     )
     SELECT query_id, neighbor_id, cos_sim,
            CAST(rnk AS INTEGER) AS rnk
@@ -112,10 +113,15 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exactness: quantized integer products/sums stay < 2^53, so
     # float64 matmul is exact in any summation order, and dot/sqrt(na*nb)
     # is correctly-rounded IEEE — bit-identical to the DuckDB oracle.
+    # Zero-norm vectors are excluded from cosine scoring on BOTH
+    # sides (cos is undefined for them; Spark would emit IEEE NaN/Inf
+    # where DuckDB nulls the division) — emb_norm_stats is the audit
+    # that surfaces such vectors to the pipeline owner.
     emb = (
         load(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .filter(dot(F.col("q"), F.col("q")) > 0)
     )
     q_rows = sorted(
         emb.filter(F.col("vec_id") < N_QUERIES).collect(),
@@ -169,6 +175,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(list_dot_product(a.q, b.q) AS DOUBLE)
                / sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) AS cos_sim
       FROM vec a JOIN vec b ON a.label = b.label AND a.vec_id <> b.vec_id
+       AND a.norm > 0 AND b.norm > 0
     )
     SELECT vec_id, label, nn_id, cos_sim
     FROM (
@@ -197,6 +204,9 @@ def sim_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
+        # Zero-norm vectors excluded from cosine scoring (both sides;
+        # see sim_topk_cosine).
+        .filter(dot(F.col("q"), F.col("q")) > 0)
     )
 
     def nn_per_cell(pdf):
@@ -340,6 +350,9 @@ def sim_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", quantize(F.col("embedding")).alias("q"))
         .withColumn("bucket", _bucket_column(planes))
         .withColumn("norm", dot(F.col("q"), F.col("q")))
+        # Zero-norm vectors excluded from cosine scoring (see
+        # sim_topk_cosine).
+        .filter(F.col("norm") > 0)
     )
     # Probe set: own bucket + Hamming-1 neighbors (bit flips).
     probes = F.array(
@@ -431,6 +444,7 @@ COSINE_DUP_THRESHOLD = 0.4
     FROM bucketed a JOIN bucketed b
       ON a.vec_id < b.vec_id
      AND bit_count(xor(a.bucket, b.bucket)) <= 1
+     AND a.norm > 0 AND b.norm > 0
     WHERE CAST(list_dot_product(a.q, b.q) AS DOUBLE)
             / sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE))
           >= {COSINE_DUP_THRESHOLD}
@@ -452,6 +466,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", quantize(F.col("embedding")).alias("q"))
         .withColumn("norm", dot(F.col("q"), F.col("q")))
+        # Zero-norm vectors excluded from cosine scoring (see
+        # sim_topk_cosine).
+        .filter(F.col("norm") > 0)
         .withColumn("bucket", _bucket_column(planes))
     )
     # Multiprobe from the left side only: the identity probe catches
@@ -505,8 +522,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.label AS label_a, b.label AS label_b,
            a.n_vecs AS n_a, b.n_vecs AS n_b,
            CAST(CAST(list_dot_product(a.sv, b.sv) AS DOUBLE)
-                / sqrt(CAST(list_dot_product(a.sv, a.sv) AS DOUBLE)
-                       * CAST(list_dot_product(b.sv, b.sv) AS DOUBLE))
+                / NULLIF(sqrt(CAST(list_dot_product(a.sv, a.sv) AS DOUBLE)
+                              * CAST(list_dot_product(b.sv, b.sv) AS DOUBLE)), 0)
                 AS DOUBLE) AS centroid_cos
     FROM cent a JOIN cent b ON a.label < b.label
     ORDER BY label_a, label_b
