@@ -622,3 +622,56 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "emb_dedup_exact",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, label,
+             md5(array_to_string(
+               list_transform({_QUANT_SQL}, x -> CAST(x AS VARCHAR)), ','))
+               AS vec_hash
+      FROM embeddings
+    )
+    SELECT vec_id, label, vec_hash,
+           CAST(MIN(vec_id) OVER (PARTITION BY vec_hash) AS BIGINT)
+             AS canonical_id,
+           CAST(CASE WHEN vec_id <> MIN(vec_id) OVER (PARTITION BY vec_hash)
+                THEN 1 ELSE 0 END AS INTEGER) AS is_duplicate
+    FROM sig
+    ORDER BY vec_id
+    """,
+    doc="Exact embedding dedup: md5 over the canonical string of the "
+        "QUANTIZED vector (quantization absorbs sub-1e-3 float jitter, "
+        "so re-encoded copies of the same content collide) — run "
+        "before any ANN index build, since duplicate vectors waste "
+        "index space and skew neighbor lists. Same canonical-window "
+        "shape as dedup_exact: only the 32-byte hash shuffles, never "
+        "the vector.",
+    tags=("similarity", "llm", "dedup"),
+)
+def emb_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    quantize(F.col("embedding")), lambda x: x.cast("string")
+                ),
+                ",",
+            )
+        ).alias("vec_hash"),
+    )
+    w = Window.partitionBy("vec_hash")
+    return (
+        emb.withColumn("canonical_id", F.min("vec_id").over(w))
+        .withColumn(
+            "is_duplicate",
+            F.when(F.col("vec_id") != F.col("canonical_id"), 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+        .orderBy("vec_id")
+    )

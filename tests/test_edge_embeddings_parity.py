@@ -38,6 +38,7 @@ EMB_QUERIES = [
     "dedup_embedding_cosine",
     "emb_label_centroid_sim",
     "emb_norm_stats",
+    "emb_dedup_exact",
     "ml_kmeans_step",
     "ml_cluster_separation",
 ]
