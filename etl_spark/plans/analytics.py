@@ -680,3 +680,157 @@ def lineitem_ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "events_signup_to_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                 THEN epoch_us(ts) END) AS first_signup_us,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN epoch_us(ts) END) AS first_purchase_us
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+           CAST(SUM(CASE WHEN first_purchase_us > first_signup_us
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(MIN(CASE WHEN first_purchase_us > first_signup_us
+                    THEN (first_purchase_us - first_signup_us) // 60000000
+                    END) AS BIGINT) AS min_minutes,
+           CAST(MAX(CASE WHEN first_purchase_us > first_signup_us
+                    THEN (first_purchase_us - first_signup_us) // 60000000
+                    END) AS BIGINT) AS max_minutes,
+           CAST(CAST(SUM(CASE WHEN first_purchase_us > first_signup_us
+                         THEN (first_purchase_us - first_signup_us) // 60000000
+                         END) AS DOUBLE)
+                / SUM(CASE WHEN first_purchase_us > first_signup_us
+                      THEN 1 ELSE 0 END) AS DOUBLE) AS avg_minutes
+    FROM firsts
+    WHERE first_signup_us IS NOT NULL
+    """,
+    doc="Activation latency: among users with a signup, how many later "
+        "made their first purchase and how long that took (integer "
+        "minutes from microsecond timestamps — no float time math). "
+        "One conditional-MIN aggregate per user then a single global "
+        "rollup; the per-user pass is map-combinable and the final "
+        "result is one row at any scale.",
+    tags=("events", "aggregation", "product-analytics", "timeseries"),
+)
+def events_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("su"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("pu"),
+    )
+    conv = F.col("pu") > F.col("su")
+    mins = F.expr("(pu - su) div 60000000")
+    return (
+        firsts.filter(F.col("su").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n_signup_users"),
+            F.sum(F.when(conv, 1).otherwise(0)).cast("bigint").alias(
+                "n_converted"
+            ),
+            F.min(F.when(conv, mins)).cast("bigint").alias("min_minutes"),
+            F.max(F.when(conv, mins)).cast("bigint").alias("max_minutes"),
+            (
+                F.sum(F.when(conv, mins)).cast("double")
+                / F.sum(F.when(conv, 1).otherwise(0))
+            )
+            .cast("double")
+            .alias("avg_minutes"),
+        )
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(epoch_us(o_orderdate)) AS last_order_us,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY last_order_us DESC, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey)     AS f_score,
+             NTILE(5) OVER (ORDER BY monetary DESC, o_custkey)      AS m_score
+      FROM per_cust
+    )
+    SELECT CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CASE WHEN r_score = 1 AND f_score <= 2 AND m_score <= 2
+                THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'at_risk'
+                WHEN r_score >= 4 AND f_score >= 4 THEN 'lost'
+                ELSE 'regular' END AS segment
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    doc="RFM customer segmentation: recency/frequency/monetary each "
+        "binned into quintiles (NTILE with deterministic custkey "
+        "tiebreaks — score 1 = best), rolled up to the 125-cell RFM "
+        "grid with business segment labels. Three global NTILE sorts "
+        "over the per-customer aggregate (rows = customers, not "
+        "orders); decimal-exact monetary totals.",
+    tags=("aggregation", "window", "product-analytics"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_spark.functions.money import dec
+
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_micros("o_orderdate")).alias("last_order_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec("o_totalprice", 18, 2)).alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("last_order_us"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") == 1)
+            & (F.col("f_score") <= 2)
+            & (F.col("m_score") <= 2),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "at_risk")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "lost")
+        .otherwise("regular")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            segment.alias("segment"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
