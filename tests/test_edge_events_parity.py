@@ -77,6 +77,7 @@ EVENT_QUERIES = [
     "stats_bool_bit_events",
     "scalar_try_safe_ops",
     "events_activity_heatmap",
+    "events_signup_to_purchase",
 ]
 
 

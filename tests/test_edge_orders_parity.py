@@ -54,6 +54,7 @@ ORDERS_QUERIES = [
     "window_lead_next_order",
     "window_rolling_30d_spend",
     "window_rank_family_orders",
+    "customer_rfm_segments",
 ]
 
 
