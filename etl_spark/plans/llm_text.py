@@ -779,3 +779,109 @@ def text_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overestimate"),
     ).orderBy(F.desc("true_count"), F.asc("term"))
+
+
+ZIPF_TOP_N = 100
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH top_terms AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+      ORDER BY freq DESC, term ASC
+      LIMIT {ZIPF_TOP_N}
+    ),
+    ranked AS (
+      SELECT ROUND(log2(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC)
+                             AS DOUBLE)), 9) AS x,
+             ROUND(log2(CAST(freq AS DOUBLE)), 9) AS y,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rnk
+      FROM top_terms
+    ),
+    arrs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             list(x ORDER BY rnk) AS xs,
+             list(y ORDER BY rnk) AS ys
+      FROM ranked
+    ),
+    sums AS (
+      SELECT n,
+             list_reduce(xs, (a, b) -> a + b) AS sx,
+             list_reduce(ys, (a, b) -> a + b) AS sy,
+             list_reduce(list_transform(list_zip(xs, ys), p -> p[1] * p[2]),
+                         (a, b) -> a + b) AS sxy,
+             list_reduce(list_transform(xs, v -> v * v), (a, b) -> a + b)
+               AS sxx
+      FROM arrs
+    )
+    SELECT n AS n_terms,
+           CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS DOUBLE)
+             AS zipf_slope,
+           CAST(ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                      / n, 9) AS DOUBLE) AS zipf_intercept
+    FROM sums
+    """,
+    doc=f"Zipf's-law fit over the top-{ZIPF_TOP_N} term frequencies: "
+        "least-squares slope of log2(freq) on log2(rank) — natural "
+        "corpora sit near -1; a flat slope flags synthetic/templated "
+        "text. Three portability techniques at once: deterministic "
+        "rank tiebreaks, log2 values ROUNDED to 9 decimals before any "
+        "arithmetic (libm ulp skew), and every float sum folded over "
+        "the rank-ORDERED array in both engines (defined order — "
+        "never SUM()). The fold runs over a config-sized array; the "
+        "only data-sized work is the term count.",
+    tags=("text", "llm", "statistics"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    top = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(ZIPF_TOP_N)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = top.select(
+        F.round(F.log2(F.row_number().over(w).cast("double")), 9).alias("x"),
+        F.round(F.log2(F.col("freq").cast("double")), 9).alias("y"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    arrs = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rnk", "x"))), lambda s: s.x
+        ).alias("xs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rnk", "y"))), lambda s: s.y
+        ).alias("ys"),
+    )
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    sums = arrs.select(
+        "n",
+        fold(F.col("xs")).alias("sx"),
+        fold(F.col("ys")).alias("sy"),
+        F.aggregate(
+            F.zip_with(F.col("xs"), F.col("ys"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("sxy"),
+        fold(F.transform(F.col("xs"), lambda v: v * v)).alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 9).cast("double").alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 9)
+        .cast("double")
+        .alias("zipf_intercept"),
+    )

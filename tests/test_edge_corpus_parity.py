@@ -68,6 +68,7 @@ DOC_QUERIES = [
     "graph_dup_triangles",
     "dedup_crosslingual_content",
     "curation_gate_funnel",
+    "text_zipf_fit",
 ]
 
 
