@@ -834,3 +834,68 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "events_stickiness_monthly",
+    oracle="""
+    WITH day_users AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM day_users GROUP BY d
+    ),
+    mau AS (
+      SELECT date_trunc('month', d) AS m,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM day_users GROUP BY 1
+    )
+    SELECT strftime(m.m, '%Y-%m') AS month,
+           m.mau,
+           CAST(COUNT(*) AS BIGINT) AS active_days,
+           CAST(SUM(d.dau) AS BIGINT) AS dau_day_sum,
+           CAST(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / m.mau AS DOUBLE)
+             AS stickiness
+    FROM mau m
+    JOIN dau d ON date_trunc('month', d.d) = m.m
+    GROUP BY m.m, m.mau
+    ORDER BY month
+    """,
+    doc="Monthly stickiness (avg DAU / MAU — the canonical engagement "
+        "ratio): raw events collapse once to DISTINCT (day, user); "
+        "DAU and MAU both derive from that day-grain table, joined on "
+        "the month. The ratio is exact integer sums divided in a "
+        "fixed order (sum/days/mau), so both engines emit the "
+        "identical double. Only the (day, user) pre-aggregation "
+        "touches raw events.",
+    tags=("events", "aggregation", "product-analytics", "distinct"),
+)
+def events_stickiness_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    day_users = (
+        load(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("d"), "user_id")
+        .distinct()
+    )
+    dau = day_users.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    mau = day_users.groupBy(
+        F.date_trunc("month", "d").alias("m")
+    ).agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        mau.join(dau, F.date_trunc("month", dau.d) == mau.m)
+        .groupBy(F.date_format("m", "yyyy-MM").alias("month"), "mau")
+        .agg(
+            F.count(F.lit(1)).alias("active_days"),
+            F.sum("dau").cast("bigint").alias("dau_day_sum"),
+            (
+                F.sum("dau").cast("double")
+                / F.count(F.lit(1))
+                / F.col("mau")
+            )
+            .cast("double")
+            .alias("stickiness"),
+        )
+        .select("month", "mau", "active_days", "dau_day_sum", "stickiness")
+        .orderBy("month")
+    )

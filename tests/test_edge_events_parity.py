@@ -78,6 +78,7 @@ EVENT_QUERIES = [
     "scalar_try_safe_ops",
     "events_activity_heatmap",
     "events_signup_to_purchase",
+    "events_stickiness_monthly",
 ]
 
 
