@@ -885,3 +885,66 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("zipf_intercept"),
     )
+
+
+VOCAB_BUCKETS = 10
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT term, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    bounds AS (
+      SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs FROM documents
+    ),
+    bucketed AS (
+      SELECT CAST(first_doc * {VOCAB_BUCKETS} // b.n_docs AS BIGINT)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS new_terms
+      FROM first_seen CROSS JOIN bounds b
+      GROUP BY 1
+    )
+    SELECT bucket, new_terms,
+           CAST(SUM(new_terms) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+    FROM bucketed
+    ORDER BY bucket
+    """,
+    doc=f"Heaps'-law vocabulary growth: the corpus is cut into "
+        f"{VOCAB_BUCKETS} ingestion-order slices (doc_id deciles) and "
+        "each term attributes to the slice where it FIRST appears; "
+        "the cumulative curve is the vocabulary-vs-corpus-size "
+        "relation (sublinear for natural text, near-linear for noise "
+        "— the complement of text_zipf_fit's frequency view). One "
+        "first-seen aggregate keyed on term, a broadcast 1-row "
+        "bounds join, and a {VOCAB_BUCKETS}-row window.",
+    tags=("text", "llm", "statistics"),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    first_seen = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bounds = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
+    bucketed = (
+        first_seen.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"first_doc * {VOCAB_BUCKETS} div n_docs").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bucketed.withColumn(
+            "cum_vocab", F.sum("new_terms").over(w).cast("bigint")
+        )
+        .orderBy("bucket")
+    )

@@ -296,3 +296,50 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_anomaly"),
     ).orderBy("event_type", "hour")
+
+
+@register(
+    "events_error_rate_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY hour_ts
+    )
+    SELECT strftime(hour_ts, '{TS_FMT_DUCK}') AS hour,
+           n_events, n_errors,
+           CAST(CAST(n_errors AS DOUBLE) / n_events AS DOUBLE) AS error_rate,
+           CAST(CASE WHEN n_errors * 4 > n_events THEN 1 ELSE 0 END
+                AS INTEGER) AS alert
+    FROM hourly
+    ORDER BY hour
+    """,
+    doc="Hourly error-rate monitor with a threshold alert (rate > 25%, "
+        "stated as the integer cross-multiplication n_errors*4 > "
+        "n_events — no float compare in the alert path). One "
+        "map-combinable conditional aggregate; the SRE dashboard "
+        "query every event pipeline ships first.",
+    tags=("events", "aggregation", "timeseries", "quality"),
+)
+def events_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    return hourly.select(
+        F.date_format("hour_ts", TS_FMT_SPARK).alias("hour"),
+        "n_events",
+        "n_errors",
+        (F.col("n_errors").cast("double") / F.col("n_events"))
+        .cast("double")
+        .alias("error_rate"),
+        F.when(F.col("n_errors") * 4 > F.col("n_events"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("alert"),
+    ).orderBy("hour")

@@ -69,6 +69,7 @@ DOC_QUERIES = [
     "dedup_crosslingual_content",
     "curation_gate_funnel",
     "text_zipf_fit",
+    "text_vocab_growth",
 ]
 
 

@@ -79,6 +79,7 @@ EVENT_QUERIES = [
     "events_activity_heatmap",
     "events_signup_to_purchase",
     "events_stickiness_monthly",
+    "events_error_rate_hourly",
 ]
 
 
