@@ -900,3 +900,59 @@ def dedup_crosslingual_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_langs") > 1)
         .orderBy("content_hash")
     )
+
+
+@register(
+    "dedup_pressure_by_lang",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sig AS (
+      {_minhash_signature_sql()}
+    ),
+    bands AS (
+      {_band_rows_sql()}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+    )
+    SELECT LEAST(da.lang, db.lang)    AS lang_a,
+           GREATEST(da.lang, db.lang) AS lang_b,
+           CAST(COUNT(*) AS BIGINT)   AS n_candidate_pairs
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Near-duplicate pressure by language segment: LSH candidate "
+        "pairs attributed to their documents' language pair "
+        "(order-normalized via LEAST/GREATEST) — same-language cells "
+        "show which sub-corpora need the aggressive near-dup pass, "
+        "off-diagonal cells surface cross-language template reuse. "
+        "Reuses the shared posting-index/LSH machinery; the lang "
+        "attach is two joins against the (doc_id, lang) projection, "
+        "broadcast-sized relative to the pair stream.",
+    tags=("dedup", "llm", "neardup", "lsh", "aggregation"),
+)
+def dedup_pressure_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = lsh_candidates(spark, sf_dir)
+    langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    la = langs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("la")
+    )
+    lb = langs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb")
+    )
+    return (
+        cand.join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .groupBy(
+            F.least("la", "lb").alias("lang_a"),
+            F.greatest("la", "lb").alias("lang_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+        .orderBy("lang_a", "lang_b")
+    )

@@ -70,6 +70,7 @@ DOC_QUERIES = [
     "curation_gate_funnel",
     "text_zipf_fit",
     "text_vocab_growth",
+    "dedup_pressure_by_lang",
 ]
 
 
