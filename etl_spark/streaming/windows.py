@@ -144,3 +144,33 @@ def enriched_category_totals_stream(
             "total_weight",
         )
     )
+
+
+def error_rate_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of events_error_rate_hourly: per-hour error
+    fraction with the same integer cross-multiplied alert (>25%),
+    maintained under a late-data watermark. The conditional-sum
+    aggregate is incrementally mergeable, so the state per open window
+    is two longs — the monitor runs at any event volume."""
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_events",
+            "n_errors",
+            (F.col("n_errors").cast("double") / F.col("n_events"))
+            .cast("double")
+            .alias("error_rate"),
+            F.when(F.col("n_errors") * 4 > F.col("n_events"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("alert"),
+        )
+    )
