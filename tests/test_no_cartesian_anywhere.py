@@ -25,6 +25,7 @@ BNLJ_ALLOWED = {
     "emb_label_centroid_sim":            "k x k label-centroid pairs (k = #labels)",
     "ml_cluster_separation":             "broadcast k-row centroid table",
     "graph_dup_triangles":               "crossJoin of two 1-row aggregates",
+    "text_vocab_growth":                 "1-row corpus-bounds scalar",
 }
 
 
