@@ -215,3 +215,77 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+_STOPWORDS_SQL = "['the', 'a', 'of', 'and', 'to', 'in']"
+
+
+@register(
+    "dq_quality_by_segment",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                      t -> list_contains({_STOPWORDS_SQL}, t))) AS BIGINT)
+               AS n_stop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct,
+             CASE WHEN len(string_split(text, ' ')) < 20 THEN 1 ELSE 0 END
+               AS is_short
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT)        AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)   AS total_tokens,
+           CAST(CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS DOUBLE)
+             AS stopword_ratio,
+           CAST(CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_tokens) AS DOUBLE)
+             AS distinct_ratio,
+           CAST(SUM(is_short) AS BIGINT)   AS n_short_docs
+    FROM per_doc
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    doc="Quality dashboard by corpus segment: the per-document quality "
+        "signals (text_quality_score) rolled up per (lang, source) as "
+        "ratios of EXACT integer sums — corpus-level stopword and "
+        "lexical-diversity rates, short-doc counts — the view a "
+        "curator uses to set per-segment gate thresholds before "
+        "running pipeline_curate_corpus. One map-combinable aggregate; "
+        "per-doc counts are in-row array math, no explode.",
+    tags=("quality", "llm", "text", "aggregation", "curation"),
+)
+def dq_quality_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    stop_arr = F.array(
+        *[F.lit(s) for s in ("the", "a", "of", "and", "to", "in")]
+    )
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+        ).cast("bigint").alias("n_stop"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.when(F.size(toks) < 20, 1).otherwise(0).alias("is_short"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_stop").cast("double") / F.sum("n_tokens"))
+            .cast("double")
+            .alias("stopword_ratio"),
+            (F.sum("n_distinct").cast("double") / F.sum("n_tokens"))
+            .cast("double")
+            .alias("distinct_ratio"),
+            F.sum("is_short").cast("bigint").alias("n_short_docs"),
+        )
+        .orderBy("lang", "source")
+    )

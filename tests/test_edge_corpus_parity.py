@@ -71,6 +71,7 @@ DOC_QUERIES = [
     "text_zipf_fit",
     "text_vocab_growth",
     "dedup_pressure_by_lang",
+    "dq_quality_by_segment",
 ]
 
 
