@@ -200,3 +200,55 @@ def mm_resize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_payload(load(spark, sf_dir, "documents"))
     return resize_payload(docs)
+
+
+@register(
+    "mm_payload_dedup",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, md5(text) AS payload_md5,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT payload_md5,
+           CAST(COUNT(*) AS BIGINT)        AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT)     AS canonical_id,
+           CAST(MIN(n_bytes) AS BIGINT)    AS payload_bytes,
+           CAST((COUNT(*) - 1) * MIN(n_bytes) AS BIGINT) AS wasted_bytes
+    FROM hashed
+    GROUP BY payload_md5
+    HAVING COUNT(*) > 1
+    ORDER BY payload_md5
+    """,
+    doc="Binary payload dedup (the multimodal form of dedup_exact): "
+        "payloads hashed JVM-side, duplicate groups reported with the "
+        "storage they waste — the metric that justifies content-"
+        "addressed payload storage before a multimodal training run. "
+        "Only the 32-byte hash and a length ever shuffle; the payload "
+        "itself stays in place.",
+    tags=("multimodal", "llm", "dedup", "aggregation"),
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("payload", F.encode("text", "utf-8"))
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+    )
+    return (
+        hashed.groupBy("payload_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+            F.min("n_bytes").alias("payload_bytes"),
+            ((F.count(F.lit(1)) - 1) * F.min("n_bytes"))
+            .cast("bigint")
+            .alias("wasted_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("payload_md5")
+    )

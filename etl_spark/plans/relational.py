@@ -750,3 +750,49 @@ def unpivot_returnflag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@register(
+    "supplier_balance_rollup",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_balance,
+           CAST(CAST(SUM(CAST(s.s_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_balance,
+           CAST(SUM(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_debt
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="Supplier account-balance rollup per nation (decimal-exact "
+        "sums, negative-balance count): the remaining base-table "
+        "surface — supplier joins its broadcast nation dim and "
+        "aggregates on the dim attribute. Map-combinable; dim "
+        "broadcast.",
+    tags=("aggregation", "join"),
+)
+def supplier_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.functions.money import dec
+
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(dec("s_acctbal")).cast("double").alias("total_balance"),
+            (F.sum(dec("s_acctbal")).cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("avg_balance"),
+            F.sum(F.when(F.col("s_acctbal") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_in_debt"),
+        )
+        .orderBy("n_name")
+    )

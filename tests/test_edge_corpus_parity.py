@@ -72,6 +72,7 @@ DOC_QUERIES = [
     "text_vocab_growth",
     "dedup_pressure_by_lang",
     "dq_quality_by_segment",
+    "mm_payload_dedup",
 ]
 
 
