@@ -322,36 +322,40 @@ def part_price_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Pareto concentration (the 80/20 query): smallest customer "
         "prefix covering 80% of revenue, via a deterministic cumulative "
-        "decimal sum (revenue desc, custkey tiebreak). The windows run "
-        "over customer-cardinality pre-aggregated rows; cumulative/"
-        "total shares divide doubles cast from exact decimals. MIN "
-        "over the qualifying prefix keeps the result a single stable "
-        "row.",
+        "decimal sum (revenue desc, custkey tiebreak). Spark side runs "
+        "NO unpartitioned window: the running sum and rank come from "
+        "the two-phase prefix computation in operators/ranking.py "
+        "(range buckets + partitioned windows + broadcast bucket "
+        "offsets), and the grand totals ride the same config-sized "
+        "offsets collect as driver literals. Cumulative/total shares "
+        "divide doubles cast from exact decimals. MIN over the "
+        "qualifying prefix keeps the result a single stable row.",
     tags=("window", "aggregation", "bi"),
 )
 def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from etl_spark.operators.ranking import global_rank_cumsum
 
     per_cust = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(dec("o_totalprice", 18, 2)).alias("rev"))
+        .withColumn("neg_rev", -F.col("rev"))
+        # customer-cardinality intermediate: materialize once so the
+        # helper's probe/offset jobs re-read it instead of re-running
+        # the orders scan+agg (ContextCleaner reclaims the blocks).
+        .localCheckpoint(eager=True)
     )
-    order = [F.col("rev").desc(), F.col("o_custkey").asc()]
-    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    ranked = per_cust.select(
-        F.sum("rev").over(w_cum).alias("cum_rev"),
-        F.sum("rev").over(w_all).alias("total_rev"),
-        F.row_number().over(Window.orderBy(*order)).alias("rnk"),
-        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    ranked, totals = global_rank_cumsum(
+        per_cust, key="neg_rev", tie="o_custkey", sums=("rev",), rn_col="rnk"
     )
-    rev_share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
+    total_rev = F.lit(totals["rev"]).cast("double")
+    n_cust = F.lit(totals["n"]).cast("double")
+    rev_share = F.col("cum_rev").cast("double") / total_rev
     return (
         ranked.filter(rev_share >= 0.8)
         .agg(
             F.min("rnk").cast("bigint").alias("customers_for_80pct"),
-            F.min(F.col("rnk").cast("double") / F.col("n_cust")).alias(
+            F.min(F.col("rnk").cast("double") / n_cust).alias(
                 "customer_share"
             ),
             F.min(rev_share).cast("double").alias("revenue_share"),
@@ -780,36 +784,60 @@ def events_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY r_score, f_score, m_score
     """,
     doc="RFM customer segmentation: recency/frequency/monetary each "
-        "binned into quintiles (NTILE with deterministic custkey "
-        "tiebreaks — score 1 = best), rolled up to the 125-cell RFM "
-        "grid with business segment labels. Three global NTILE sorts "
-        "over the per-customer aggregate (rows = customers, not "
-        "orders); decimal-exact monetary totals.",
+        "binned into quintiles (NTILE semantics with deterministic "
+        "custkey tiebreaks — score 1 = best), rolled up to the "
+        "125-cell RFM grid with business segment labels. Spark side "
+        "replaces the three global NTILE sorts (each a single-"
+        "partition WindowExec) with three two-phase prefix ranks over "
+        "the checkpointed per-customer aggregate (operators/"
+        "ranking.py) and computes each quintile as arithmetic on "
+        "(rank, n). Decimal-exact monetary totals.",
     tags=("aggregation", "window", "product-analytics"),
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from etl_spark.functions.money import dec
+    from etl_spark.operators.ranking import (
+        global_rank_cumsum,
+        ntile_from_rank,
+    )
 
     orders = load(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.max(F.unix_micros("o_orderdate")).alias("last_order_us"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(dec("o_totalprice", 18, 2)).alias("monetary"),
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.unix_micros("o_orderdate")).alias("last_order_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec("o_totalprice", 18, 2)).alias("monetary"),
+        )
+        # DESC orders encoded as negated ASC keys for the rank helper.
+        .select(
+            "o_custkey",
+            (-F.col("last_order_us")).alias("neg_r"),
+            (-F.col("frequency")).alias("neg_f"),
+            (-F.col("monetary")).alias("neg_m"),
+        )
+        # customer-cardinality intermediate, read 3×3 times by the
+        # rank passes below: materialize once (ContextCleaner reclaims
+        # the blocks when the DataFrame is collected).
+        .localCheckpoint(eager=True)
     )
-    scored = per_cust.select(
+    ranked, totals = global_rank_cumsum(
+        per_cust, key="neg_r", tie="o_custkey", rn_col="rn_r"
+    )
+    ranked, _ = global_rank_cumsum(
+        ranked, key="neg_f", tie="o_custkey", rn_col="rn_f"
+    )
+    ranked, _ = global_rank_cumsum(
+        ranked, key="neg_m", tie="o_custkey", rn_col="rn_m"
+    )
+    n = totals["n"]
+    scored = ranked.select(
         "o_custkey",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("last_order_us"), F.asc("o_custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .alias("m_score"),
+        ntile_from_rank(F.col("rn_r"), n, 5).alias("r_score"),
+        ntile_from_rank(F.col("rn_f"), n, 5).alias("f_score"),
+        ntile_from_rank(F.col("rn_m"), n, 5).alias("m_score"),
     )
     segment = (
         F.when(

@@ -328,25 +328,34 @@ def stats_mode_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY decile
     ORDER BY decile
     """,
-    doc="Equi-DEPTH histogram via NTILE(10): each bucket holds the "
-        "same row count and the bucket edges are the empirical "
-        "deciles — the complement of agg_value_histogram's equi-width "
-        "buckets. NTILE ties are broken by the (totalprice, orderkey) "
-        "sort, identical in both engines. The global NTILE sort is "
-        "the scale cost (one range-partitioned sort, same as any "
-        "ORDER BY); decimal-exact revenue sums.",
+    doc="Equi-DEPTH histogram with NTILE(10) semantics: each bucket "
+        "holds the same row count and the bucket edges are the "
+        "empirical deciles — the complement of agg_value_histogram's "
+        "equi-width buckets, with ties broken by the (totalprice, "
+        "orderkey) sort in both engines. Spark side avoids the global "
+        "NTILE window (a single-partition WindowExec): exact global "
+        "ranks come from the two-phase prefix computation in "
+        "operators/ranking.py (quantile-probe range buckets + "
+        "partitioned windows + broadcast offsets), and the NTILE "
+        "bucket is pure arithmetic on (rank, n). Decimal-exact "
+        "revenue sums.",
     tags=("aggregation", "statistics", "window"),
 )
 def agg_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    ranked = orders.select(
-        dec("o_totalprice").alias("price"),
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("decile"),
+    from etl_spark.operators.ranking import global_rank_cumsum, ntile_from_rank
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", dec("o_totalprice").alias("price")
+    )
+    ranked, totals = global_rank_cumsum(
+        orders, key="o_totalprice", tie="o_orderkey"
     )
     return (
-        ranked.groupBy("decile")
+        ranked.select(
+            "price",
+            ntile_from_rank(F.col("rn"), totals["n"], 10).alias("decile"),
+        )
+        .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.min("price").cast("double").alias("lo_price"),

@@ -45,3 +45,61 @@ def test_no_unbounded_nested_loops(spark, name):
             "allowlist — if the nested-loop side is config-sized, add "
             "it with a justification; if it is data-sized, fix the plan"
         )
+
+
+# An unpartitioned window (WindowExec with an empty partitionSpec)
+# requires AllTuples — Spark moves EVERY row to one task ("WindowExec:
+# No Partition Defined ... Moving all data to a single partition").
+# That is the second plan shape that cannot survive scale; it is
+# legitimate ONLY over a config-bounded input. Every entry documents
+# why its windowed input cannot grow with the data.
+GLOBAL_WINDOW_ALLOWED = {
+    "text_zipf_fit":                 "top-100 terms (fixed K) ranked globally",
+    "text_vocab_growth":             "10 corpus-fraction buckets (fixed)",
+    "orders_monthly_revenue_growth": "one row per month (calendar-bounded)",
+}
+
+_WINDOW_NODE_CLASSES = {
+    "WindowExec",
+    "WindowInPandasExec",
+    "WindowGroupLimitExec",
+}
+
+
+def _iter_physical_nodes(jnode):
+    """Walk a physical plan tree via py4j, descending through the AQE
+    wrapper and into subquery plans."""
+    yield jnode
+    cls = jnode.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _iter_physical_nodes(jnode.initialPlan())
+        return
+    subq = jnode.subqueries().iterator()
+    while subq.hasNext():
+        yield from _iter_physical_nodes(subq.next())
+    it = jnode.children().iterator()
+    while it.hasNext():
+        yield from _iter_physical_nodes(it.next())
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_single_partition_windows(spark, name):
+    plan = (
+        REGISTRY[name]
+        .builder(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+    offenders = [
+        node.getClass().getSimpleName()
+        for node in _iter_physical_nodes(plan)
+        if node.getClass().getSimpleName() in _WINDOW_NODE_CLASSES
+        and node.partitionSpec().isEmpty()
+    ]
+    if offenders:
+        assert name in GLOBAL_WINDOW_ALLOWED, (
+            f"{name}: unpartitioned {offenders} moves all rows to one "
+            "task — use operators/ranking.py (two-phase prefix rank) "
+            "for data-sized input, or add a justification here if the "
+            "input is genuinely config-bounded"
+        )

@@ -1,0 +1,78 @@
+"""Single-query slice of drive_contract.py for fast iteration:
+``python tools/drive_one.py name [name ...]`` runs just those
+registered queries against the DuckDB oracle at sf0.01 (or
+``DRIVE_SF_DIR``), with the identical compare logic."""
+import os
+import sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .appName("driver-sim-one")
+    .getOrCreate()
+)
+
+SF = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
+con = duckdb.connect()
+con.execute("SET TimeZone='UTC'")
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+qs = E.queries()
+oracles = E.oracle_sql()
+fail = 0
+for name in sys.argv[1:]:
+    if name not in qs:
+        print(f"FAIL {name}: not registered")
+        fail += 1
+        continue
+    t0 = time.time()
+    try:
+        spdf = qs[name](spark, SF).toPandas()
+    except Exception as ex:
+        print(f"FAIL {name}: spark raised {type(ex).__name__}: {str(ex)[:300]}")
+        fail += 1
+        continue
+    if name not in oracles:
+        print(f"rows-only {name}: {len(spdf)} rows  ({time.time()-t0:.1f}s)")
+        continue
+    ddf = con.execute(oracles[name]).df()
+    cols_ok = sorted(spdf.columns) == sorted(ddf.columns)
+    n_ok = len(spdf) == len(ddf)
+    dtype_ok = cols_ok and all(
+        str(spdf[c].dtype) == str(ddf[c].dtype) for c in spdf.columns
+    )
+    dtype_detail = ""
+    if cols_ok and not dtype_ok:
+        dtype_detail = " dtypes=" + ",".join(
+            f"{c}:{spdf[c].dtype}!={ddf[c].dtype}"
+            for c in spdf.columns
+            if str(spdf[c].dtype) != str(ddf[c].dtype)
+        )
+    val_ok = False
+    if cols_ok and n_ok:
+        a = spdf[sorted(spdf.columns)].copy()
+        b = ddf[sorted(ddf.columns)].copy()
+        key = lambda d: d.astype(str).apply(tuple, axis=1).sort_values().values.tolist()
+        val_ok = key(a) == key(b)
+        if not val_ok:
+            ka, kb = key(a), key(b)
+            diffs = [(x, y) for x, y in zip(ka, kb) if x != y][:5]
+            for x, y in diffs:
+                print(f"  spark={x}\n  duck ={y}")
+    status = "OK  " if (cols_ok and n_ok and val_ok and dtype_ok) else "FAIL"
+    if status == "FAIL":
+        fail += 1
+    print(f"{status} {name}: spark={len(spdf)} duck={len(ddf)} cols_ok={cols_ok} "
+          f"dtype_ok={dtype_ok} vals_ok={val_ok}  ({time.time()-t0:.1f}s){dtype_detail}")
+
+print("ALL GREEN" if fail == 0 else f"{fail} FAILURES")
+sys.exit(1 if fail else 0)
