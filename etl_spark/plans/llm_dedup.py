@@ -422,8 +422,25 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs colliding in >= 1 LSH band."""
+_BANDS_CACHE: dict = {}
+
+
+def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, band_idx, band_hash) LSH index — N_BANDS
+    rows per doc, the structure an LSH index materializes at scale.
+
+    Persist + materialize before the self-join: the executed plan
+    shows NO ReusedExchange for the two join sides, so an
+    unmaterialized band table would run the whole signature pass
+    (corpus scan -> md5 -> 16-way min-agg) TWICE. Tracked in the same
+    applicationId-keyed cache as posting_lists so repeated builds
+    reuse ONE persisted entry and a bench clearCache() (which silently
+    unpersists) triggers a rebuild instead of an uncached reuse."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BANDS_CACHE.get(key)
+    if cached is not None and cached.storageLevel.useMemory:
+        return cached
+    _BANDS_CACHE.pop(key, None)  # evict stale/unpersisted entries
     sig = minhash_signatures(spark, sf_dir)
 
     def band_hash(b: int):
@@ -431,18 +448,18 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ((s[0] * 31 + s[1]) * 31 + s[2]) * 31 + s[3]
 
     band_hashes = [band_hash(b) for b in range(N_BANDS)]
-    # Persist + materialize the band table before the self-join: the
-    # executed plan shows NO ReusedExchange for the two join sides, so
-    # an unmaterialized band table would run the whole signature pass
-    # (corpus scan -> md5 -> 16-way min-agg) TWICE. The table is
-    # N_BANDS rows per doc — bounded, and exactly what an LSH index
-    # materializes at scale anyway. Spark's CacheManager keys on the
-    # canonicalized plan, so repeated builder calls reuse one entry.
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
     ).persist()
-    bands.count()
+    bands.count()  # materialize before multi-consumer reuse
+    _BANDS_CACHE[key] = bands
+    return bands
+
+
+def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding in >= 1 LSH band."""
+    bands = _band_table(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -734,8 +751,11 @@ def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .join(F.broadcast(za), "doc_a")
-        .join(F.broadcast(zb), "doc_b")
+        # za/zb are doc-cardinality (one row per document) — plain
+        # equi-joins, AQE picks the strategy; an explicit broadcast of
+        # a data-sized side would OOM at corpus scale.
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
         .join(common, ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
@@ -933,8 +953,9 @@ def dedup_crosslingual_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         "show which sub-corpora need the aggressive near-dup pass, "
         "off-diagonal cells surface cross-language template reuse. "
         "Reuses the shared posting-index/LSH machinery; the lang "
-        "attach is two joins against the (doc_id, lang) projection, "
-        "broadcast-sized relative to the pair stream.",
+        "attach is two plain equi-joins against the (doc_id, lang) "
+        "projection — doc-cardinality, so the join strategy is left "
+        "to AQE rather than forcing a data-sized broadcast.",
     tags=("dedup", "llm", "neardup", "lsh", "aggregation"),
 )
 def dedup_pressure_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -947,8 +968,8 @@ def dedup_pressure_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb")
     )
     return (
-        cand.join(F.broadcast(la), "doc_a")
-        .join(F.broadcast(lb), "doc_b")
+        cand.join(la, "doc_a")
+        .join(lb, "doc_b")
         .groupBy(
             F.least("la", "lb").alias("lang_a"),
             F.greatest("la", "lb").alias("lang_b"),

@@ -325,8 +325,23 @@ def _bucket_column(n_planes: int):
 
 
 def corpus_planes(spark: SparkSession, sf_dir: str) -> int:
-    """Data-derived plane count (one metadata-cheap count job)."""
-    return eff_planes(load(spark, sf_dir, "embeddings").count())
+    """Plane count from the corpus cardinality WITHOUT a per-build
+    count job over the data: config override first (the cluster
+    deployment path — table statistics / catalog row counts supply
+    this), then the parquet footer row count (metadata-only, no row
+    scan), then a count() as the last-resort fallback."""
+    n = spark.conf.get("etl_spark.ann.n_vectors", None)
+    if n is not None:
+        return eff_planes(int(n))
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        return eff_planes(pq.ParquetFile(path).metadata.num_rows)
+    except Exception:
+        return eff_planes(load(spark, sf_dir, "embeddings").count())
 
 
 @register(

@@ -221,10 +221,13 @@ ZSCORE_FLAG = 3.0
       FROM events GROUP BY event_type, hour_ts
     ),
     rolled AS (
+      -- s1/s2 in 128-bit (HUGEINT): cents*cents and the n*s2 - s1*s1
+      -- variance guard exceed int64 for high-volume hours; Spark side
+      -- uses decimal(38,0) for the same sums, both exact.
       SELECT event_type, hour_ts, cents,
              CAST(COUNT(*) OVER w AS BIGINT)      AS n,
-             CAST(SUM(cents) OVER w AS BIGINT)    AS s1,
-             CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2
+             CAST(SUM(CAST(cents AS HUGEINT)) OVER w AS HUGEINT) AS s1,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) OVER w AS HUGEINT) AS s2
       FROM hourly
       WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
                    ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING)
@@ -252,8 +255,10 @@ ZSCORE_FLAG = 3.0
     doc=f"Rolling anomaly detection: each hourly revenue bucket scored "
         f"against the trailing {ZSCORE_WINDOW} buckets' mean/stddev, "
         f"flagged when |z| > {ZSCORE_FLAG}. The window carries exact "
-        "integer (n, Σx, Σx²) — the same portable-moments rule as "
-        "part_price_zscore_by_type, but over a sliding ROWS frame — "
+        "(n, Σx, Σx²) in decimal(38,0) / HUGEINT — the same portable-"
+        "moments rule as part_price_zscore_by_type, but over a "
+        "sliding ROWS frame, 128-bit because Σx² and the variance "
+        "guard exceed int64 for high-volume hours — "
         "so z is derived identically in both engines. Degenerate "
         "windows (n < 2 or zero variance, possible on integer cents) "
         "yield NULL. Windows run over the hourly aggregate, not raw "
@@ -272,13 +277,17 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_ts")
         .rowsBetween(-ZSCORE_WINDOW, -1)
     )
+    # Sufficient statistics in decimal(38,0) (DuckDB: HUGEINT):
+    # cents*cents and the n*s2 - s1*s1 guard both exceed int64 for
+    # high-volume hours; decimal keeps them exact in both engines.
+    cents_d = F.col("cents").cast("decimal(19,0)")
     rolled = hourly.select(
         "event_type",
         "hour_ts",
         "cents",
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum("cents").over(w).alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+        F.sum(cents_d).over(w).alias("s1"),
+        F.sum(cents_d * cents_d).over(w).alias("s2"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
     ok = (n >= 2) & (n * s2 - s1 * s1 > 0)
