@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_spark.io import load
+from etl_spark.io import load, register_views
+from etl_spark.plans.curation import CHUNK_STRIDE, CHUNK_TOKENS
 from etl_spark.plans.registry import register
 
 
@@ -146,6 +147,61 @@ def udaf_weighted_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(wmean("value", "weight").alias("weighted_mean"))
         .orderBy("event_type")
+    )
+
+
+@register(
+    "udtf_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+      WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {CHUNK_STRIDE} AS INTEGER)        AS chunk_idx,
+           array_to_string(t[s:s + {CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+           CAST(LEAST({CHUNK_TOKENS}, len(t) - s + 1) AS INTEGER) AS n_tokens
+    FROM toks, unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS g(s)
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Python UDTF (Spark 4 @udtf) surface demo: one input row → "
+        "many output rows via a LATERAL table-function join, the "
+        "row-expanding twin of text_chunk_windows (same 32-token / "
+        "stride-24 sliding chunks, oracle-identical output). For "
+        "production the built-in HOF form is preferred — it stays "
+        "JVM-side — while this closes the UDF/UDAF/UDTF API trio; "
+        "the UDTF class is defined locally so cloudpickle ships it "
+        "by value (workers don't import etl_spark).",
+    tags=("udf", "udtf", "text", "chunking"),
+)
+def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    # Keep the constants in lockstep with the HOF twin.
+    from etl_spark.plans.curation import CHUNK_STRIDE, CHUNK_TOKENS
+
+    size, stride = CHUNK_TOKENS, CHUNK_STRIDE
+
+    @udtf(returnType="chunk_idx: int, chunk_text: string, n_tokens: int")
+    class ChunkWindows:
+        def eval(self, text):
+            if text is None:
+                return
+            toks = text.split(" ")
+            n = len(toks)
+            for idx, s in enumerate(range(0, n, stride)):
+                yield idx, " ".join(toks[s : s + size]), min(size, n - s)
+
+    spark.udtf.register("chunk_windows_udtf", ChunkWindows)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM documents d, LATERAL chunk_windows_udtf(d.text) c
+        WHERE d.text IS NOT NULL
+        ORDER BY d.doc_id, c.chunk_idx
+        """
     )
 
 

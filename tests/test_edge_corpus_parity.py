@@ -46,6 +46,7 @@ DOC_QUERIES = [
     "text_tfidf_top_terms",
     "mm_binary_payload",
     "udf_token_count_pandas",
+    "udtf_chunk_windows",
     "sample_stratified_docs",
     "text_redact_denylist",
     "text_bigram_counts",
