@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_spark.io import load
-from etl_spark.plans.registry import register
+from etl_spark.plans.registry import REGISTRY, register
 
 # --------------------------------------------------------------------------
 # Exact dedup by content hash.
@@ -549,14 +549,33 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
-    oracle=None,  # iterative fixpoint — not single-statement SQL;
-    # tests/test_graph.py verifies against a Python union-find on the
-    # same pairs.
+    # Min-label propagation to fixpoint labels each vertex with the
+    # MINIMUM id reachable from it — exactly MIN over the recursive
+    # transitive closure, which DuckDB's WITH RECURSIVE (set-semantics
+    # UNION, so it terminates) expresses directly over the same LSH
+    # pair SQL. tests/test_graph.py keeps the union-find property check.
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {{lsh_pairs}}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """.format(lsh_pairs=REGISTRY["dedup_minhash_lsh"].oracle),
     doc="Near-dup clusters: connected components (iterative min-label "
         "propagation, operators/graph.py) over the MinHash-LSH candidate "
         "pairs — the step that turns pairwise matches into canonical "
         "groups a keep-one dedup policy can act on. Every document "
-        "appears; singletons are their own cluster.",
+        "appears; singletons are their own cluster. Oracle: recursive "
+        "reachability closure + MIN — equivalent to the fixpoint label.",
     tags=("dedup", "llm", "graph"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
