@@ -247,8 +247,9 @@ JACCARD_THRESHOLD = 0.05
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = posting_lists(spark, sf_dir)
-    # Per-doc (filtered) set sizes — small, broadcast onto the pair
-    # aggregate so no extra shuffled join touches the pair stream.
+    # Per-doc (filtered) set sizes — doc-cardinality, so NOT force-
+    # broadcast (the round-3 advice class): plain equi-joins, AQE
+    # picks the strategy.
     sizes = (
         posting.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
@@ -279,8 +280,8 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
     )
@@ -317,7 +318,7 @@ CONTAINMENT_THRESHOLD = 0.8
         "10k-token doc has tiny Jaccard but containment 1.0). Shares "
         "the posting-list candidate machinery with dedup_jaccard_pairs: "
         "pairs emit map-side from df-capped lists, one aggregation, "
-        "two broadcast size joins.",
+        "two AQE-planned size joins.",
     tags=("dedup", "llm", "neardup"),
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,8 +347,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     containment = F.col("n_common").cast("double") / F.least("na", "nb")
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(containment >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", containment.alias("containment"))
     )

@@ -8,8 +8,10 @@ the same name; aggregate columns go through the decimal-exact helpers
 in functions/money.py so the value hash is engine-stable.
 
 Scale notes (100 TB posture):
-* Dim tables (nation/region/supplier, and customer vs orders at real
-  TPC-H ratios) are broadcast explicitly — no shuffle on the fact side.
+* Constant dims (nation/region) are broadcast explicitly — no shuffle
+  on the fact side. SF-scaling tables (customer/supplier/part) are
+  never force-broadcast: AQE chooses broadcast while they fit and
+  shuffled joins beyond (policy fenced by tests/test_broadcast_policy.py).
 * Fact-fact joins rely on AQE (skew splitting + coalescing) and carry
   their join keys through the shuffle only once.
 * All filters are plain column predicates on the scan → parquet
@@ -173,16 +175,19 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE o.o_orderstatus = 'F'
     """,
-    doc="Inner equi-join orders⋈customer. customer is the small side → "
-        "broadcast hint; at true TPC-H ratios AQE would pick broadcast "
-        "automatically, the hint makes it deterministic.",
+    doc="Inner equi-join orders⋈customer. customer SCALES WITH SF "
+        "(15 B rows at the 100 TB point), so no forced broadcast — AQE "
+        "picks broadcast at small scale and shuffled hash/SMJ once the "
+        "build side outgrows the threshold. Forced broadcasts are "
+        "reserved for genuinely bounded tables (policy fenced by "
+        "tests/test_broadcast_policy.py).",
     tags=("join",),
 )
 def join_inner_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     cust = load(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .select(
             "o_orderkey",
             "c_custkey",
@@ -529,7 +534,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
             F.broadcast(nation),
             (cust.c_nationkey == nation.n_nationkey)
@@ -657,7 +662,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type") == "PROMO", disc_price
     ).otherwise(F.lit(0).cast("decimal(16,4)"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0)

@@ -122,8 +122,8 @@ Q8_TYPE = "ECONOMY"
     """,
     doc=f"TPC-H-Q8-style market share: {Q8_NATION}'s slice of "
         f"{Q8_REGION}'s {Q8_TYPE}-part market per year. 8-way join — "
-        "every dim broadcasts, the two fact tables (lineitem, orders) "
-        "shuffle once on orderkey; the share is a conditional decimal "
+        "nation/region dims broadcast; part and supplier scale with SF so "
+        "AQE picks their join strategy; the share is a conditional decimal "
         "sum divided in double (identical operands both engines).",
     tags=("join", "aggregation", "conditional"),
 )
@@ -145,8 +145,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(16,4)")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2.n_nationkey"))
@@ -378,7 +378,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     band = (
         (F.col("p_brand") == "Brand#4")
         & F.col("p_size").between(1, 15)
@@ -419,8 +419,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H-Q9-shaped profit rollup (the testdata has no partsupp, "
         "so supply cost is proxied as 8% of retail price — the plan "
         "shape, a 5-way join with a two-table computed measure grouped "
-        "by nation×year, is what's exercised): dims broadcast, the "
-        "lineitem-orders fact join shuffles once, profit arithmetic "
+        "by nation×year, is what's exercised): nation broadcasts, the "
+        "SF-scaling part/supplier sides go through AQE, profit arithmetic "
         "stays in exact decimals until the final double.",
     tags=("join", "aggregation"),
 )
@@ -436,8 +436,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit("0.08").cast("decimal(3,2)")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(

@@ -1,0 +1,133 @@
+"""Broadcast-policy fence: a forced ``F.broadcast`` pins the build side
+into executor memory at EVERY scale — it must only ever wrap a frame
+whose size is bounded by something other than the data (a constant dim,
+a group-bounded aggregate, a limit-capped top-N, a config-sized spine).
+
+Round-3 advice found data-sized broadcasts that shipped behind
+"broadcast-sized" docstrings (doc-cardinality size tables, the full
+customer/supplier/part dims — all SF-scaling). This test makes that
+class unshippable: every ``F.broadcast`` call site in ``etl_spark``
+must appear in the reviewed allowlist below with its boundedness
+argument. Adding a new broadcast means adding a row here — i.e. writing
+down WHY the build side stays small at 100 TB.
+"""
+
+from __future__ import annotations
+
+import ast
+from pathlib import Path
+
+PLANS = Path(__file__).resolve().parent.parent / "etl_spark"
+
+# (module, enclosing function, broadcast argument source) -> why bounded
+ALLOWED: dict[tuple[str, str, str], str] = {
+    ("plans/advanced.py", "join_salted_event_geo", "load(spark, sf_dir, 'nation')"):
+        "nation: constant 25 rows at every TPC-H SF",
+    ("plans/analytics.py", "part_price_zscore_by_type", "stats"):
+        "per-p_type moments: |distinct p_type| = 150, constant",
+    ("plans/analytics.py", "events_value_outliers_mad", "med"):
+        "per-event_type median: 5 event types, constant",
+    ("plans/analytics.py", "events_value_outliers_mad", "mad"):
+        "per-event_type MAD: 5 event types, constant",
+    ("plans/analytics.py", "events_rolling_7d_active_users", "days"):
+        "generated day spine: bounded by the calendar span",
+    ("plans/analytics.py", "events_rolling_7d_active_users_approx", "days"):
+        "generated day spine: bounded by the calendar span",
+    ("plans/curation.py", "sample_mixture_weights", "tot"):
+        "single-row global total",
+    ("plans/curation.py", "sample_mixture_weights", "wsum"):
+        "single-row weighted sum",
+    ("plans/curation.py", "text_decontam_pairs", "ev"):
+        "eval-set shingles: decontamination assumes a benchmark-sized "
+        "eval suite, orders of magnitude below the training corpus "
+        "(the standard production assumption; documented in the plan)",
+    ("plans/events.py", "events_hourly_gapfill", "agg"):
+        "hourly per-type aggregate: rows = hours x 5 types, grid-bounded",
+    ("plans/events.py", "events_hourly_locf", "agg"):
+        "hourly per-type aggregate: rows = hours x 5 types, grid-bounded",
+    ("plans/frames.py", "range_join_value_buckets", "buckets"):
+        "config-defined bucket edge table",
+    ("plans/llm_dedup.py", "drop_stop_shingles", "hot"):
+        "stop-shingle heavy-hitter list: shingles with df > cap; under "
+        "any Zipfian corpus the over-cap set is a vanishing fraction of "
+        "the vocabulary (it is exactly the boilerplate head)",
+    ("plans/llm_text.py", "text_langid_ngram", "profile"):
+        "language trigram profiles: config table, ~langs x top-k rows",
+    ("plans/llm_text.py", "text_cms_term_counts", "cms"):
+        "count-min sketch: K x W cells, config-sized",
+    ("plans/llm_text.py", "text_vocab_growth", "bounds"):
+        "single-row corpus bounds",
+    ("plans/llm_text.py", "text_oov_rate", "vocab"):
+        "vocabulary capped by .limit(VOCAB_SIZE)",
+    ("plans/ml.py", "ml_cluster_separation", "cent"):
+        "k x dim centroid table, config-sized",
+    ("plans/relational.py", "join_broadcast_geo_rollup", "region"):
+        "region: constant 5 rows",
+    ("plans/relational.py", "join_broadcast_geo_rollup", "nation"):
+        "nation: constant 25 rows",
+    ("plans/relational.py", "q5_local_supplier_volume", "nation"):
+        "nation: constant 25 rows",
+    ("plans/relational.py", "supplier_balance_rollup", "nation"):
+        "nation: constant 25 rows",
+    ("plans/relational.py", "q10_returned_revenue_top20", "nation"):
+        "nation: constant 25 rows",
+    ("plans/stats.py", "stats_string_agg_nations", "region"):
+        "region: constant 5 rows",
+    ("plans/subqueries.py", "q8_market_share", "n1"):
+        "nation alias: constant 25 rows",
+    ("plans/subqueries.py", "q8_market_share", "n2"):
+        "nation alias: constant 25 rows",
+    ("plans/subqueries.py", "q8_market_share", "region"):
+        "region: constant 5 rows",
+    ("plans/subqueries.py", "q9_profit_by_nation_year", "nation"):
+        "nation: constant 25 rows",
+    ("streaming/windows.py", "enriched_category_totals_stream", "dim"):
+        "EVENT_TYPE_DIM constant: 5 rows",
+}
+
+
+def _broadcast_sites():
+    sites = []
+    for path in sorted(PLANS.rglob("*.py")):
+        rel = str(path.relative_to(PLANS))
+        tree = ast.parse(path.read_text())
+        spans = [
+            (n.name, n.lineno, n.end_lineno)
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and node.args
+            ):
+                # innermost enclosing function
+                fn = "<module>"
+                best = None
+                for name, a, b in spans:
+                    if a <= node.lineno <= b and (best is None or a > best):
+                        fn, best = name, a
+                sites.append((rel, fn, ast.unparse(node.args[0]), node.lineno))
+    return sites
+
+
+def test_every_forced_broadcast_is_allowlisted():
+    unreviewed = [
+        f"{rel}:{line} in {fn}: F.broadcast({arg})"
+        for rel, fn, arg, line in _broadcast_sites()
+        if (rel, fn, arg) not in ALLOWED
+    ]
+    assert not unreviewed, (
+        "Forced broadcast without a boundedness review — either the "
+        "build side is data-sized (drop the hint, let AQE choose) or it "
+        "is bounded (add it to ALLOWED with the argument):\n"
+        + "\n".join(unreviewed)
+    )
+
+
+def test_allowlist_has_no_stale_entries():
+    live = {(rel, fn, arg) for rel, fn, arg, _ in _broadcast_sites()}
+    stale = [k for k in ALLOWED if k not in live]
+    assert not stale, f"ALLOWED entries no longer in code: {stale}"
