@@ -115,8 +115,14 @@ _SHINGLE_CACHE: dict = {}
 
 
 def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unfiltered (doc_id, shingle) rows, one per distinct shingle per doc."""
-    toks = F.split(F.col("text"), " ")
+    """Unfiltered (doc_id, shingle) rows, one per distinct shingle per doc.
+
+    The token array is materialized in its own projection before the
+    shingle transform: slice(split(text), ...) inside the lambda would
+    re-split the text once per shingle — O(n²) per document in the
+    hottest loop of the dedup family.
+    """
+    toks = F.col("toks")
     sh = F.when(
         F.size(toks) >= NGRAM,
         F.array_distinct(
@@ -135,6 +141,7 @@ def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .select("doc_id", F.explode(sh).alias("shingle"))
     )
 

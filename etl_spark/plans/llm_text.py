@@ -273,44 +273,82 @@ REP_TOP_BIGRAM_MAX = 0.2  # one bigram dominating = templated/spammy text
         "duplicate-token fraction, most-frequent-bigram share, and the "
         "fraction of bigram occurrences belonging to repeated bigrams, "
         "plus a threshold flag — the standard pre-training boilerplate/"
-        "spam filter. One explode and one two-level aggregate keyed by "
-        "doc_id (per-doc constants ride in the grouping key, so there "
-        "is no join); all ratios are single divisions of exact integer "
-        "counts, hence hash-stable. Documents with fewer than two "
-        "tokens have no bigrams and are excluded by both engines "
-        "(explode and unnest both drop empty arrays); the Spark "
-        "sequence() is guarded so such docs can never produce the "
-        "descending-sequence bogus n-grams the round-2 advice flagged "
-        "on text_langid_ngram.",
+        "spam filter. Shuffle-free: bigram counts are run-lengths of "
+        "the SORTED in-row bigram array (array_sort + F.aggregate "
+        "scan), so the plan is a narrow map over the scan — no explode, "
+        "no groupBy, nothing leaves its document at any scale. All "
+        "ratios are single divisions of exact integer counts, hence "
+        "hash-stable. Documents with fewer than two tokens are "
+        "filtered out up front (the oracle's unnest drops them too), "
+        "which also keeps sequence(1, n-1) ascending — the "
+        "descending-sequence bogus-n-gram trap the round-2 advice "
+        "flagged on text_langid_ngram.",
     tags=("text", "llm", "quality", "curation"),
 )
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = tokens_col()
+    # All three signals are PER-DOCUMENT, so no row should ever leave
+    # its document: instead of explode -> two shuffled groupBys (a
+    # ~200x row multiplication at this corpus' token counts), sort the
+    # bigram array in-row and run-length-scan it with F.aggregate. The
+    # whole query is then a narrow map over the parquet scan — zero
+    # shuffles at any scale. Two pitfalls encoded here: (1) the token
+    # array is materialized in its own projection first, because
+    # element_at(split(text), i) inside a transform() lambda re-runs
+    # the split per element — O(n²) per document (profiled at ~10x);
+    # (2) the run-length sentinel "" can never collide with a real
+    # bigram (every bigram contains the joining space).
+    toks = F.col("toks")
     n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    per_bigram = (
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    base = (
         load(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col().alias("toks"))
+        .filter(n >= 2)  # <2 tokens: no bigrams; both engines drop the doc
         .select(
             "doc_id",
             n.alias("n_tokens"),
             F.size(F.array_distinct(toks)).alias("n_distinct"),
-            F.explode(bigrams).alias("bigram"),
+            F.array_sort(bigrams).alias("bg"),
         )
-        .groupBy("doc_id", "n_tokens", "n_distinct", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
     )
-    agg = per_bigram.groupBy("doc_id", "n_tokens", "n_distinct").agg(
-        F.max("c").alias("mx"),
-        F.sum("c").alias("tot"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias("dup"),
+    zero = F.lit(0).cast("bigint")
+    acc0 = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("mx"), zero.alias("dup")
+    )
+
+    def step(acc, x):
+        same = x == acc["prev"]
+        run_done = F.when(acc["run"] >= 2, acc["run"]).otherwise(zero)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.when(same, acc["mx"]).otherwise(F.greatest(acc["mx"], acc["run"])).alias("mx"),
+            F.when(same, acc["dup"]).otherwise(acc["dup"] + run_done).alias("dup"),
+        )
+
+    def finish(acc):
+        run_done = F.when(acc["run"] >= 2, acc["run"]).otherwise(zero)
+        return F.struct(
+            F.greatest(acc["mx"], acc["run"]).alias("mx"),
+            (acc["dup"] + run_done).alias("dup"),
+        )
+
+    agg = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.size("bg").cast("bigint").alias("tot"),
+        F.aggregate("bg", acc0, step, finish).alias("r"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "tot",
+        F.col("r.mx").alias("mx"),
+        F.col("r.dup").alias("dup"),
     )
     dup_token_frac = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col(
         "n_tokens"
@@ -493,18 +531,25 @@ SHINGLE_K = 5
     tags=("text", "llm", "fingerprint"),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = tokens_col()
+    # toks is materialized in its own projection first: slice(split(
+    # text), ...) inside the transform() lambda would re-split the text
+    # per shingle — O(n²) per doc (same pitfall as repetition_signals).
+    toks = F.col("toks")
     n = F.size(toks)
     shingle_hashes = F.transform(
         F.sequence(F.lit(0), n - SHINGLE_K),
         lambda i: F.md5(F.array_join(F.slice(toks, i + 1, SHINGLE_K), " ")),
     )
-    return load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.md5("text").alias("content_md5"),
-        F.when(n >= SHINGLE_K, F.array_min(shingle_hashes))
-        .otherwise(F.lit(None).cast("string"))
-        .alias("shingle_fingerprint"),
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", tokens_col().alias("toks"))
+        .select(
+            "doc_id",
+            F.md5("text").alias("content_md5"),
+            F.when(n >= SHINGLE_K, F.array_min(shingle_hashes))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("shingle_fingerprint"),
+        )
     )
 
 

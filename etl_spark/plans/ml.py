@@ -173,20 +173,28 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = None
         for _ in range(MAX_ITERS):
             assigned = _assign(emb, centroids)
-            assigned.persist()
             n_iter += 1
-            inertia = assigned.agg(F.sum("d2").alias("i")).collect()[0]["i"]
+            # ONE action per iteration: the k × dim centroid sums and
+            # the scalar inertia ride the same partial-aggregated job
+            # (every point contributes its d2 at each pos, so the
+            # per-cluster inertia is read off the pos==0 rows). Two
+            # separate actions here would run the assignment pass twice
+            # per iteration — or force a corpus-sized persist/unpersist
+            # cycle every round, which is cache churn at 100 TB.
+            sums = (
+                assigned.select("cluster", "d2", F.posexplode("q").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(
+                    F.sum("x").alias("sx"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("d2").alias("sd2"),
+                )
+                .collect()
+            )
+            inertia = sum(row["sd2"] for row in sums if row["pos"] == 0)
             if prev_inertia is not None and inertia >= prev_inertia:
                 break
             prev_inertia = inertia
-            # Centroid update: k × dim output rows however big the corpus —
-            # partial aggregation does the heavy lifting executor-side.
-            sums = (
-                assigned.select("cluster", F.posexplode("q").alias("pos", "x"))
-                .groupBy("cluster", "pos")
-                .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
             by_cluster: dict[int, list[float]] = {}
             for row in sums:
                 vec = by_cluster.setdefault(row["cluster"], [0.0] * len(centroids[0]))
@@ -195,7 +203,6 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             centroids = [
                 by_cluster.get(c, centroids[c]) for c in range(K_CLUSTERS)
             ]
-            assigned.unpersist()
         return (
             _cluster_stats(assigned, exact=False)
             .withColumn("n_iter", F.lit(n_iter))
