@@ -839,7 +839,18 @@ def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm", "neardup", "graph"),
 )
 def graph_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Four consumers (e1/e2/e3/n_edges) read the edge table; without a
+    # materialization the whole jaccard pair pipeline re-executes per
+    # consumer (ReusedExchange only covers the shared first exchange).
+    # localCheckpoint truncates lineage AND materializes once; the
+    # post-threshold edge set is orders of magnitude smaller than the
+    # corpus (the docstring's 100 TB argument), so checkpoint storage
+    # is cheap at any scale.
+    edges = (
+        dedup_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     e1 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
     e2 = edges.select(F.col("doc_a").alias("y"), F.col("doc_b").alias("z"))
     e3 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("z"))

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark.io import load
-from etl_spark.plans.llm_similarity import _vec_cte, quantize
+from etl_spark.plans.llm_similarity import DIM, _vec_cte, quantize
 from etl_spark.plans.registry import register
 
 K_CLUSTERS = 8
@@ -141,20 +141,98 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_stats(assigned, exact=True).orderBy("cluster")
 
 
+def _lloyd_oracle_sql() -> str:
+    """Unrolled Lloyd oracle: MAX_ITERS is a compile-time constant, so
+    the 'iterative fixpoint' objection to SQL dissolves — generate one
+    CTE trio (distances, argmin assignment, lattice centroid update)
+    per iteration, compute every iteration's inertia, and read the
+    stats off the first non-improving iteration. Exactness carries
+    because centroids stay on the integer quantization lattice (same
+    half-away integer rounding formula as the Spark loop)."""
+    parts = [f"WITH vec AS MATERIALIZED ({_vec_cte()}),"]
+    parts.append(
+        f"c0 AS MATERIALIZED (SELECT vec_id AS cluster, q AS cq FROM vec "
+        f"WHERE vec_id < {K_CLUSTERS}),"
+    )
+    for i in range(1, MAX_ITERS + 1):
+        p = i - 1
+        parts.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT v.vec_id, c.cluster,
+             v.norm + CAST(list_dot_product(c.cq, c.cq) AS BIGINT)
+                    - 2 * CAST(list_dot_product(v.q, c.cq) AS BIGINT) AS d2
+      FROM vec v CROSS JOIN c{p} c
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT vec_id, cluster, d2, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM d{i}) WHERE rn = 1
+    ),
+    u{i} AS (
+      SELECT a.cluster, p.pos, SUM(v.q[p.pos]) AS sx, COUNT(*) AS n
+      FROM a{i} a JOIN vec v USING (vec_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS pos) p
+      GROUP BY a.cluster, p.pos
+    ),
+    r{i} AS (
+      SELECT cluster,
+             list(CASE WHEN sx >= 0 THEN (2 * sx + n) // (2 * n)
+                       ELSE -(((-2 * sx) + n) // (2 * n)) END
+                  ORDER BY pos) AS cq
+      FROM u{i} GROUP BY cluster
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT prev.cluster, COALESCE(r.cq, prev.cq) AS cq
+      FROM c{p} prev LEFT JOIN r{i} r USING (cluster)
+    ),""")
+    inertia_rows = "\n      UNION ALL ".join(
+        f"SELECT {i} AS it, (SELECT SUM(d2) FROM a{i}) AS v"
+        for i in range(1, MAX_ITERS + 1)
+    )
+    tagged = "\n      UNION ALL ".join(
+        f"SELECT {i} AS it, vec_id, cluster, d2 FROM a{i}"
+        for i in range(1, MAX_ITERS + 1)
+    )
+    parts.append(f"""
+    inertias AS (
+      {inertia_rows}
+    ),
+    stop AS (
+      SELECT COALESCE((SELECT MIN(cur.it) FROM inertias cur
+                       JOIN inertias prev ON prev.it = cur.it - 1
+                       WHERE cur.v >= prev.v), {MAX_ITERS}) AS n_iter
+    ),
+    tagged AS (
+      {tagged}
+    )
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(d2) AS BIGINT) AS inertia,
+           CAST((SELECT n_iter FROM stop) AS INTEGER) AS n_iter
+    FROM tagged WHERE it = (SELECT n_iter FROM stop)
+    GROUP BY cluster
+    ORDER BY cluster""")
+    return "\n".join(parts)
+
+
 @register(
     "ml_kmeans_lloyd",
-    oracle=None,  # iterative fixpoint: not SQL-expressible; bounds in tests/test_ml.py
+    oracle=_lloyd_oracle_sql(),
     doc=f"Full Lloyd's algorithm to convergence (≤{MAX_ITERS} iters, "
         f"k={K_CLUSTERS}): alternate the one-scan assignment step with "
         "a dimension-bounded centroid update (posexplode → "
         "groupBy(cluster, pos) sum → k×dim rows to the driver — the "
         "config-sized convergence channel, same contract as "
         "operators/graph.py's counters). Stops when inertia stops "
-        "improving. Returns final per-cluster size, "
-        "inertia (exact BIGINT on the seed pass, double thereafter), "
-        "and the iteration count. Verified by tests/test_ml.py: "
-        "iteration 1 equals ml_kmeans_step exactly; inertia is "
-        "monotonically non-increasing.",
+        "improving. Centroids are rounded onto the integer quantization "
+        "lattice each update (exact half-away integer formula), so "
+        "every distance, tie-break and inertia stays an exact BIGINT "
+        "through ALL iterations — making even the full iterative loop "
+        "hash-checkable against an unrolled DuckDB oracle "
+        "(MAX_ITERS is a constant, so the fixpoint unrolls to "
+        f"{MAX_ITERS} generated CTE iterations + a first-non-improving "
+        "selector). tests/test_ml.py keeps the descent properties.",
     tags=("ml", "kmeans", "llm", "iterative", "pandas-udf"),
 )
 def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,13 +276,26 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             by_cluster: dict[int, list[float]] = {}
             for row in sums:
                 vec = by_cluster.setdefault(row["cluster"], [0.0] * len(centroids[0]))
-                vec[row["pos"]] = row["sx"] / row["n"]
+                # Integer-lattice centroid: round the mean HALF-AWAY in
+                # exact integer arithmetic ((2|sx|+n)//(2n), sign
+                # restored). Keeping centroids on the quantization
+                # lattice keeps every distance, tie-break and inertia an
+                # exact BIGINT through ALL iterations — which is what
+                # lets the full iterative loop be hash-checked against
+                # the unrolled DuckDB oracle (same formula there).
+                sx, cnt = int(row["sx"]), int(row["n"])
+                val = (
+                    (2 * sx + cnt) // (2 * cnt)
+                    if sx >= 0
+                    else -((-2 * sx + cnt) // (2 * cnt))
+                )
+                vec[row["pos"]] = float(val)
             # Empty clusters keep their previous centroid.
             centroids = [
                 by_cluster.get(c, centroids[c]) for c in range(K_CLUSTERS)
             ]
         return (
-            _cluster_stats(assigned, exact=False)
+            _cluster_stats(assigned, exact=True)
             .withColumn("n_iter", F.lit(n_iter))
             .orderBy("cluster")
         )
