@@ -346,8 +346,41 @@ def corpus_planes(spark: SparkSession, sf_dir: str) -> int:
 
 @register(
     "sim_ann_lsh_probe",
-    oracle=None,  # approximate by design — recall vs the exact
-    # brute-force baseline is bounded in tests/test_ann_recall.py.
+    # Approximate ≠ non-deterministic: the probe is an exact integer/
+    # correctly-rounded-double function of the data (md5 planes,
+    # BIGINT projections, exact cosine), so DuckDB replays the entire
+    # ANN pipeline — data-derived plane count, bucketing, Hamming-1
+    # probe fan-out, candidate scoring, top-1 — bit-for-bit. RECALL vs
+    # the brute-force baseline stays bounded in tests/test_ann_recall.py.
+    oracle=f"""
+    WITH vec AS MATERIALIZED ({_vec_cte()}),
+    np AS (SELECT {_EFF_PLANES_SQL} AS n),
+    b AS MATERIALIZED (
+      SELECT vec_id, q, norm,
+             {_EFF_BUCKET_SQL.format(bucket=_bucket_sql())} AS bucket
+      FROM vec WHERE norm > 0
+    ),
+    probes AS (
+      SELECT b.vec_id AS query_id, b.q AS q_q, b.norm AS norm_q,
+             CASE WHEN g.p = 0 THEN b.bucket
+                  ELSE xor(b.bucket, CAST(pow(2, g.p - 1) AS BIGINT))
+             END AS bucket
+      FROM b CROSS JOIN (
+        SELECT unnest(generate_series(0, (SELECT n FROM np))) AS p) g
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS nn_id,
+             CAST(list_dot_product(p.q_q, c.q) AS DOUBLE)
+               / sqrt(CAST(p.norm_q AS DOUBLE) * CAST(c.norm AS DOUBLE))
+               AS cos_sim
+      FROM probes p JOIN b c USING (bucket)
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, nn_id, cos_sim FROM (
+      SELECT query_id, nn_id, cos_sim, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, nn_id ASC) AS rn
+      FROM scored) WHERE rn = 1
+    """,
     doc="End-to-end ANN query: sign-LSH bucketing (log2(corpus)-scaled "
         "plane count) with Hamming-1 multiprobe — each vector probes "
         "its own bucket plus the single-bit-flip neighbors, scores only "

@@ -22,6 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark.io import load, register_views
+from etl_spark.operators.media import (
+    FRAME_BYTES,
+    FRAME_SAMPLE_EVERY,
+    RESIZE_TARGET_BYTES,
+)
 from etl_spark.plans.curation import CHUNK_STRIDE, CHUNK_TOKENS
 from etl_spark.plans.registry import register
 
@@ -207,8 +212,29 @@ def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_extract_features",
-    oracle=None,  # Pandas-UDF pipeline; verified rows-only by the driver,
-    # exactly by tests/test_multimodal.py against pure-Python recompute.
+    # The fake decode is a pure deterministic function of the payload
+    # bytes, and the corpus is ASCII (byte == char — asserted by the
+    # oracle's first CTE refusing non-ASCII rows via octet_length =
+    # length), so DuckDB replays the byte math over text: stride-64
+    # signature, 256-byte frame count, exact integer-ratio mean.
+    oracle=f"""
+    WITH ascii_docs AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents
+      WHERE octet_length(encode(text)) = length(text)
+    )
+    SELECT doc_id,
+      CAST(n AS INTEGER) AS n_bytes,
+      CAST(n // {FRAME_BYTES} + 1 AS INTEGER) AS n_frames,
+      md5(list_aggr(list_transform(generate_series(1, n, 64),
+                                   i -> text[i]), 'string_agg', ''))
+        AS frame_signature,
+      CASE WHEN n = 0 THEN 0.0
+           ELSE CAST(list_sum(list_transform(generate_series(1, n),
+                                             i -> ord(text[i]))) AS DOUBLE) / n
+      END AS mean_byte
+    FROM ascii_docs
+    """,
     doc="Arrow-batched mapInPandas feature extraction over binary "
         "payloads (operators/media.py): deterministic fake decode "
         "standing in for image/audio codecs, real batch plumbing.",
@@ -223,9 +249,21 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample",
-    oracle=None,  # byte-level framing is not SQL-expressible (DuckDB
-    # cannot slice BLOBs); tests/test_multimodal.py recomputes every
-    # frame exactly in pure Python.
+    # Byte-level framing IS SQL-expressible on this corpus: ASCII means
+    # byte slices are char slices, so every sampled frame is a
+    # substring and its md5 matches the Python frame md5 exactly.
+    oracle=f"""
+    SELECT d.doc_id,
+      CAST(g.idx AS INTEGER) AS frame_idx,
+      CAST(length(substring(d.text, g.idx * {FRAME_BYTES} + 1,
+                            {FRAME_BYTES})) AS INTEGER) AS frame_bytes,
+      md5(substring(d.text, g.idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+        AS frame_md5
+    FROM (SELECT doc_id, text FROM documents
+          WHERE octet_length(encode(text)) = length(text)) d,
+         UNNEST(generate_series(0, length(d.text) // {FRAME_BYTES},
+                                {FRAME_SAMPLE_EVERY})) AS g(idx)
+    """,
     doc="Frame sampling over binary payloads (the video-pipeline "
         "stand-in): fixed-size byte frames, every 2nd emitted as its "
         "own row — a 1:N mapInPandas whose output batches are larger "
@@ -243,8 +281,18 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_resize_payload",
-    oracle=None,  # byte-level truncate/pad not SQL-expressible on
-    # BLOBs; exact pure-Python recompute in tests/test_multimodal.py.
+    # Truncate-or-zero-pad replayed as substring + rpad(chr(0)) —
+    # DuckDB VARCHARs carry embedded NULs, so the md5 matches the
+    # padded-bytes md5 bit-for-bit on the ASCII corpus.
+    oracle=f"""
+    SELECT doc_id,
+      CAST(length(text) AS INTEGER) AS orig_bytes,
+      CAST({RESIZE_TARGET_BYTES} AS INTEGER) AS new_bytes,
+      md5(rpad(substring(text, 1, {RESIZE_TARGET_BYTES}),
+               {RESIZE_TARGET_BYTES}, chr(0))) AS resized_md5
+    FROM documents
+    WHERE octet_length(encode(text)) = length(text)
+    """,
     doc="Resize stage (image-resize stand-in): every payload truncated "
         "or zero-padded to a constant size, output fingerprinted — the "
         "deterministic 1:1 mapInPandas batch shape of a real decoder-"
