@@ -54,6 +54,11 @@ def main() -> None:
         print(f"# {name}: {rows} rows in {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    # Shared host: co-tenant load swings wall times 2-3x, so record the
+    # load average alongside — a sweep at load 15 is not comparable to
+    # one at load 2.
+    import os
+
     print(
         json.dumps(
             {
@@ -61,6 +66,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(times),
+                "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
                 "queries": times,
                 "failures": failures,
                 "sf": sf_dir,
