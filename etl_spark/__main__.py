@@ -36,8 +36,11 @@ def main(
 
     args = sys.argv[1:] if argv is None else argv
     workflows_dir = pathlib.Path(args[0]) if args else pathlib.Path("data")
-    spark = spark or get_spark("test-etl-live")
+    # API session FIRST (the reference's order, main.py:188): a missing
+    # token must fail before the multi-second Spark/JVM bring-up, or
+    # "fails fast" in the module docstring would be a lie.
     session = session_factory()
+    spark = spark or get_spark("test-etl-live")
     try:
         run_pipeline(
             session, workflows_dir, spark, now_function=now_function or utcnow

@@ -81,7 +81,14 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 }
             )
 
-    return df.select("doc_id", payload_col).mapInPandas(batches, schema=FEATURE_SCHEMA)
+    # A NULL payload has nothing to decode — skip it (empty payloads
+    # b"" are decoded normally). Without this, `len(None)` would kill
+    # the whole task on the first row with a missing payload.
+    return (
+        df.select("doc_id", payload_col)
+        .where(F.col(payload_col).isNotNull())
+        .mapInPandas(batches, schema=FEATURE_SCHEMA)
+    )
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
@@ -143,7 +150,12 @@ def sample_frames(
                 }
             )
 
-    return df.select("doc_id", payload_col).mapInPandas(batches, schema=FRAME_SCHEMA)
+    # NULL payloads: nothing to frame — skip (see extract_features).
+    return (
+        df.select("doc_id", payload_col)
+        .where(F.col(payload_col).isNotNull())
+        .mapInPandas(batches, schema=FRAME_SCHEMA)
+    )
 
 
 RESIZE_TARGET_BYTES = 512
@@ -186,4 +198,9 @@ def resize_payload(
                 }
             )
 
-    return df.select("doc_id", payload_col).mapInPandas(batches, schema=RESIZE_SCHEMA)
+    # NULL payloads: nothing to resize — skip (see extract_features).
+    return (
+        df.select("doc_id", payload_col)
+        .where(F.col(payload_col).isNotNull())
+        .mapInPandas(batches, schema=RESIZE_SCHEMA)
+    )

@@ -132,21 +132,32 @@ def global_rank_cumsum(
                 )
     totals = {"n": run["n"], **{c: run[c] for c in sums}}
 
-    def lookup(vals: list, null_as=None) -> Column:
+    def lookup(vals: list, null_as=None, cast: str | None = None) -> Column:
         arr = F.array(
             *[
                 F.lit(v) if v is not None else F.lit(null_as)
                 for v in vals
             ]
         )
+        if cast is not None:
+            arr = arr.cast(f"array<{cast}>")
         return F.element_at(arr, F.col("__bucket") + 1)
 
     w = Window.partitionBy("__bucket").orderBy(
         F.col(key).asc(), F.col(tie).asc()
     )
+    # row_number() is IntegerType; cast BEFORE adding the bigint
+    # offsets so the sum can't wrap int32 (ANSI Spark would error, and
+    # int offsets below 2^31 would otherwise keep the addition 32-bit
+    # even when the global rank exceeds it). row_number itself bounds
+    # a SINGLE bucket at 2^31-1 rows — at that point raise n_buckets
+    # (etl_spark.rank.buckets); boundary ties concentrating more than
+    # 2^31 rows on one key value are the one true limit of this
+    # primitive.
     out = bucketed.withColumn(
         rn_col,
-        (F.row_number().over(w) + lookup(offsets["n"])).cast("bigint"),
+        F.row_number().over(w).cast("bigint")
+        + lookup(offsets["n"], cast="bigint"),
     )
     w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
     for c in sums:

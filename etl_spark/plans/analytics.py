@@ -818,9 +818,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("frequency")).alias("neg_f"),
             (-F.col("monetary")).alias("neg_m"),
         )
-        # customer-cardinality intermediate, read 3×3 times by the
-        # rank passes below: materialize once (ContextCleaner reclaims
-        # the blocks when the DataFrame is collected).
+        # customer-cardinality intermediate, re-read by each rank
+        # pass's probe/offset jobs: materialize once (ContextCleaner
+        # reclaims the blocks when the DataFrame is collected). The
+        # chained passes do NOT re-execute earlier windows: a pass's
+        # probe/offset jobs reference only its own key column, so
+        # Catalyst column-pruning drops the prior Window nodes from
+        # those jobs entirely (pinned by
+        # tests/test_ranking.py::test_unreferenced_window_is_pruned);
+        # only the single final job runs all three windows.
         .localCheckpoint(eager=True)
     )
     ranked, totals = global_rank_cumsum(

@@ -265,7 +265,12 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(
                     F.sum("x").alias("sx"),
                     F.count(F.lit(1)).alias("n"),
-                    F.sum("d2").alias("sd2"),
+                    # d2 is exact-integer-valued but typed double; sum
+                    # it as BIGINT (like _cluster_stats(exact=True)) so
+                    # the corpus-wide total can't lose exactness past
+                    # 2^53 — the convergence comparison below must see
+                    # the same integer the unrolled oracle computes.
+                    F.sum(F.col("d2").cast("bigint")).alias("sd2"),
                 )
                 .collect()
             )

@@ -183,9 +183,8 @@ def udaf_weighted_value_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    # Keep the constants in lockstep with the HOF twin.
-    from etl_spark.plans.curation import CHUNK_STRIDE, CHUNK_TOKENS
-
+    # Module-level CHUNK_* constants (shared with the oracle f-string)
+    # rebound to plain locals so the UDTF closure stays self-contained.
     size, stride = CHUNK_TOKENS, CHUNK_STRIDE
 
     @udtf(returnType="chunk_idx: int, chunk_text: string, n_tokens: int")
@@ -210,13 +209,24 @@ def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The mm_* oracles replay BYTE math as DuckDB string math, which is
+# only valid where byte == char. Both sides therefore restrict the
+# registered queries to the ASCII-verifiable slice with the SAME
+# predicate (NULL text fails it too, in both engines); the underlying
+# operators in operators/media.py stay fully general — they work on
+# any bytes, the oracle just can't replay multi-byte chars. On the
+# driver corpus every document is ASCII, so the slice is total.
+_ASCII_DOCS = "octet_length(encode(text, 'utf-8')) = length(text)"
+
+
 @register(
     "mm_extract_features",
     # The fake decode is a pure deterministic function of the payload
-    # bytes, and the corpus is ASCII (byte == char — asserted by the
-    # oracle's first CTE refusing non-ASCII rows via octet_length =
-    # length), so DuckDB replays the byte math over text: stride-64
-    # signature, 256-byte frame count, exact integer-ratio mean.
+    # bytes; on the ASCII slice (see _ASCII_DOCS) DuckDB replays the
+    # byte math over text: stride-64 signature, 256-byte frame count,
+    # exact integer-ratio mean. COALESCE: an empty document still has
+    # a signature — md5 of zero sampled bytes — where string_agg over
+    # an empty list would yield NULL.
     oracle=f"""
     WITH ascii_docs AS (
       SELECT doc_id, text, length(text) AS n
@@ -226,8 +236,9 @@ def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
       CAST(n AS INTEGER) AS n_bytes,
       CAST(n // {FRAME_BYTES} + 1 AS INTEGER) AS n_frames,
-      md5(list_aggr(list_transform(generate_series(1, n, 64),
-                                   i -> text[i]), 'string_agg', ''))
+      md5(COALESCE(list_aggr(list_transform(generate_series(1, n, 64),
+                                            i -> text[i]),
+                             'string_agg', ''), ''))
         AS frame_signature,
       CASE WHEN n = 0 THEN 0.0
            ELSE CAST(list_sum(list_transform(generate_series(1, n),
@@ -243,7 +254,7 @@ def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_spark.operators.media import extract_features, with_payload
 
-    docs = with_payload(load(spark, sf_dir, "documents"))
+    docs = with_payload(load(spark, sf_dir, "documents").where(_ASCII_DOCS))
     return extract_features(docs)
 
 
@@ -275,7 +286,7 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_spark.operators.media import sample_frames, with_payload
 
-    docs = with_payload(load(spark, sf_dir, "documents"))
+    docs = with_payload(load(spark, sf_dir, "documents").where(_ASCII_DOCS))
     return sample_frames(docs)
 
 
@@ -302,7 +313,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_resize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_spark.operators.media import resize_payload, with_payload
 
-    docs = with_payload(load(spark, sf_dir, "documents"))
+    docs = with_payload(load(spark, sf_dir, "documents").where(_ASCII_DOCS))
     return resize_payload(docs)
 
 

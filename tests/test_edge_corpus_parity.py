@@ -74,6 +74,10 @@ DOC_QUERIES = [
     "dedup_pressure_by_lang",
     "dq_quality_by_segment",
     "mm_payload_dedup",
+    "mm_extract_features",
+    "mm_frame_sample",
+    "mm_resize_payload",
+    "dedup_clusters",
 ]
 
 

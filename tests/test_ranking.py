@@ -92,3 +92,21 @@ def test_helper_plan_has_no_unpartitioned_window(spark):
         and n.partitionSpec().isEmpty()
     ]
     assert offenders == []
+
+
+def test_unreferenced_window_is_pruned(spark):
+    """Chained multi-key ranking (customer_rfm_segments does three
+    passes) relies on Catalyst dropping an earlier pass's Window node
+    from the later pass's probe/offset jobs — those jobs reference
+    only their own key column, so they must not pay for (or recompute)
+    the previous ranks. Pin that column-pruning behavior here."""
+    df = _data(spark)
+    ranked, _ = global_rank_cumsum(df, key="v", tie="id", rn_col="rn_v")
+    probe = ranked.select(
+        F.percentile_approx("w", [0.5], 100).alias("bs")
+    )
+    plan = probe._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    offsets = ranked.groupBy((F.col("w") > 0).alias("__b")).count()
+    plan2 = offsets._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan2

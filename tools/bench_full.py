@@ -15,10 +15,11 @@ Usage: python tools/bench_full.py > BENCH_FULL_r04.json
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from etl_spark.io import SMOKE_SF_DIR, default_sf_dir
 from etl_spark.plans import REGISTRY
@@ -57,8 +58,6 @@ def main() -> None:
     # Shared host: co-tenant load swings wall times 2-3x, so record the
     # load average alongside — a sweep at load 15 is not comparable to
     # one at load 2.
-    import os
-
     print(
         json.dumps(
             {

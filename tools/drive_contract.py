@@ -4,12 +4,13 @@ entry() smoke at sf0.001, then every oracle-paired query at sf0.01
 compared to DuckDB."""
 import os
 import sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as E
+from tools.contract_compare import compare_result
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -51,31 +52,12 @@ for name in sorted(qs):
         print(f"rows-only {name}: {len(spdf)} rows  ({time.time()-t0:.1f}s)")
         continue
     ddf = con.execute(oracles[name]).df()
-    cols_ok = sorted(spdf.columns) == sorted(ddf.columns)
-    n_ok = len(spdf) == len(ddf)
-    # Exact dtype comparison (the external driver's schema check is
-    # width-sensitive: int32 vs int64 is a schema mismatch there).
-    dtype_ok = cols_ok and all(
-        str(spdf[c].dtype) == str(ddf[c].dtype) for c in spdf.columns
-    )
-    dtype_detail = ""
-    if cols_ok and not dtype_ok:
-        dtype_detail = " dtypes=" + ",".join(
-            f"{c}:{spdf[c].dtype}!={ddf[c].dtype}"
-            for c in spdf.columns
-            if str(spdf[c].dtype) != str(ddf[c].dtype)
-        )
-    val_ok = False
-    if cols_ok and n_ok:
-        a = spdf[sorted(spdf.columns)].copy()
-        b = ddf[sorted(ddf.columns)].copy()
-        key = lambda d: d.astype(str).apply(tuple, axis=1).sort_values().values.tolist()
-        val_ok = key(a) == key(b)
-    status = "OK  " if (cols_ok and n_ok and val_ok and dtype_ok) else "FAIL"
-    if status == "FAIL":
+    r = compare_result(spdf, ddf)
+    status = "OK  " if r["ok"] else "FAIL"
+    if not r["ok"]:
         fail += 1
-    print(f"{status} {name}: spark={len(spdf)} duck={len(ddf)} cols_ok={cols_ok} "
-          f"dtype_ok={dtype_ok} vals_ok={val_ok}  ({time.time()-t0:.1f}s){dtype_detail}")
+    print(f"{status} {name}: spark={len(spdf)} duck={len(ddf)} cols_ok={r['cols_ok']} "
+          f"dtype_ok={r['dtype_ok']} vals_ok={r['val_ok']}  ({time.time()-t0:.1f}s){r['dtype_detail']}")
 
 print(f"\n{'ALL GREEN' if fail == 0 else f'{fail} FAILURES'}")
 sys.exit(1 if fail else 0)
