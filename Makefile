@@ -1,0 +1,44 @@
+# Developer entry points — the engine's analog of the reference's
+# justfile task surface (/root/reference/justfile: check/fix/test/run).
+# No venv management here: the runtime ships pinned in the container
+# (pyspark 4.1.2, duckdb, pyarrow, pandas, pytest).
+
+PY ?= python
+
+.PHONY: test contract contract-big bench bench-full plans scaling run help
+
+help:
+	@echo "test         - full pytest suite"
+	@echo "contract     - driver-style contract: every query vs its DuckDB oracle (sf0.01)"
+	@echo "contract-big - same contract at bench scale (sf0.1)"
+	@echo "bench        - headline 25-query benchmark (one JSON line)"
+	@echo "bench-full   - full-registry timing sweep"
+	@echo "plans        - regenerate PLANS.md executed-plan receipts"
+	@echo "scaling      - regenerate SCALING.md cross-SF probes"
+	@echo "run          - live E2E pipeline (needs GITHUB_WORKFLOW_RUNS_TOKEN)"
+
+test:
+	$(PY) -m pytest tests/ -q
+
+# Run from /tmp so cwd-relative path assumptions surface (the external
+# driver does not run from the repo root).
+contract:
+	cd /tmp && $(PY) $(CURDIR)/tools/drive_contract.py
+
+contract-big:
+	cd /tmp && DRIVE_SF_DIR=/root/testdata/sf0.1 $(PY) $(CURDIR)/tools/drive_contract.py
+
+bench:
+	$(PY) bench.py
+
+bench-full:
+	$(PY) tools/bench_full.py
+
+plans:
+	$(PY) tools/plan_audit.py
+
+scaling:
+	$(PY) tools/scaling_probe.py
+
+run:
+	$(PY) -m etl_spark
