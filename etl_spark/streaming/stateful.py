@@ -7,6 +7,15 @@ session machines). State is partitioned by the grouping key and lives
 in the state store — at scale the concerns are: state size per key is
 O(1) here (two longs), the store is checkpointed per micro-batch, and
 a timeout policy (not needed for this demo) bounds idle-key retention.
+
+API choice note: Spark 4 also ships the successor API
+``transformWithStateInPandas`` (StatefulProcessor + RocksDB store,
+composite/TTL state, timers). Verified unavailable HERE: its Python
+state-server protocol imports ``google.protobuf``, which is not in
+this container (the worker crashes with
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE on import), so the
+stateful operators stand on ``applyInPandasWithState`` — same state
+semantics for these single-value-state shapes, no extra dependency.
 """
 
 from __future__ import annotations
