@@ -38,10 +38,12 @@ def main(
     workflows_dir = pathlib.Path(args[0]) if args else pathlib.Path("data")
     # API session FIRST (the reference's order, main.py:188): a missing
     # token must fail before the multi-second Spark/JVM bring-up, or
-    # "fails fast" in the module docstring would be a lie.
+    # "fails fast" in the module docstring would be a lie. Spark
+    # bring-up happens INSIDE the try so a failed bring-up still
+    # closes the already-open HTTP session.
     session = session_factory()
-    spark = spark or get_spark("test-etl-live")
     try:
+        spark = spark or get_spark("test-etl-live")
         run_pipeline(
             session, workflows_dir, spark, now_function=now_function or utcnow
         )

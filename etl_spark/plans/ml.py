@@ -84,8 +84,11 @@ def _assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 
 def _cluster_stats(assigned: DataFrame, exact: bool) -> DataFrame:
-    # Seed-step distances are exact integers (oracle compares BIGINT);
-    # after the first centroid update they are genuine doubles.
+    # exact=True whenever centroids live on the integer quantization
+    # lattice — the seed step AND every Lloyd iteration (updates are
+    # lattice-rounded), so d2 is integer-valued throughout and the
+    # oracle compares BIGINT. exact=False is the general-float path
+    # for callers with unquantized centroids (none registered today).
     d2 = F.col("d2").cast("bigint") if exact else F.col("d2")
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"),

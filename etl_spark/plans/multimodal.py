@@ -216,7 +216,10 @@ def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators in operators/media.py stay fully general — they work on
 # any bytes, the oracle just can't replay multi-byte chars. On the
 # driver corpus every document is ASCII, so the slice is total.
+# ONE definition per dialect: Spark's encode takes a charset arg,
+# DuckDB's doesn't — edit both together or the row sets desync.
 _ASCII_DOCS = "octet_length(encode(text, 'utf-8')) = length(text)"
+_ASCII_DOCS_SQL = "octet_length(encode(text)) = length(text)"
 
 
 @register(
@@ -231,7 +234,7 @@ _ASCII_DOCS = "octet_length(encode(text, 'utf-8')) = length(text)"
     WITH ascii_docs AS (
       SELECT doc_id, text, length(text) AS n
       FROM documents
-      WHERE octet_length(encode(text)) = length(text)
+      WHERE {_ASCII_DOCS_SQL}
     )
     SELECT doc_id,
       CAST(n AS INTEGER) AS n_bytes,
@@ -271,7 +274,7 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       md5(substring(d.text, g.idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
         AS frame_md5
     FROM (SELECT doc_id, text FROM documents
-          WHERE octet_length(encode(text)) = length(text)) d,
+          WHERE {_ASCII_DOCS_SQL}) d,
          UNNEST(generate_series(0, length(d.text) // {FRAME_BYTES},
                                 {FRAME_SAMPLE_EVERY})) AS g(idx)
     """,
@@ -302,7 +305,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       md5(rpad(substring(text, 1, {RESIZE_TARGET_BYTES}),
                {RESIZE_TARGET_BYTES}, chr(0))) AS resized_md5
     FROM documents
-    WHERE octet_length(encode(text)) = length(text)
+    WHERE {_ASCII_DOCS_SQL}
     """,
     doc="Resize stage (image-resize stand-in): every payload truncated "
         "or zero-padded to a constant size, output fingerprinted — the "
