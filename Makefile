@@ -5,7 +5,7 @@
 
 PY ?= python
 
-.PHONY: test contract contract-big bench bench-full plans scaling run help
+.PHONY: test contract contract-big bench bench-full fuzz plans scaling run help
 
 help:
 	@echo "test         - full pytest suite"
@@ -33,6 +33,9 @@ bench:
 
 bench-full:
 	$(PY) tools/bench_full.py
+
+fuzz:
+	$(PY) tools/fuzz_parity.py 10
 
 plans:
 	$(PY) tools/plan_audit.py

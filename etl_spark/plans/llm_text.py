@@ -414,11 +414,15 @@ LANGID_TOP_TRIGRAMS = 20
       FROM documents
     ),
     profile AS (
+      -- lang IS NOT NULL: an unlabeled document cannot teach a
+      -- language profile (and a NULL candidate would tiebreak
+      -- differently across engines: Spark sorts NULLS FIRST on ASC,
+      -- DuckDB NULLS LAST).
       SELECT lang, tri FROM (
         SELECT lang, tri, COUNT(*) AS n,
                ROW_NUMBER() OVER (PARTITION BY lang
                                   ORDER BY COUNT(*) DESC, tri ASC) AS rk
-        FROM tri_all GROUP BY lang, tri
+        FROM tri_all WHERE lang IS NOT NULL GROUP BY lang, tri
       ) WHERE rk <= {LANGID_TOP_TRIGRAMS}
     ),
     doc_tri AS (
@@ -474,8 +478,12 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     w_rank = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri").asc())
+    # lang IS NOT NULL mirrors the oracle: unlabeled docs can't teach
+    # a profile, and a NULL candidate would hit the engines' opposite
+    # NULL-ordering defaults in the argmax tiebreak.
     profile = (
-        cnt.groupBy("lang", "tri")
+        cnt.filter(F.col("lang").isNotNull())
+        .groupBy("lang", "tri")
         .agg(F.sum("n").alias("n"))
         .withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= LANGID_TOP_TRIGRAMS)
@@ -648,8 +656,10 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, n_distinct,
+           -- + 0.0 canonicalizes IEEE -0.0 (zero-entropy docs round to
+           -- a signed zero whose sign is a libm residual, not signal)
            CAST(ROUND(log2(CAST(n_tokens AS DOUBLE)) - clog / n_tokens, 9)
-                AS DOUBLE) AS word_entropy,
+                + 0.0 AS DOUBLE) AS word_entropy,
            CAST(CAST(n_distinct AS DOUBLE) / n_tokens AS DOUBLE) AS ttr
     FROM agg ORDER BY doc_id
     """,
@@ -695,10 +705,14 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_distinct",
-        F.round(
-            F.log2(F.col("n_tokens").cast("double"))
-            - F.col("clog") / F.col("n_tokens"),
-            9,
+        # + 0.0 canonicalizes IEEE -0.0 (see oracle note).
+        (
+            F.round(
+                F.log2(F.col("n_tokens").cast("double"))
+                - F.col("clog") / F.col("n_tokens"),
+                9,
+            )
+            + F.lit(0.0)
         )
         .cast("double")
         .alias("word_entropy"),
