@@ -691,7 +691,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH unit AS (
       SELECT l_partkey, l_suppkey,
-             l_extendedprice / l_quantity AS unit_price
+             l_extendedprice / NULLIF(l_quantity, 0) AS unit_price
       FROM lineitem
     )
     SELECT DISTINCT
@@ -715,7 +715,10 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Catalyst decorrelates it into a per-partkey MIN aggregate "
         "joined back on (partkey, unit_price) — one aggregation plus "
         "one equi-join instead of a per-row rescan. unit_price is a "
-        "single IEEE division (correctly rounded, engine-identical) "
+        "single IEEE division (correctly rounded, engine-identical; "
+        "NULLIF guards zero-quantity lines — ANSI Spark would abort the "
+        "whole job on one bad row where DuckDB yields inf, so both map "
+        "it to NULL and MIN skips it) "
         "and MIN never accumulates, so the double column is "
         "hash-stable. DISTINCT guards against a supplier hitting the "
         "same minimum twice in two lineitems.",
@@ -727,7 +730,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH unit AS (
           SELECT l_partkey, l_suppkey,
-                 l_extendedprice / l_quantity AS unit_price
+                 l_extendedprice / NULLIF(l_quantity, 0) AS unit_price
           FROM lineitem
         )
         SELECT DISTINCT

@@ -1,7 +1,9 @@
 #!/usr/bin/env python
-"""Randomized cross-engine parity fuzzer: seeded random corpora driven
-through every oracle-paired query whose only input is `documents` or
-`events`, compared row/schema/value against DuckDB — the
+"""Randomized cross-engine parity fuzzer: seeded random corpora for
+EVERY table family — documents, embeddings, the seven TPC-H-ish
+relational tables (FK-consistent with deliberate orphans), events,
+and the mixed cross-family joins — driven through ALL oracle-paired
+queries and compared row/schema/value against DuckDB; the
 property-based generalization of tests/test_edge_corpus_parity.py's
 fixed 13-doc corpus.
 
@@ -14,6 +16,7 @@ engine/oracle divergence on ANY drawn corpus is a real bug in one of
 the two sides (both engines see byte-identical parquet).
 
 Usage: python tools/fuzz_parity.py [n_seeds] [--docs-only|--events-only]
+(documents/embeddings/relational/mixed/events per seed; 161 queries)
 Writes a per-seed PASS/FAIL summary; exit 1 on any mismatch.
 """
 
@@ -93,6 +96,97 @@ def gen_documents(rng: random.Random, n: int) -> list[tuple]:
     return rows
 
 
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+
+
+def gen_relational(rng: random.Random, n_orders: int) -> dict[str, tuple]:
+    """All seven TPC-H-ish tables, FK-consistent except deliberate
+    orphan keys (~2-3%) so inner/semi/anti join paths and empty join
+    partners get exercised. Money columns are exactly-2-decimal
+    doubles (the engines' cents quantization relies on that, same as
+    the driver's generator); quantities are integer-valued with a few
+    zeros; discounts hit the 0 and 0.10 boundaries q6-style predicates
+    filter on."""
+    import datetime
+
+    def money(lo: float, hi: float) -> float:
+        return round(rng.uniform(lo, hi), 2)
+
+    def dt(start_year: int = 1995, years: int = 7) -> datetime.datetime:
+        base = datetime.datetime(start_year, 1, 1)
+        d = base + datetime.timedelta(days=rng.randint(0, years * 365))
+        if rng.random() < 0.02:  # a few non-midnight stamps
+            d += datetime.timedelta(seconds=rng.randint(1, 86399))
+        return d
+
+    region = [(i, REGIONS[i]) for i in range(5)]
+    nation = [(i, f"NATION_{i}", rng.randrange(5)) for i in range(25)]
+    n_cust, n_supp, n_part = 80, 20, 40
+    customer = [
+        (k, f"Customer#{k:09d}", rng.randrange(25),
+         money(-999.99, 9999.99) if rng.random() > 0.05 else 0.0,
+         rng.choice(SEGMENTS))
+        for k in range(1, n_cust + 1)
+    ]
+    supplier = [
+        (k, f"Supplier#{k:09d}", rng.randrange(25),
+         money(-999.99, 9999.99))
+        for k in range(1, n_supp + 1)
+    ]
+    part = [
+        (k, " ".join(rng.choice(["lace", "tan", "misty", "steel",
+                                 "green", "promo"]) for _ in range(3)),
+         f"Brand#{rng.randint(1, 15)}", rng.choice(PTYPES),
+         rng.randint(1, 50), money(900.0, 920.0))
+        for k in range(1, n_part + 1)
+    ]
+    orders = []
+    for k in range(1, n_orders + 1):
+        custkey = (rng.randint(n_cust + 1, n_cust + 10)
+                   if rng.random() < 0.03 else rng.randint(1, n_cust))
+        orders.append((k, custkey, rng.choice("POF"),
+                       money(900.0, 500000.0), dt(),
+                       rng.choice(PRIORITIES)))
+    lineitem = []
+    for okey, *_ in orders:
+        for ln in range(1, rng.randint(1, 7) + 1):
+            qty = float(rng.randint(1, 50))
+            if rng.random() < 0.01:
+                qty = 0.0
+            disc = rng.choice(
+                [0.0, 0.01, 0.02, 0.04, 0.05, 0.06, 0.08, 0.1]
+            )
+            lineitem.append((
+                okey if rng.random() > 0.02 else n_orders + rng.randint(1, 9),
+                rng.randint(1, n_part + (2 if rng.random() < 0.05 else 0)),
+                rng.randint(1, n_supp),
+                ln, qty, money(900.0, 105000.0), disc,
+                rng.choice([0.0, 0.02, 0.04, 0.06, 0.08]),
+                rng.choice("ANR"), rng.choice("FO"), dt(),
+            ))
+    return {
+        "region": (region, "r_regionkey int, r_name string"),
+        "nation": (nation, "n_nationkey int, n_name string, n_regionkey int"),
+        "customer": (customer, "c_custkey bigint, c_name string, "
+                     "c_nationkey int, c_acctbal double, c_mktsegment string"),
+        "supplier": (supplier, "s_suppkey bigint, s_name string, "
+                     "s_nationkey int, s_acctbal double"),
+        "part": (part, "p_partkey bigint, p_name string, p_brand string, "
+                 "p_type string, p_size int, p_retailprice double"),
+        "orders": (orders, "o_orderkey bigint, o_custkey bigint, "
+                   "o_orderstatus string, o_totalprice double, "
+                   "o_orderdate timestamp, o_orderpriority string"),
+        "lineitem": (lineitem, "l_orderkey bigint, l_partkey bigint, "
+                     "l_suppkey bigint, l_linenumber int, l_quantity double, "
+                     "l_extendedprice double, l_discount double, "
+                     "l_tax double, l_returnflag string, "
+                     "l_linestatus string, l_shipdate timestamp"),
+    }
+
+
 def gen_embeddings(rng: random.Random, n: int) -> list[tuple]:
     import struct
 
@@ -161,7 +255,10 @@ def main() -> None:
     spark = get_spark("fuzz-parity")
     tune_session(spark)
 
-    doc_queries, ev_queries, emb_queries = [], [], []
+    REL = {"region", "nation", "customer", "supplier", "part",
+           "orders", "lineitem"}
+    doc_queries, ev_queries, emb_queries, rel_queries = [], [], [], []
+    mixed_queries = []
     for name, q in sorted(REGISTRY.items()):
         if q.oracle is None:
             continue
@@ -172,31 +269,68 @@ def main() -> None:
             ev_queries.append(name)
         elif tables == {"embeddings"}:
             emb_queries.append(name)
+        elif tables and tables <= REL:
+            rel_queries.append(name)
+        else:
+            mixed_queries.append(name)
+
+    def one_table(gen, schema, n_rows, table):
+        def build(rng):
+            return {table: (gen(rng, n_rows), schema)}
+        return build
+
     plan = []
     if not events_only:
-        plan.append(("documents", doc_queries, gen_documents,
-                     "doc_id bigint, text string, lang string, "
-                     "source string, n_chars bigint", 120))
+        plan.append(("documents", doc_queries, one_table(
+            gen_documents,
+            "doc_id bigint, text string, lang string, "
+            "source string, n_chars bigint", 120, "documents")))
     if not docs_only and not events_only:
-        plan.append(("embeddings", emb_queries, gen_embeddings,
-                     "vec_id bigint, embedding array<float>, label int",
-                     150))
+        plan.append(("embeddings", emb_queries, one_table(
+            gen_embeddings,
+            "vec_id bigint, embedding array<float>, label int",
+            150, "embeddings")))
+        plan.append(("relational", rel_queries,
+                     lambda rng: gen_relational(rng, 150)))
+
+        def build_mixed(rng):
+            tables = gen_relational(rng, 100)
+            tables["documents"] = (
+                gen_documents(rng, 120),
+                "doc_id bigint, text string, lang string, "
+                "source string, n_chars bigint")
+            tables["events"] = (
+                gen_events(rng, 300),
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string")
+            return tables
+
+        plan.append(("mixed", mixed_queries, build_mixed))
     if not docs_only:
-        plan.append(("events", ev_queries, gen_events,
-                     "event_id bigint, ts timestamp, user_id bigint, "
-                     "event_type string, value double, props string", 400))
+        plan.append(("events", ev_queries, one_table(
+            gen_events,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string", 400,
+            "events")))
 
     import etl_spark.plans.llm_dedup as dd
 
     total_fail = 0
     for seed in range(n_seeds):
         rng = random.Random(1000 + seed)
-        for table, queries, gen, schema, n_rows in plan:
-            d = tempfile.mkdtemp(prefix=f"fuzz_{table}_{seed}_")
+        for family, queries, build in plan:
+            d = tempfile.mkdtemp(prefix=f"fuzz_{family}_{seed}_")
             try:
-                spark.createDataFrame(gen(rng, n_rows), schema).coalesce(
-                    1
-                ).write.parquet(f"{d}/{table}.parquet")
+                con = duckdb.connect()
+                con.execute("SET TimeZone='UTC'")
+                for table, (rows, schema) in build(rng).items():
+                    spark.createDataFrame(rows, schema).coalesce(
+                        1
+                    ).write.parquet(f"{d}/{table}.parquet")
+                    con.execute(
+                        f"CREATE VIEW {table} AS SELECT * FROM "
+                        f"'{d}/{table}.parquet/*.parquet'"
+                    )
                 # per-corpus caches must not leak across corpora
                 for df in dd._SHINGLE_CACHE.values():
                     df.unpersist()
@@ -204,12 +338,6 @@ def main() -> None:
                 for df in dd._BANDS_CACHE.values():
                     df.unpersist()
                 dd._BANDS_CACHE.clear()
-                con = duckdb.connect()
-                con.execute("SET TimeZone='UTC'")
-                con.execute(
-                    f"CREATE VIEW {table} AS SELECT * FROM "
-                    f"'{d}/{table}.parquet/*.parquet'"
-                )
                 n_fail = 0
                 t0 = time.time()
                 for name in queries:
@@ -233,7 +361,7 @@ def main() -> None:
                         n_fail += 1
                 con.close()
                 status = "PASS" if n_fail == 0 else f"{n_fail} FAILURES"
-                print(f"seed={seed} {table}: {len(queries)} queries "
+                print(f"seed={seed} {family}: {len(queries)} queries "
                       f"{status}  ({time.time()-t0:.0f}s)")
                 total_fail += n_fail
             finally:
