@@ -34,7 +34,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark.io import load
-from etl_spark.plans.llm_similarity import DIM, _vec_cte, quantize
+from etl_spark.plans.llm_similarity import (
+    COSINE_DUP_THRESHOLD,
+    DIM,
+    N_QUERIES,
+    TOP_K,
+    _vec_cte,
+    cosine,
+    dot,
+    quantize,
+)
 from etl_spark.plans.registry import register
 
 K_CLUSTERS = 8
@@ -440,3 +449,333 @@ def ml_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained coarse quantizer: centroids after exactly ONE Lloyd update from
+# the first-K seeds. Both IVF search and semantic dedup below share it —
+# it is the cheapest quantizer that is genuinely *learned* from the data
+# (the round-3 IVF query used the label column as a stand-in), while
+# staying exact on the integer lattice and therefore oracle-hashable.
+# ---------------------------------------------------------------------------
+
+N_PROBE = 2
+# Rows scored per matmul block in dedup_semantic_cluster: bounds peak
+# task memory at PAIR_BLOCK_ROWS × |cell| doubles. Tests shrink it to
+# prove the result is block-size-invariant.
+PAIR_BLOCK_ROWS = 1024
+
+
+def _one_step_centroids(emb: DataFrame) -> list[list[float]]:
+    """Seed with the first K vectors, run one exact Lloyd update.
+
+    Two bounded actions: the K seed vectors (config-sized collect) and
+    the k × dim centroid sums (dimension-bounded aggregate — the same
+    convergence-channel contract as ml_kmeans_lloyd). Empty clusters
+    keep their seed centroid, mirroring the oracle's COALESCE.
+    """
+    seed_rows = sorted(
+        emb.filter(F.col("vec_id") < K_CLUSTERS).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    seeds = [[float(x) for x in r["q"]] for r in seed_rows]
+    sums = (
+        _assign(emb, seeds)
+        .select("cluster", F.posexplode("q").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cents = [list(s) for s in seeds]
+    for row in sums:
+        # Same exact half-away integer rounding as the Lloyd loop.
+        sx, cnt = int(row["sx"]), int(row["n"])
+        val = (
+            (2 * sx + cnt) // (2 * cnt)
+            if sx >= 0
+            else -((-2 * sx + cnt) // (2 * cnt))
+        )
+        cents[row["cluster"]][row["pos"]] = float(val)
+    return cents
+
+
+def _trained_ctes() -> str:
+    """Oracle CTE block ending in ``cent`` (the one-step-trained
+    centroids) and ``assigned`` (every vector's trained cell), plus
+    ``d2s`` (each vector's exact distance to every trained centroid).
+    Same lattice-rounding / empty-cluster-COALESCE formulas as
+    ``_lloyd_oracle_sql`` — one generated iteration instead of
+    MAX_ITERS."""
+    return f"""
+    WITH vec AS MATERIALIZED ({_vec_cte()}),
+    c0 AS (SELECT vec_id AS cluster, q AS cq FROM vec
+           WHERE vec_id < {K_CLUSTERS}),
+    d1 AS (
+      SELECT v.vec_id, c.cluster,
+             v.norm + CAST(list_dot_product(c.cq, c.cq) AS BIGINT)
+                    - 2 * CAST(list_dot_product(v.q, c.cq) AS BIGINT) AS d2
+      FROM vec v CROSS JOIN c0 c
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    u1 AS (
+      SELECT a.cluster, p.pos, SUM(v.q[p.pos]) AS sx, COUNT(*) AS n
+      FROM a1 a JOIN vec v USING (vec_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS pos) p
+      GROUP BY a.cluster, p.pos
+    ),
+    r1 AS (
+      SELECT cluster,
+             list(CASE WHEN sx >= 0 THEN (2 * sx + n) // (2 * n)
+                       ELSE -(((-2 * sx) + n) // (2 * n)) END
+                  ORDER BY pos) AS cq
+      FROM u1 GROUP BY cluster
+    ),
+    cent AS MATERIALIZED (
+      SELECT prev.cluster, COALESCE(r.cq, prev.cq) AS cq,
+             CAST(list_dot_product(COALESCE(r.cq, prev.cq),
+                                   COALESCE(r.cq, prev.cq)) AS BIGINT)
+               AS cnorm
+      FROM c0 prev LEFT JOIN r1 r USING (cluster)
+    ),
+    d2s AS MATERIALIZED (
+      SELECT v.vec_id, c.cluster,
+             v.norm + c.cnorm
+                    - 2 * CAST(list_dot_product(v.q, c.cq) AS BIGINT) AS d2
+      FROM vec v CROSS JOIN cent c
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM d2s) WHERE rn = 1
+    )"""
+
+
+@register(
+    "sim_ivf_kmeans_probe",
+    oracle=f"""{_trained_ctes()},
+    probes AS (
+      SELECT vec_id AS query_id, cluster AS cell FROM (
+        SELECT d.vec_id, d.cluster, ROW_NUMBER() OVER (
+          PARTITION BY d.vec_id ORDER BY d.d2, d.cluster) AS rn
+        FROM d2s d WHERE d.vec_id < {N_QUERIES}) WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.q, n.q) AS DOUBLE)
+               / sqrt(CAST(q.norm AS DOUBLE) * CAST(n.norm AS DOUBLE))
+               AS cos_sim
+      FROM probes p
+      JOIN assigned a ON a.cluster = p.cell
+      JOIN vec q ON q.vec_id = p.query_id
+      JOIN vec n ON n.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id AND q.norm > 0 AND n.norm > 0
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM cand)
+    WHERE rnk <= {TOP_K}
+    """,
+    doc=f"IVF index probe with a LEARNED coarse quantizer (k-means, "
+        f"one exact Lloyd update from the first-{K_CLUSTERS} seeds): "
+        f"each of the {N_QUERIES} query vectors probes its "
+        f"{N_PROBE} nearest cells and scores exact cosine only against "
+        f"the vectors ASSIGNED to those cells, keeping the true top-"
+        f"{TOP_K}. Upgrades sim_nn_within_label's label-as-cell "
+        "stand-in to a real trained quantizer. Spark shape: training "
+        "is one assignment scan + a k×dim-bounded update (driver sees "
+        "only centroid sums); search is one assignment scan, a "
+        "config-sized (queries × nprobe) broadcast probe list, an "
+        "equi-join on the cell key — candidates co-locate, no "
+        "cross-cell explosion — and a per-query top-k window whose "
+        "partition size is the IVF cell size, a design constant "
+        "(cells stay bounded because k scales with the corpus). "
+        "Integer-lattice centroids keep every distance and tie-break "
+        "exact, so even the trained index is hash-checkable.",
+    tags=("ml", "kmeans", "similarity", "ann", "ivf", "llm",
+          "pandas-udf"),
+)
+def sim_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _quantized(spark, sf_dir)
+    # Three bounded passes share this scan (seed collect inside
+    # training, training assignment, search assignment): persist once.
+    emb.persist()
+    try:
+        cents = _one_step_centroids(emb)
+        assigned = _assign(emb, cents).withColumn(
+            "norm", dot(F.col("q"), F.col("q"))
+        )
+        # Probe selection is driver-side exact-integer arithmetic on a
+        # config-sized problem: N_QUERIES vectors × k centroids.
+        icents = [[int(x) for x in c] for c in cents]
+        cnorms = [sum(x * x for x in c) for c in icents]
+        qrows = sorted(
+            emb.filter(F.col("vec_id") < N_QUERIES).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        probe_rows = []
+        for r in qrows:
+            qv = [int(x) for x in r["q"]]
+            qnorm = sum(x * x for x in qv)
+            if qnorm == 0:
+                continue  # zero-norm queries can't be cosine-scored
+            dists = sorted(
+                (
+                    qnorm + cnorms[ci]
+                    - 2 * sum(a * b for a, b in zip(qv, icents[ci])),
+                    ci,
+                )
+                for ci in range(len(icents))
+            )
+            for _, cell in dists[:N_PROBE]:
+                probe_rows.append((int(r["vec_id"]), cell, qv, qnorm))
+        probes = spark.createDataFrame(
+            probe_rows,
+            schema="query_id bigint, cell int, q_q array<bigint>, "
+                   "q_norm bigint",
+        )
+        cand = (
+            assigned.filter(F.col("norm") > 0)
+            .join(F.broadcast(probes), F.col("cluster") == F.col("cell"))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(
+                    dot(F.col("q_q"), F.col("q")),
+                    F.col("q_norm"),
+                    F.col("norm"),
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            cand.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= TOP_K)
+        )
+    finally:
+        emb.unpersist()
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle=f"""{_trained_ctes()}
+    SELECT CAST(s.cluster AS INTEGER) AS cluster,
+           s.vec_a, s.vec_b, s.cos_sim
+    FROM (
+      SELECT a.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+             CAST(list_dot_product(x.q, y.q) AS DOUBLE)
+               / sqrt(CAST(x.norm AS DOUBLE) * CAST(y.norm AS DOUBLE))
+               AS cos_sim
+      FROM assigned a
+      JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN vec x ON x.vec_id = a.vec_id
+      JOIN vec y ON y.vec_id = b.vec_id
+      WHERE x.norm > 0 AND y.norm > 0
+    ) s
+    WHERE s.cos_sim >= {COSINE_DUP_THRESHOLD}
+    """,
+    doc=f"Semantic (cluster-then-compare) near-duplicate pairs: "
+        "k-means-assign every embedding to its trained cell (one "
+        "exact Lloyd update), then exact cosine ONLY within each "
+        f"cell, keeping pairs with cos ≥ {COSINE_DUP_THRESHOLD}. The "
+        "clustering twin of dedup_embedding_cosine's sign-LSH gate — "
+        "LSH recalls pairs that collide in Hamming space, clustering "
+        "recalls pairs that share a Voronoi cell; production corpus "
+        "dedup runs one or both. Spark shape: ONE shuffle (groupBy "
+        "cell) after the assignment scan; per-cell scoring is a "
+        "blocked Arrow/numpy matmul (block × cell, memory bounded per "
+        "task regardless of cell size), never a pair join. Cell size "
+        "is the designed constant at scale — k grows with the corpus "
+        "— so per-task work stays bounded. Integer quantization keeps "
+        "every cosine bit-identical to the oracle's, making a "
+        "clustered approximate-dedup pass fully hash-checkable.",
+    tags=("ml", "kmeans", "dedup", "neardup", "llm", "pandas-udf"),
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _quantized(spark, sf_dir)
+    emb.persist()
+    try:
+        cents = _one_step_centroids(emb)
+        assigned = (
+            _assign(emb, cents)
+            .withColumn("norm", dot(F.col("q"), F.col("q")))
+            # Zero-norm vectors are excluded from cosine scoring
+            # engine-wide (see sim_topk_cosine).
+            .filter(F.col("norm") > 0)
+            .select("cluster", "vec_id", "q")
+        )
+        # Captured as locals: the closure ships self-contained to
+        # workers (no etl_spark symbols resolved worker-side).
+        block = PAIR_BLOCK_ROWS
+        thresh = COSINE_DUP_THRESHOLD
+
+        def pairs_in_cell(pdf):
+            import numpy as np
+            import pandas as pd
+
+            empty = pd.DataFrame(
+                {
+                    "cluster": pd.Series(dtype="int32"),
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+            if len(pdf) < 2:
+                return empty
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            ids = pdf["vec_id"].to_numpy()
+            Q = np.array(pdf["q"].tolist(), dtype=np.float64)
+            # Exact: integer-valued sums below 2^53 (quantization proof
+            # at llm_similarity.py:40-46).
+            norms = (Q * Q).sum(axis=1)
+            col = np.arange(len(ids))
+            out = []
+            # Blocked upper-triangle scoring: peak memory is
+            # block × |cell| doubles per task, independent of cell size.
+            B = block
+            for s in range(0, len(ids), B):
+                blk = Q[s : s + B]
+                cos = (blk @ Q.T) / np.sqrt(
+                    np.outer(norms[s : s + B], norms)
+                )
+                mask = (cos >= thresh) & (
+                    col[None, :] > (s + np.arange(len(blk)))[:, None]
+                )
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "cluster": np.full(
+                                    len(ii),
+                                    pdf["cluster"].iloc[0],
+                                    dtype="int32",
+                                ),
+                                "vec_a": ids[s + ii],
+                                "vec_b": ids[jj],
+                                "cos_sim": cos[ii, jj],
+                            }
+                        )
+                    )
+            return pd.concat(out) if out else empty
+
+        return assigned.groupBy("cluster").applyInPandas(
+            pairs_in_cell,
+            schema="cluster int, vec_a bigint, vec_b bigint, "
+                   "cos_sim double",
+        )
+    finally:
+        emb.unpersist()

@@ -61,6 +61,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "vocabulary capped by .limit(VOCAB_SIZE)",
     ("plans/ml.py", "ml_cluster_separation", "cent"):
         "k x dim centroid table, config-sized",
+    ("plans/ml.py", "sim_ivf_kmeans_probe", "probes"):
+        "IVF probe list: N_QUERIES x N_PROBE rows, config-sized",
     ("plans/relational.py", "join_broadcast_geo_rollup", "region"):
         "region: constant 5 rows",
     ("plans/relational.py", "join_broadcast_geo_rollup", "nation"):

@@ -94,3 +94,115 @@ def test_step_stats_match_assignment(spark):
         n, i = recomputed.get(row["cluster"], (0, 0))
         recomputed[row["cluster"]] = (n + 1, i + int(row["d2"]))
     assert stats == recomputed
+
+
+# ---- trained coarse quantizer: IVF probe + semantic dedup ----------------
+
+
+def _numpy_corpus(sf_dir):
+    """Quantized corpus + exact cosine matrix, the pure-numpy reference
+    the trained-quantizer queries are checked against (independent of
+    both Spark and the DuckDB oracle)."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    df = con.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).df()
+    con.close()
+    Q = np.round(np.array(df["embedding"].tolist(), dtype=np.float64) * 1000)
+    ids = df["vec_id"].to_numpy()
+    norms = (Q * Q).sum(axis=1)
+    cos = (Q @ Q.T) / np.sqrt(np.outer(norms, norms))
+    np.fill_diagonal(cos, -np.inf)
+    return ids, Q, cos
+
+
+def test_one_step_centroids_stay_on_lattice_and_descend(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark.plans.ml import _one_step_centroids
+
+    emb = _quantized(spark, SF_DIR)
+    cents = _one_step_centroids(emb)
+    assert len(cents) == K_CLUSTERS
+    # Lattice: every coordinate is an exact integer (what makes the
+    # trained index oracle-hashable).
+    assert all(x == int(x) for c in cents for x in c)
+    # One Lloyd update never increases inertia vs the seed assignment.
+    seeds = [
+        [float(x) for x in r["q"]]
+        for r in sorted(
+            emb.filter(F.col("vec_id") < K_CLUSTERS).collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+    seed_i = _assign(emb, seeds).agg(F.sum("d2")).collect()[0][0]
+    trained_i = _assign(emb, cents).agg(F.sum("d2")).collect()[0][0]
+    assert trained_i <= seed_i
+
+
+def test_ivf_probe_recall_against_exact(spark):
+    # The probe result must (a) be well-formed per query and (b) recall
+    # most of the TRUE top-k — measured against an independent numpy
+    # brute force. Deterministic data: observed mean recall is 0.86 at
+    # sf0.001 with nprobe=2 of 8 cells.
+    from etl_spark.plans.ml import sim_ivf_kmeans_probe
+    from etl_spark.plans.llm_similarity import N_QUERIES, TOP_K
+
+    import numpy as np
+
+    rows = sim_ivf_kmeans_probe(spark, SF_DIR).collect()
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r)
+    assert set(got) == set(range(N_QUERIES))
+    for qid, rs in got.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rs)
+
+    ids, _, cos = _numpy_corpus(SF_DIR)
+    recalls = []
+    for qi in range(N_QUERIES):
+        order = np.lexsort((ids, -cos[qi]))
+        exact = set(ids[order[:TOP_K]])
+        mine = {r["neighbor_id"] for r in got[ids[qi]]}
+        recalls.append(len(mine & exact) / TOP_K)
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_semantic_dedup_matches_numpy_and_block_invariant(
+    spark, monkeypatch
+):
+    import numpy as np
+
+    import etl_spark.plans.ml as ml
+
+    base = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in ml.dedup_semantic_cluster(spark, SF_DIR).collect()
+    }
+    # Every pair really is above threshold per the independent numpy
+    # cosine, and pairs are canonically ordered.
+    from etl_spark.plans.llm_similarity import COSINE_DUP_THRESHOLD
+
+    ids, _, cos = _numpy_corpus(SF_DIR)
+    pos = {v: i for i, v in enumerate(ids)}
+    for (a, b), sim in base.items():
+        assert a < b
+        assert sim >= COSINE_DUP_THRESHOLD
+        assert cos[pos[a], pos[b]] == sim  # bit-identical scoring
+    # Shrinking the matmul block must not change the result (the 100 TB
+    # memory-bounding path and the one-block fast path agree exactly).
+    monkeypatch.setattr(ml, "PAIR_BLOCK_ROWS", 7)
+    small = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in ml.dedup_semantic_cluster(spark, SF_DIR).collect()
+    }
+    assert small == base
