@@ -711,3 +711,241 @@ def curation_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("keep_rate"),
     )
+
+
+SEG_TOKENS = 10  # non-overlapping segment width for sub-document dedup
+
+
+@register(
+    "curation_strip_dup_segments",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    segs AS (
+      SELECT doc_id, CAST((s - 1) // {SEG_TOKENS} AS INTEGER) AS seg_idx,
+             array_to_string(t[s:s + {SEG_TOKENS - 1}], ' ') AS seg_text
+      FROM toks, unnest(generate_series(1, len(t), {SEG_TOKENS})) AS g(s)
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg_text, ROW_NUMBER() OVER (
+        PARTITION BY md5(seg_text) ORDER BY doc_id, seg_idx) AS occ
+      FROM segs
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(seg_text, ' ' ORDER BY seg_idx)
+                      FILTER (WHERE occ = 1), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_seg,
+           CAST(COUNT(*) FILTER (WHERE occ = 1) AS BIGINT) AS n_kept
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=f"Sub-document (segment-level) dedup with reassembly — the "
+        "C4/CCNet-style boilerplate stripper: split each document into "
+        f"non-overlapping {SEG_TOKENS}-token segments, hash them, keep "
+        "only the corpus-wide FIRST occurrence of each distinct "
+        "segment (ordered by doc_id, seg_idx), and stitch the "
+        "survivors back into a cleaned document with per-doc retention "
+        "counts. Catches repeated headers/footers/templates that "
+        "whole-document dedup misses. Spark shape: two key-partitioned "
+        "shuffles — first-occurrence via a window PARTITIONED BY the "
+        "segment hash (never a global window), reassembly via "
+        "groupBy(doc_id) with an in-row array_sort on seg_idx; the "
+        "row-multiplying segmenter is a JVM-side HOF explode, and only "
+        "hashes+segments shuffle, never full documents.",
+    tags=("text", "curation", "dedup", "boilerplate"),
+)
+def curation_strip_dup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    seg = F.expr(
+        f"""
+        explode(transform(
+          sequence(1, size(t), {SEG_TOKENS}),
+          s -> struct(
+            CAST((s - 1) DIV {SEG_TOKENS} AS INT)      AS seg_idx,
+            array_join(slice(t, s, {SEG_TOKENS}), ' ') AS seg_text
+          )
+        ))
+        """
+    ).alias("s")
+    segs = toks.select("doc_id", seg).select(
+        "doc_id", "s.seg_idx", "s.seg_text"
+    )
+    w = Window.partitionBy(F.md5("seg_text")).orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("occ", F.row_number().over(w))
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("occ") == 1, F.struct("seg_idx", "seg_text"))
+        )
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(kept, lambda x: x["seg_text"]), " "
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_seg"),
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TRAIN_PCT = 90  # content-hash split: md5(text) mod 100 < 90 -> train
+
+
+@register(
+    "curation_train_val_split",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CASE WHEN ({_H60_SQL}) % 100 < {TRAIN_PCT}
+                  THEN 'train' ELSE 'val' END AS split
+      FROM (SELECT doc_id, text, md5(text) AS h
+            FROM documents WHERE text IS NOT NULL)
+    ),
+    doc_stats AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM labeled GROUP BY split
+    ),
+    tflags AS (
+      SELECT md5(text) AS th,
+             MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS it,
+             MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS iv
+      FROM labeled GROUP BY th
+    ),
+    leaks AS (
+      SELECT CAST(COALESCE(SUM(it * iv), 0) AS BIGINT) AS n_leaks
+      FROM tflags
+    ),
+    sflags AS (
+      SELECT shingle,
+             MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS it,
+             MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS iv
+      FROM (SELECT DISTINCT l.split, sh.shingle
+            FROM ({SHINGLES_SQL}) sh JOIN labeled l USING (doc_id))
+      GROUP BY shingle
+    ),
+    sstats AS (
+      SELECT 'train' AS split,
+             CAST(COALESCE(SUM(it), 0) AS BIGINT) AS n_shingles,
+             CAST(COALESCE(SUM(it * iv), 0) AS BIGINT) AS n_shared
+      FROM sflags
+      UNION ALL
+      SELECT 'val',
+             CAST(COALESCE(SUM(iv), 0) AS BIGINT),
+             CAST(COALESCE(SUM(it * iv), 0) AS BIGINT)
+      FROM sflags
+    )
+    SELECT d.split, d.n_docs, d.n_tokens,
+           l.n_leaks AS n_exact_dup_leaks,
+           s.n_shingles, s.n_shared AS n_shared_shingles,
+           CASE WHEN s.n_shingles > 0
+                THEN CAST(s.n_shared AS DOUBLE) / s.n_shingles END
+             AS leak_ratio
+    FROM doc_stats d JOIN sstats s USING (split) CROSS JOIN leaks l
+    ORDER BY d.split
+    """,
+    doc=f"Leakage-safe train/validation split with audit: documents "
+        f"split {TRAIN_PCT}/{100 - TRAIN_PCT} by md5 of CONTENT (not "
+        "doc_id), so byte-identical duplicates always co-assign — "
+        "n_exact_dup_leaks recomputes the cross-split duplicate count "
+        "from scratch and is 0 by construction (the receipt, not an "
+        "assumption). Near-dup leakage is measured, not prevented: "
+        "per split, the count of stop-filtered shingles also present "
+        "in the other split and the resulting leak ratio — the number "
+        "to watch before trusting a validation loss. Spark shape: "
+        "hash gate is a narrow map; exact-dup and shingle audits are "
+        "two hash aggregates on (hash → split flags) with bounded "
+        "2-row/1-row outputs; the only data-sized shuffles are the "
+        "audit groupBys, each key-partitioned.",
+    tags=("curation", "llm", "sampling", "dedup"),
+)
+def curation_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.plans.llm_dedup import shingles_df
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.when(h60 % 100 < TRAIN_PCT, "train").otherwise("val").alias("split"),
+    )
+    doc_stats = labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    is_train = (F.col("split") == "train").cast("int")
+    is_val = (F.col("split") == "val").cast("int")
+    leaks = (
+        labeled.select(F.md5("text").alias("th"), "split")
+        .groupBy("th")
+        .agg(F.max(is_train).alias("it"), F.max(is_val).alias("iv"))
+        .agg(
+            F.coalesce(F.sum(F.col("it") * F.col("iv")), F.lit(0))
+            .cast("bigint")
+            .alias("n_exact_dup_leaks")
+        )
+    )
+    sflags = (
+        shingles_df(spark, sf_dir)
+        .join(labeled.select("doc_id", "split"), "doc_id")
+        .select("split", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.max(is_train).alias("it"), F.max(is_val).alias("iv"))
+    )
+    # Per-split shingle stats via the explode-both-flags trick: always
+    # two candidate rows per shingle, presence-gated so absent splits
+    # contribute zero (and shared is counted once per PRESENT side).
+    sstats = (
+        sflags.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("train").alias("split"),
+                        F.col("it").alias("present"),
+                    ),
+                    F.struct(
+                        F.lit("val").alias("split"),
+                        F.col("iv").alias("present"),
+                    ),
+                )
+            ).alias("e"),
+            (F.col("it") * F.col("iv")).alias("both"),
+        )
+        .select("e.split", "e.present", "both")
+        .groupBy("split")
+        .agg(
+            F.coalesce(F.sum("present"), F.lit(0))
+            .cast("bigint")
+            .alias("n_shingles"),
+            F.coalesce(F.sum(F.col("present") * F.col("both")), F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_shingles"),
+        )
+    )
+    return (
+        doc_stats.join(sstats, "split")
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            "n_exact_dup_leaks",
+            "n_shingles",
+            "n_shared_shingles",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_shared_shingles").cast("double")
+                / F.col("n_shingles"),
+            ).alias("leak_ratio"),
+        )
+        .orderBy("split")
+    )

@@ -37,6 +37,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "single-row global total",
     ("plans/curation.py", "sample_mixture_weights", "wsum"):
         "single-row weighted sum",
+    ("plans/curation.py", "curation_train_val_split", "leaks"):
+        "single-row exact-dup leak counter",
     ("plans/curation.py", "text_decontam_pairs", "ev"):
         "eval-set shingles: decontamination assumes a benchmark-sized "
         "eval suite, orders of magnitude below the training corpus "

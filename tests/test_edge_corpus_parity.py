@@ -73,6 +73,8 @@ DOC_QUERIES = [
     "text_vocab_growth",
     "dedup_pressure_by_lang",
     "dq_quality_by_segment",
+    "curation_strip_dup_segments",
+    "curation_train_val_split",
     "mm_payload_dedup",
     "mm_extract_features",
     "mm_frame_sample",

@@ -22,6 +22,7 @@ BNLJ_ALLOWED = {
     "q11_part_value_share":              "1-row global-threshold scalar",
     "q22_idle_rich_customers":           "1-row average-threshold scalar",
     "sample_mixture_weights":            "1-row corpus total + k-language weights",
+    "curation_train_val_split":          "1-row exact-dup leak-counter scalar",
     "emb_label_centroid_sim":            "k x k label-centroid pairs (k = #labels)",
     "ml_cluster_separation":             "broadcast k-row centroid table",
     "graph_dup_triangles":               "crossJoin of two 1-row aggregates",
