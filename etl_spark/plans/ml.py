@@ -466,19 +466,23 @@ N_PROBE = 2
 PAIR_BLOCK_ROWS = 1024
 
 
-def _one_step_centroids(emb: DataFrame) -> list[list[float]]:
-    """Seed with the first K vectors, run one exact Lloyd update.
+def _one_step_centroids(
+    emb: DataFrame, seeds: list[list[float]] | None = None
+) -> list[list[float]]:
+    """Seed with the first K vectors (or the given seeds), run one
+    exact Lloyd update.
 
     Two bounded actions: the K seed vectors (config-sized collect) and
     the k × dim centroid sums (dimension-bounded aggregate — the same
     convergence-channel contract as ml_kmeans_lloyd). Empty clusters
     keep their seed centroid, mirroring the oracle's COALESCE.
     """
-    seed_rows = sorted(
-        emb.filter(F.col("vec_id") < K_CLUSTERS).collect(),
-        key=lambda r: r["vec_id"],
-    )
-    seeds = [[float(x) for x in r["q"]] for r in seed_rows]
+    if seeds is None:
+        seed_rows = sorted(
+            emb.filter(F.col("vec_id") < K_CLUSTERS).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        seeds = [[float(x) for x in r["q"]] for r in seed_rows]
     sums = (
         _assign(emb, seeds)
         .select("cluster", F.posexplode("q").alias("pos", "x"))
@@ -499,22 +503,28 @@ def _one_step_centroids(emb: DataFrame) -> list[list[float]]:
     return cents
 
 
-def _trained_ctes() -> str:
+def _trained_ctes(pre_ctes: str = "", src: str = "vec",
+                  c0_sql: str | None = None) -> str:
     """Oracle CTE block ending in ``cent`` (the one-step-trained
     centroids) and ``assigned`` (every vector's trained cell), plus
     ``d2s`` (each vector's exact distance to every trained centroid).
     Same lattice-rounding / empty-cluster-COALESCE formulas as
     ``_lloyd_oracle_sql`` — one generated iteration instead of
-    MAX_ITERS."""
+    MAX_ITERS. ``pre_ctes`` inserts extra CTEs after ``vec`` (e.g. a
+    dedup pass), ``src`` picks the relation the quantizer trains and
+    assigns over, ``c0_sql`` overrides the seed selection."""
+    c0 = c0_sql or (
+        f"SELECT vec_id AS cluster, q AS cq FROM {src} "
+        f"WHERE vec_id < {K_CLUSTERS}"
+    )
     return f"""
-    WITH vec AS MATERIALIZED ({_vec_cte()}),
-    c0 AS (SELECT vec_id AS cluster, q AS cq FROM vec
-           WHERE vec_id < {K_CLUSTERS}),
+    WITH vec AS MATERIALIZED ({_vec_cte()}),{pre_ctes}
+    c0 AS ({c0}),
     d1 AS (
       SELECT v.vec_id, c.cluster,
              v.norm + CAST(list_dot_product(c.cq, c.cq) AS BIGINT)
                     - 2 * CAST(list_dot_product(v.q, c.cq) AS BIGINT) AS d2
-      FROM vec v CROSS JOIN c0 c
+      FROM {src} v CROSS JOIN c0 c
     ),
     a1 AS (
       SELECT vec_id, cluster FROM (
@@ -524,7 +534,7 @@ def _trained_ctes() -> str:
     ),
     u1 AS (
       SELECT a.cluster, p.pos, SUM(v.q[p.pos]) AS sx, COUNT(*) AS n
-      FROM a1 a JOIN vec v USING (vec_id)
+      FROM a1 a JOIN {src} v USING (vec_id)
       CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS pos) p
       GROUP BY a.cluster, p.pos
     ),
@@ -546,7 +556,7 @@ def _trained_ctes() -> str:
       SELECT v.vec_id, c.cluster,
              v.norm + c.cnorm
                     - 2 * CAST(list_dot_product(v.q, c.cq) AS BIGINT) AS d2
-      FROM vec v CROSS JOIN cent c
+      FROM {src} v CROSS JOIN cent c
     ),
     assigned AS MATERIALIZED (
       SELECT vec_id, cluster FROM (
@@ -779,3 +789,111 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         emb.unpersist()
+
+
+_DEDUP_PRE_CTES = """
+    sigged AS (
+      SELECT vec_id, q, norm,
+             md5(array_to_string(
+               list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS sig
+      FROM vec
+    ),
+    dvec AS MATERIALIZED (
+      SELECT vec_id, q, norm, CAST(cnt - 1 AS BIGINT) AS n_dups FROM (
+        SELECT vec_id, q, norm,
+               ROW_NUMBER() OVER (PARTITION BY sig ORDER BY vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY sig) AS cnt
+        FROM sigged) WHERE rn = 1
+    ),"""
+
+_DEDUP_C0_SQL = f"""
+      SELECT CAST(rn - 1 AS INTEGER) AS cluster, q AS cq FROM (
+        SELECT q, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM dvec)
+      WHERE rn <= {K_CLUSTERS}"""
+
+
+@register(
+    "pipeline_embed_index",
+    oracle=f"""{_trained_ctes(pre_ctes=_DEDUP_PRE_CTES, src="dvec",
+                              c0_sql=_DEDUP_C0_SQL)}
+    SELECT CAST(a.cluster AS INTEGER) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(v.n_dups) AS BIGINT) AS n_dups_dropped,
+           CAST(SUM(d.d2) AS BIGINT) AS inertia,
+           CAST(MAX(d.d2) AS BIGINT) AS max_d2
+    FROM assigned a
+    JOIN d2s d ON d.vec_id = a.vec_id AND d.cluster = a.cluster
+    JOIN dvec v ON v.vec_id = a.vec_id
+    GROUP BY a.cluster
+    ORDER BY a.cluster
+    """,
+    doc="END-TO-END IVF index build over the embeddings table: exact "
+        "dedup on the quantized-vector signature (duplicates waste "
+        "index space and skew neighbor lists) → train the coarse "
+        "quantizer on the SURVIVORS (seeds = first K by vec_id, one "
+        "exact Lloyd update) → assign → per-cell index summary "
+        "(occupancy, duplicates absorbed per cell, exact BIGINT "
+        "inertia and worst-fit distance — the numbers that decide "
+        "whether the index needs more cells or better seeds before "
+        "serving). The embedding twin of pipeline_curate_corpus: "
+        "dedup is ONE hash-partitioned window (only the 32-byte "
+        "signature shuffles), training is the k×dim-bounded "
+        "convergence channel, assignment is one mapInPandas corpus "
+        "scan, and the summary is a k-row aggregate. Fully "
+        "hash-checkable: dedup, seed choice, lattice training and "
+        "every distance replay exactly in the unrolled DuckDB oracle.",
+    tags=("ml", "kmeans", "similarity", "dedup", "pipeline", "llm",
+          "pandas-udf"),
+)
+def pipeline_embed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _quantized(spark, sf_dir)
+    sig = F.md5(
+        F.array_join(
+            F.transform(F.col("q"), lambda x: x.cast("string")), ","
+        )
+    )
+    w = Window.partitionBy("sig")
+    wr = Window.partitionBy("sig").orderBy("vec_id")
+    dvec = (
+        emb.withColumn("sig", sig)
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "q",
+            (F.col("cnt") - 1).cast("bigint").alias("n_dups"),
+        )
+    )
+    # Three bounded passes (seed collect, training sums, final agg)
+    # share the deduped corpus: persist once.
+    dvec.persist()
+    try:
+        seed_rows = sorted(
+            dvec.orderBy("vec_id").limit(K_CLUSTERS).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        seeds = [[float(x) for x in r["q"]] for r in seed_rows]
+        if not seeds:
+            return spark.createDataFrame(
+                [],
+                "cluster int, n_vectors bigint, n_dups_dropped bigint, "
+                "inertia bigint, max_d2 bigint",
+            )
+        cents = _one_step_centroids(dvec.select("vec_id", "q"), seeds)
+        assigned = _assign(dvec.select("vec_id", "q"), cents)
+        return (
+            assigned.join(dvec.select("vec_id", "n_dups"), "vec_id")
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.sum("n_dups").alias("n_dups_dropped"),
+                F.sum(F.col("d2").cast("bigint")).alias("inertia"),
+                F.max(F.col("d2").cast("bigint")).alias("max_d2"),
+            )
+            .orderBy("cluster")
+        )
+    finally:
+        dvec.unpersist()

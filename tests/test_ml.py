@@ -206,3 +206,21 @@ def test_semantic_dedup_matches_numpy_and_block_invariant(
         for r in ml.dedup_semantic_cluster(spark, SF_DIR).collect()
     }
     assert small == base
+
+
+def test_embed_index_partitions_corpus_and_absorbs_dups(spark):
+    from etl_spark.plans import REGISTRY
+
+    rows = REGISTRY["pipeline_embed_index"].builder(spark, SF_DIR).collect()
+    n_total = _quantized(spark, SF_DIR).count()
+    # Every embedding is either a cell member or a duplicate absorbed
+    # into one: the index accounts for the whole corpus.
+    assert (
+        sum(r["n_vectors"] for r in rows)
+        + sum(r["n_dups_dropped"] for r in rows)
+        == n_total
+    )
+    for r in rows:
+        assert r["n_vectors"] >= 1
+        assert 0 <= r["max_d2"]
+        assert r["inertia"] <= r["n_vectors"] * r["max_d2"]

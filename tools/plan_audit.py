@@ -76,6 +76,10 @@ AUDIT = [
      "cluster-then-compare dedup: one Exchange on the cell key after "
      "the assignment scan; per-cell scoring is a blocked Arrow matmul "
      "(FlatMapGroupsInPandas), never a pair join"),
+    ("pipeline_embed_index",
+     "IVF index build pipeline: dedup via window PARTITIONED by the "
+     "vector signature hash; assignment via MapInPandas corpus scan; "
+     "k-row final aggregate — no cartesian, no unpartitioned window"),
     ("curation_strip_dup_segments",
      "segment-level dedup: the row-multiplying segmenter is a JVM-side "
      "HOF explode; first-occurrence window is PARTITIONED by the "
