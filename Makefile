@@ -5,7 +5,7 @@
 
 PY ?= python
 
-.PHONY: test contract contract-big bench bench-full fuzz plans scaling run help
+.PHONY: test contract contract-big bench bench-full fuzz plans scaling sfbig bench-sfbig run help
 
 help:
 	@echo "test         - full pytest suite"
@@ -15,6 +15,8 @@ help:
 	@echo "bench-full   - full-registry timing sweep"
 	@echo "plans        - regenerate PLANS.md executed-plan receipts"
 	@echo "scaling      - regenerate SCALING.md cross-SF probes"
+	@echo "sfbig        - build 10x bench-scale data at /tmp/sf1 (key-shifted replication)"
+	@echo "bench-sfbig  - headline bench against /tmp/sf1"
 	@echo "run          - live E2E pipeline (needs GITHUB_WORKFLOW_RUNS_TOKEN)"
 
 test:
@@ -42,6 +44,15 @@ plans:
 
 scaling:
 	$(PY) tools/scaling_probe.py
+
+# 10x bench-scale dataset by FK-consistent key-shifted replication,
+# then the headline bench against it — the local stand-in for "does
+# the slope hold another decade up" (results recorded in SCALING.md).
+sfbig:
+	$(PY) tools/make_sfbig.py 10 /tmp/sf1
+
+bench-sfbig:
+	SPARK_GRAFT_SF_DIR=/tmp/sf1 $(PY) bench.py
 
 run:
 	$(PY) -m etl_spark

@@ -1,0 +1,80 @@
+"""Sort-clustered parquet layout: zone-map data skipping for
+selective scans.
+
+Hive partitioning (tests/test_partition_pruning.py) prunes on LOW-
+cardinality keys; bucketing (operators/bucketing.py) co-locates JOIN
+keys. This module covers the third layout axis: HIGH-cardinality
+range predicates (timestamps, prices, ids). `repartitionByRange`
+assigns each output file a disjoint slice of the sort key's domain
+and `sortWithinPartitions` orders rows inside it, so every parquet
+file/row-group carries tight, non-overlapping min/max statistics.
+A reader with `value BETWEEN lo AND hi` then skips every file whose
+zone does not overlap — the same mechanism Delta/Iceberg market as
+"data skipping" / OPTIMIZE ZORDER (single-key form), expressed with
+nothing but built-in Spark writes.
+
+At 100 TB the sort is one range-partitioned shuffle (sampling picks
+the range bounds — skew-resistant by construction) and pays for
+itself on the first selective scan; the skipping itself is free
+because parquet readers (Spark's included) consult row-group stats
+before decompressing anything.
+
+The reference has no layout maintenance at all (its sink is
+one CSV, /root/reference/main.py:19-25); this is part of the
+at-scale surface SURVEY.md §2.2 adds under formats/maintenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_sorted_layout(
+    df: DataFrame, path: str, sort_col: str, n_files: int
+) -> None:
+    """Rewrite ``df`` as ``n_files`` parquet files range-clustered on
+    ``sort_col``: file k holds the k-th slice of the sorted domain,
+    rows sorted within the file so row-group stats are tight too."""
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_zones(path: str, column: str) -> list[tuple[str, float, float]]:
+    """(file, min, max) of ``column`` per parquet file, straight from
+    the footer statistics — the zone map a skipping reader consults.
+    Pure metadata: no data pages are read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    zones = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        idx = meta.schema.names.index(column)
+        lo, hi = None, None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return []  # stats missing → no skipping possible
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            zones.append((f, lo, hi))
+    return zones
+
+
+def zones_overlapping(
+    zones: list[tuple[str, float, float]], lo: float, hi: float
+) -> list[str]:
+    """Files a ``column BETWEEN lo AND hi`` scan cannot skip."""
+    return [f for f, zlo, zhi in zones if zhi >= lo and zlo <= hi]
+
+
+def read_with_skipping(spark: SparkSession, path: str) -> DataFrame:
+    """Plain parquet read; filter pushdown (on by default) lets the
+    reader skip row groups via the statistics written above."""
+    return spark.read.parquet(path)

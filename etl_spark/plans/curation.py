@@ -949,3 +949,137 @@ def curation_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# Candidate context lengths for the sweep below. Small on purpose:
+# the synthetic docs are ~100-400 tokens, so these lengths exercise
+# all three regimes (mostly-truncating, mixed, mostly-padding).
+CTX_SWEEP = [128, 256, 512, 1024]
+_CTX_SWEEP_SQL = ", ".join(str(c) for c in CTX_SWEEP)
+
+
+@register(
+    "curation_context_length_sweep",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    placed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+      FROM toks
+    ),
+    ls AS (SELECT CAST(unnest([{_CTX_SWEEP_SQL}]) AS INTEGER) AS ctx_len),
+    docagg AS (
+      SELECT l.ctx_len,
+             CAST(COUNT(*) AS BIGINT)      AS n_docs,
+             CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN p.start_offset // l.ctx_len
+                        <> (p.start_offset + p.n_tokens - 1) // l.ctx_len
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pack_straddle_docs,
+             CAST(SUM(CASE WHEN p.n_tokens > l.ctx_len THEN 1 ELSE 0 END)
+                  AS BIGINT)                         AS trunc_docs,
+             CAST(SUM(GREATEST(p.n_tokens - l.ctx_len, 0)) AS BIGINT)
+                                                     AS trunc_tokens_lost,
+             CAST(SUM(l.ctx_len - LEAST(p.n_tokens, l.ctx_len)) AS BIGINT)
+                                                     AS pad_tokens
+      FROM placed p CROSS JOIN ls l
+      GROUP BY l.ctx_len
+    ),
+    langagg AS (
+      SELECT l.ctx_len,
+             CAST(SUM((t.tot + l.ctx_len - 1) // l.ctx_len) AS BIGINT)
+               AS pack_windows
+      FROM (SELECT lang, SUM(n_tokens) AS tot FROM toks GROUP BY lang) t
+      CROSS JOIN ls l
+      GROUP BY l.ctx_len
+    )
+    SELECT d.ctx_len, d.n_docs, d.total_tokens, g.pack_windows,
+           d.pack_straddle_docs, d.trunc_docs, d.trunc_tokens_lost,
+           d.pad_tokens
+    FROM docagg d JOIN langagg g USING (ctx_len)
+    ORDER BY d.ctx_len
+    """,
+    doc=f"Context-length decision sweep: for each candidate window "
+        f"length {CTX_SWEEP}, the exact integer costs of the two "
+        "standard batching strategies — PACK (concatenate per lang "
+        "stream and cut: total windows + docs straddling a cut, i.e. "
+        "attention-fragmentation) vs ONE-DOC-PER-SAMPLE (docs "
+        "truncated, tokens lost to truncation, tokens burned as "
+        "padding). This is the table a pipeline owner reads before "
+        "fixing seq_len. Plan: ONE lang-partitioned cumsum window "
+        "shared by all lengths, then the per-length flags come from a "
+        "map-side explode of the constant length array (no join, no "
+        "cartesian) into a map-combinable aggregate keyed by the "
+        f"{len(CTX_SWEEP)}-value length — plus a lang-cardinality "
+        "side aggregate for ceil-div window counts, joined at "
+        f"{len(CTX_SWEEP)} rows. All-integer arithmetic end to end.",
+    tags=("curation", "llm", "window", "aggregation"),
+)
+def curation_context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = toks.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    ctx = F.explode(
+        F.array(*[F.lit(c).cast("int") for c in CTX_SWEEP])
+    ).alias("ctx_len")
+    per_doc = placed.select("lang", "n_tokens", "start_offset", ctx)
+    straddle = (
+        F.expr("start_offset div ctx_len")
+        != F.expr("(start_offset + n_tokens - 1) div ctx_len")
+    ).cast("int")
+    docagg = per_doc.groupBy("ctx_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(straddle).cast("bigint").alias("pack_straddle_docs"),
+        F.sum((F.col("n_tokens") > F.col("ctx_len")).cast("int"))
+        .cast("bigint")
+        .alias("trunc_docs"),
+        F.sum(F.greatest(F.col("n_tokens") - F.col("ctx_len"), F.lit(0)))
+        .cast("bigint")
+        .alias("trunc_tokens_lost"),
+        F.sum(F.col("ctx_len") - F.least(F.col("n_tokens"), F.col("ctx_len")))
+        .cast("bigint")
+        .alias("pad_tokens"),
+    )
+    langagg = (
+        toks.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .select(ctx, "tot")
+        .groupBy("ctx_len")
+        .agg(
+            F.sum(F.expr("(tot + ctx_len - 1) div ctx_len"))
+            .cast("bigint")
+            .alias("pack_windows")
+        )
+    )
+    return (
+        docagg.join(F.broadcast(langagg), "ctx_len")
+        .select(
+            "ctx_len",
+            "n_docs",
+            "total_tokens",
+            "pack_windows",
+            "pack_straddle_docs",
+            "trunc_docs",
+            "trunc_tokens_lost",
+            "pad_tokens",
+        )
+        .orderBy("ctx_len")
+    )

@@ -1015,3 +1015,108 @@ def dedup_pressure_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
         .orderBy("lang_a", "lang_b")
     )
+
+
+# Jaccard thresholds for the sweep below, in integer percent so the
+# group key hashes identically in both engines; the comparison itself
+# is exact double math (t/100.0 is the same double on both sides).
+DEDUP_THRESHOLD_SWEEP = [5, 10, 20, 40, 60, 80]
+_SWEEP_SQL = ", ".join(str(t) for t in DEDUP_THRESHOLD_SWEEP)
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sized AS (
+      SELECT doc_id, shingle,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+      FROM sh
+    ),
+    cpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_common,
+             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+      FROM sized a JOIN sized b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jpairs AS (
+      SELECT doc_a, doc_b,
+             CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+      FROM cpairs
+      WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
+            >= {JACCARD_THRESHOLD}
+    ),
+    swept AS (
+      SELECT t.t_pct, p.doc_a, p.doc_b
+      FROM jpairs p CROSS JOIN
+           (SELECT CAST(unnest([{_SWEEP_SQL}]) AS INTEGER) AS t_pct) t
+      WHERE p.jaccard >= t.t_pct / 100.0
+    ),
+    pagg AS (
+      SELECT t_pct,
+             CAST(COUNT(*) AS BIGINT)              AS n_pairs,
+             CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS docs_removed
+      FROM swept GROUP BY t_pct
+    ),
+    dagg AS (
+      SELECT t_pct, CAST(COUNT(DISTINCT d) AS BIGINT) AS docs_affected
+      FROM (SELECT t_pct, unnest([doc_a, doc_b]) AS d FROM swept)
+      GROUP BY t_pct
+    )
+    SELECT p.t_pct, p.n_pairs, d.docs_affected, p.docs_removed
+    FROM pagg p JOIN dagg d USING (t_pct)
+    ORDER BY p.t_pct
+    """,
+    doc=f"Dedup-threshold tuning sweep: for each candidate Jaccard "
+        f"threshold (percent: {DEDUP_THRESHOLD_SWEEP}), the exact "
+        "consequences of deduping at that bar — surviving near-dup "
+        "pairs, distinct documents touched, and documents removed "
+        "under the keep-lowest-doc_id rule (a doc is removed iff it "
+        "is the higher id in ≥1 surviving pair). This is the curve a "
+        "pipeline owner reads before fixing the dedup threshold: too "
+        "low destroys legitimate repetition, too high ships "
+        "templates. Plan: reuses the one posting-list pair pass "
+        "(map-side emission, df-capped) that dedup_jaccard_pairs "
+        "already computes, then a map-side explode of the constant "
+        "threshold array and of each pair into its two (doc, role) "
+        "rows — no threshold-table join, no cartesian, and ONE "
+        "evaluation of the pair lineage feeding a single "
+        f"{len(DEDUP_THRESHOLD_SWEEP)}-row aggregate (n_pairs rides "
+        "the role sum, so no separate pair-count branch). Pair "
+        "volume is O(Σ df²) with df ≤ "
+        f"{STOP_SHINGLE_MAX_DF} regardless of corpus size.",
+    tags=("dedup", "llm", "neardup", "aggregation"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_jaccard_pairs(spark, sf_dir)
+    t_col = F.explode(
+        F.array(*[F.lit(t).cast("int") for t in DEDUP_THRESHOLD_SWEEP])
+    ).alias("t_pct")
+    # Each surviving (pair, threshold) row fans out to its two member
+    # docs tagged by role; every statistic then folds out of ONE
+    # aggregate — n_pairs = Σ is_b (one doc_b row per pair),
+    # docs_affected = distinct doc, docs_removed = distinct doc_b.
+    roles = F.explode(
+        F.array(
+            F.struct(F.col("doc_a").alias("d"), F.lit(0).alias("is_b")),
+            F.struct(F.col("doc_b").alias("d"), F.lit(1).alias("is_b")),
+        )
+    ).alias("e")
+    return (
+        pairs.select("doc_a", "doc_b", "jaccard", t_col)
+        .filter(F.col("jaccard") >= F.col("t_pct") / F.lit(100.0))
+        .select("t_pct", roles)
+        .select("t_pct", "e.d", "e.is_b")
+        .groupBy("t_pct")
+        .agg(
+            F.sum("is_b").cast("bigint").alias("n_pairs"),
+            F.count_distinct("d").alias("docs_affected"),
+            F.count_distinct(
+                F.when(F.col("is_b") == 1, F.col("d"))
+            ).alias("docs_removed"),
+        )
+        .select("t_pct", "n_pairs", "docs_affected", "docs_removed")
+        .orderBy("t_pct")
+    )

@@ -87,6 +87,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "nation: constant 25 rows",
     ("streaming/windows.py", "enriched_category_totals_stream", "dim"):
         "EVENT_TYPE_DIM constant: 5 rows",
+    ("plans/curation.py", "curation_context_length_sweep", "langagg"):
+        "per-ctx_len window counts: rows = len(CTX_SWEEP) = 4, constant",
 }
 
 

@@ -80,6 +80,8 @@ DOC_QUERIES = [
     "mm_frame_sample",
     "mm_resize_payload",
     "dedup_clusters",
+    "curation_context_length_sweep",
+    "dedup_threshold_sweep",
 ]
 
 

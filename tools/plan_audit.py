@@ -80,6 +80,16 @@ AUDIT = [
      "IVF index build pipeline: dedup via window PARTITIONED by the "
      "vector signature hash; assignment via MapInPandas corpus scan; "
      "k-row final aggregate — no cartesian, no unpartitioned window"),
+    ("curation_context_length_sweep",
+     "context-length sweep: one lang-partitioned cumsum window shared "
+     "by every candidate length; lengths enter via a map-side constant "
+     "explode (Generate over a literal array, NOT a join); both "
+     "aggregates are map-combinable with a 4-row key"),
+    ("dedup_threshold_sweep",
+     "threshold sweep: reuses the cached posting-list pair pass, "
+     "evaluated ONCE; thresholds and pair roles enter via map-side "
+     "constant explodes — no threshold-table join, no cartesian; one "
+     "6-row multi-distinct aggregate"),
     ("curation_strip_dup_segments",
      "segment-level dedup: the row-multiplying segmenter is a JVM-side "
      "HOF explode; first-occurrence window is PARTITIONED by the "
