@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_spark.io import load
+from etl_spark.operators.graph import triangle_count
 from etl_spark.plans.registry import REGISTRY, register
 
 # --------------------------------------------------------------------------
@@ -286,9 +287,15 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # merge (SMJ) hints: pairs and sizes are both corpus-derived, so
+    # neither may be broadcast at any scale, and a shuffled-hash build
+    # pins execution memory. Measured on the sf1 contract drive (10x
+    # bench data, plain 1g driver): the AQE auto-broadcast of these
+    # sides was the heap-OOM that killed downstream consumers
+    # (graph_dup_triangles inherits this lineage). SMJ spills.
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
     )
@@ -353,9 +360,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     containment = F.col("n_common").cast("double") / F.least("na", "nb")
+    # Same scale discipline as dedup_jaccard_pairs: corpus-derived
+    # sides take spill-safe SMJ, never a broadcast or hash build.
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .filter(containment >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", containment.alias("containment"))
     )
@@ -775,15 +784,24 @@ def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ncm = F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint")
     est = matches.cast("double") / N_HASHES
     true_j = ncm.cast("double") / (F.col("na") + F.col("nb") - ncm)
+    # Every join side here is corpus-derived (doc- or pair-cardinality),
+    # so none may EVER be broadcast: not forced (the round-3 advice
+    # class) and not auto-picked either — at 10x bench scale AQE still
+    # sees each side under the broadcast threshold and the stacked
+    # broadcast builds exhaust the driver heap (measured: the sf1
+    # contract drive failed here with "Not enough memory to build and
+    # broadcast" before these hints). merge (sort-merge) pins the
+    # scale-safe strategy: hash-partition both sides and SPILL-SAFE
+    # sort them — a shuffled-hash build would still pin each task's
+    # hash map in execution memory (measured: the shuffle_hash form
+    # of this fix OOM'd the same drive with "not enough memory to
+    # build hash map"), while SMJ degrades to disk, never to failure.
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        # za/zb are doc-cardinality (one row per document) — plain
-        # equi-joins, AQE picks the strategy; an explicit broadcast of
-        # a data-sized side would OOM at corpus scale.
-        .join(za, "doc_a")
-        .join(zb, "doc_b")
-        .join(common, ["doc_a", "doc_b"], "left")
+        cand.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
+        .join(za.hint("merge"), "doc_a")
+        .join(zb.hint("merge"), "doc_b")
+        .join(common.hint("merge"), ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
             "doc_b",
@@ -826,16 +844,21 @@ def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
     """,
     doc="Triangle count over the near-dup similarity graph (edges = "
-        "Jaccard pairs over threshold, oriented doc_a < doc_b): the "
-        "standard cohesion check before transitive-closure dedup — "
-        "many triangles means clusters are dense cliques (safe to "
-        "collapse), few means chains of borderline pairs (risky). "
-        "Ordered-triple enumeration (e1.b joins e2.a, closed by e3) "
-        "counts each triangle exactly once; edge orientation by id is "
-        "the degree-independent special case of the orient-by-degree "
-        "trick that bounds per-vertex fan-out at scale. Edge lists "
-        "come from the shared posting index; at 100 TB you'd run "
-        "this on the (tiny) post-threshold edge set, exactly as here.",
+        "Jaccard pairs over threshold): the standard cohesion check "
+        "before transitive-closure dedup — many triangles means "
+        "clusters are dense cliques (safe to collapse), few means "
+        "chains of borderline pairs (risky). Degree-ordered "
+        "adjacency intersection (node-iterator++): orient every edge "
+        "from the (degree, id)-smaller endpoint to the larger, build "
+        "per-node sorted out-neighbor arrays, then count per oriented "
+        "edge |N+(u) INTERSECT N+(v)| in-row. Each triangle {a<b<c} "
+        "is counted exactly once, at edge (a,b). The wedge set — "
+        "THETA(n_triangles) rows, cubic in clique size, the thing "
+        "that OOM'd the join-enumeration form on the 10x replicated "
+        "corpus where every dup clique grows 10x — is never "
+        "materialized: out-degree under degree orientation is "
+        "O(sqrt(m)), so adjacency rows stay small and the only "
+        "data-sized shuffles are edge/node-cardinality SMJs.",
     tags=("dedup", "llm", "neardup", "graph"),
 )
 def graph_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,11 +874,8 @@ def graph_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    e1 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
-    e2 = edges.select(F.col("doc_a").alias("y"), F.col("doc_b").alias("z"))
-    e3 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    tri = triangle_count(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.crossJoin(tri).select("n_edges", "n_triangles")

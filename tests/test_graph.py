@@ -95,3 +95,51 @@ def test_connected_components_matches_union_find_on_random_graphs(
         for r in connected_components(vertices, edges).collect()
     }
     assert got == want
+
+
+def _brute_triangles(pairs):
+    from itertools import combinations
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return sum(
+        1
+        for a, b, c in combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+
+
+def test_triangle_count_matches_brute_force(spark):
+    from etl_spark.operators.graph import triangle_count
+
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        [],                                           # empty graph
+        [(1, 2)],                                     # single edge
+        [(1, 2), (2, 3), (1, 3)],                     # one triangle
+        [(a, b) for a in range(10) for b in range(a + 1, 10)],  # K10 clique
+    ]
+    for _ in range(4):  # random sparse + dense graphs
+        n = rng.randint(5, 40)
+        p = rng.choice([0.1, 0.5])
+        cases.append(
+            [
+                (a, b)
+                for a in range(n)
+                for b in range(a + 1, n)
+                if rng.random() < p
+            ]
+        )
+    for pairs in cases:
+        expected = _brute_triangles(pairs)
+        df = spark.createDataFrame(
+            pairs or [(0, 0)], ["src", "dst"]
+        )
+        if not pairs:
+            df = df.filter(F.lit(False))
+        got = triangle_count(df).collect()[0]["n_triangles"]
+        assert got == expected, (len(pairs), got, expected)

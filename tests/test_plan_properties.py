@@ -94,10 +94,12 @@ def test_jaccard_pairs_have_no_cartesian(spark):
     plan = plan_of(spark, "dedup_jaccard_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # Pair generation is map-side from posting lists: the only joins
-    # are the two broadcast size-attachment joins — a shingle
-    # self-join (exchange + sort both sides) must not reappear.
-    assert "SortMergeJoin" not in plan
+    # Pair generation is map-side from posting lists; the data joins
+    # are the size-attachment joins, pinned to spill-safe SMJ (see
+    # test_corpus_pair_joins_pinned_to_sort_merge). The only broadcast
+    # allowed is the stop-shingle anti-join (df-capped list). A
+    # shingle self-join or a hash build on a pair-sized side must not
+    # reappear — the latter was the sf1 per-task OOM.
     assert "ShuffledHashJoin" not in plan
 
 
@@ -263,3 +265,24 @@ def test_salted_join_edge_is_shuffle_hash(spark):
     plan = plan_of(spark, "join_salted_event_geo")
     assert "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_pair_joins_pinned_to_sort_merge(spark):
+    """The sf1 (10x) contract drive proved AQE's auto-broadcast and a
+    shuffled-hash build both OOM on corpus-derived pair/size tables;
+    the merge hints that fix it must not silently fall off the plans.
+    SMJ on those joins is the spill-safe shape at every scale."""
+    for name, min_smj in [
+        ("dedup_jaccard_pairs", 2),     # pairs ⋈ sizes(a) ⋈ sizes(b)
+        ("dedup_containment_pairs", 2),
+        ("dedup_minhash_error", 5),     # cand ⋈ sig(a/b) ⋈ sizes(a/b) ⋈ common
+        # oriented ⋈ adj(u/v); the degree-orientation SMJs execute
+        # behind the localCheckpoint lineage cut and don't appear in
+        # the final plan.
+        ("graph_dup_triangles", 2),
+    ]:
+        plan = plan_of(spark, name)
+        assert plan.count("SortMergeJoin") >= min_smj, (
+            f"{name}: expected >= {min_smj} SortMergeJoin, plan:\n"
+            + plan[:2000]
+        )

@@ -34,6 +34,11 @@ AUDIT = [
     ("dedup_minhash_lsh",
      "posting-list index reused (InMemoryTableScan); band self-join is "
      "an equi hash join on (band_idx, band_hash); no cartesian"),
+    ("dedup_jaccard_pairs",
+     "pairs emitted map-side from the cached posting lists (no shingle "
+     "self-join); the pairs-sizes joins are pinned SortMergeJoin — "
+     "corpus-derived sides never broadcast and never pin a hash build "
+     "(both failure modes measured on the 10x sf1 contract drive)"),
     ("sim_topk_cosine",
      "corpus scanned once; Arrow-batched Python stage only for the "
      "matmul scoring; top-k per query via window over the scored rows"),
