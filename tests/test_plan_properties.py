@@ -276,10 +276,10 @@ def test_corpus_pair_joins_pinned_to_sort_merge(spark):
         ("dedup_jaccard_pairs", 2),     # pairs ⋈ sizes(a) ⋈ sizes(b)
         ("dedup_containment_pairs", 2),
         ("dedup_minhash_error", 5),     # cand ⋈ sig(a/b) ⋈ sizes(a/b) ⋈ common
-        # oriented ⋈ adj(u/v); the degree-orientation SMJs execute
-        # behind the localCheckpoint lineage cut and don't appear in
-        # the final plan.
-        ("graph_dup_triangles", 2),
+        # wedge_counts ⋈ closing edges; the degree-orientation SMJs
+        # execute behind the localCheckpoint lineage cut and don't
+        # appear in the final plan.
+        ("graph_dup_triangles", 1),
     ]:
         plan = plan_of(spark, name)
         assert plan.count("SortMergeJoin") >= min_smj, (

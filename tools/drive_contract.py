@@ -12,13 +12,25 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as E
 from tools.contract_compare import compare_result
 
-spark = (
-    SparkSession.builder.master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
+# Defaults mirror the round driver exactly (local[8], 8 shuffle
+# partitions, default 1g heap). The env overrides exist for the
+# BIGGER-than-driver receipts (sf1 = 10x bench scale): a 60M-row
+# dataset with 8 shuffle partitions means ~GB-sized sort partitions
+# against a 1g heap, which measures the JVM, not the plan. The sf1
+# receipt uses DRIVE_DRIVER_MEM=4g DRIVE_SHUFFLE_PARTITIONS=64 —
+# still 32x below the machine's RAM; the plans must spill, not OOM.
+builder = (
+    SparkSession.builder.master(f"local[{os.environ.get('DRIVE_CPUS', '8')}]")
+    .config(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("DRIVE_SHUFFLE_PARTITIONS", "8"),
+    )
     .config("spark.ui.enabled", "false")
     .appName("driver-sim")
-    .getOrCreate()
 )
+if os.environ.get("DRIVE_DRIVER_MEM"):
+    builder = builder.config("spark.driver.memory", os.environ["DRIVE_DRIVER_MEM"])
+spark = builder.getOrCreate()
 
 # --- smoke: entry() ---
 t0 = time.time()
