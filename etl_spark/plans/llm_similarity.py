@@ -78,6 +78,12 @@ def _vec_cte() -> str:
 N_QUERIES = 10
 TOP_K = 5
 
+# Candidate-side chunk size for the within-cell exact NN scan: bounds
+# per-task memory (BLOCK x NN_CELL_CHUNK score doubles) and sets the
+# parallelism of a cell to ceil(cell_n / NN_CELL_CHUNK) tasks. Tests
+# shrink it to force the multi-chunk path on the small fixtures.
+NN_CELL_CHUNK = 8192
+
 
 @register(
     "sim_topk_cosine",
@@ -192,51 +198,126 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "llm", "ann", "ivf"),
 )
 def sim_nn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # One applyInPandas per IVF cell: the whole cell's score matrix is a
-    # single numpy matmul (Arrow batch in, vectorized BLAS, no per-pair
-    # interpreted lambdas — profiled ~4x faster than the join+zip_with
-    # form). Oracle-exactness is preserved because quantized integer
-    # products/sums stay below 2^53: float64 matmul is EXACT regardless
-    # of summation order, and the final dot/sqrt(na*nb) uses only
-    # correctly-rounded IEEE ops — bit-identical to DuckDB's
-    # sequential evaluation.
+    # Chunked exact scan per IVF cell. The naive shape (one applyInPandas
+    # group per cell) ships the WHOLE cell to one task and builds an m x m
+    # score matrix — at a 100x-scale probe (20k vectors/cell) that was a
+    # 3.2 GB matrix on a single task and the worst timing in the sweep.
+    # Instead: split each cell's CANDIDATE side into hash chunks of
+    # <= CHUNK vectors, replicate the cell's queries to every chunk, and
+    # compute a local argmax per (cell, chunk) with a blocked matmul.
+    # A global max over (cos_sim, nn_id asc) then recovers the exact
+    # per-vector nearest neighbor — argmax is associative, cos values are
+    # bit-identical float64s in every chunk, and the struct max applies
+    # the same tiebreak, so the result is byte-equal to the single-matrix
+    # form (and to the DuckDB oracle).
+    #
+    # Scale accounting per cell of m vectors: parallelism = ceil(m/CHUNK)
+    # tasks instead of 1; per-task memory = BLOCK x CHUNK doubles (~0.5 GB
+    # worst case, independent of m); shuffle = m * n_chunks = m^2/CHUNK
+    # single-vector rows instead of one m-row group (and ~CHUNK x fewer
+    # bytes than the m^2 pair rows a self-join would emit).
     emb = (
         load(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
         # Zero-norm vectors excluded from cosine scoring (both sides;
         # see sim_topk_cosine).
         .filter(dot(F.col("q"), F.col("q")) > 0)
     )
 
-    def nn_per_cell(pdf):
+    # Cells are the IVF coarse-quantizer's nlist — config-sized (10 here,
+    # a few thousand in a real index), so the per-cell count table is a
+    # legitimate broadcast at any data scale.
+    cells = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+        .withColumn(
+            "n_chunks",
+            F.greatest(F.lit(1), F.ceil(F.col("cell_n") / NN_CELL_CHUNK)).cast("int"),
+        )
+        .select("label", "n_chunks")
+    )
+    # The corpus side carries c_-prefixed names: cogroup on two frames
+    # cut from the same lineage trips Spark's ambiguous-self-join check
+    # unless every non-key attribute resolves uniquely. Keys match by
+    # position in cogroup, so the rename is free.
+    corpus = emb.join(F.broadcast(cells), "label").select(
+        F.col("label").alias("c_label"),
+        F.pmod(F.xxhash64("vec_id"), F.col("n_chunks")).cast("int").alias("c_chunk_id"),
+        F.col("vec_id").alias("c_vec_id"),
+        F.col("q").alias("c_q"),
+    )
+    queries = emb.join(F.broadcast(cells), "label").select(
+        "label",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+        "vec_id",
+        "q",
+    )
+
+    def nn_per_chunk(qpdf, cpdf):
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                columns=["vec_id", "label", "nn_id", "cos_sim"]
-            ).astype({"vec_id": "int64", "label": "int32", "nn_id": "int64", "cos_sim": "float64"})
-        Q = np.array(pdf["q"].tolist(), dtype=np.float64)
-        G = Q @ Q.T  # exact: integer-valued, |entries| < 2^53
-        norms = np.diag(G).copy()
-        cos = G / np.sqrt(np.outer(norms, norms))
-        np.fill_diagonal(cos, -np.inf)
-        # argmax over ascending vec_id order == tiebreak nn_id asc.
-        nn_idx = np.argmax(cos, axis=1)
-        return pd.DataFrame(
-            {
-                "vec_id": pdf["vec_id"].values,
-                "label": pdf["label"].values,
-                "nn_id": pdf["vec_id"].values[nn_idx],
-                "cos_sim": cos[np.arange(len(pdf)), nn_idx],
-            }
+        empty = pd.DataFrame(
+            columns=["vec_id", "label", "nn_id", "cos_sim"]
+        ).astype(
+            {"vec_id": "int64", "label": "int32", "nn_id": "int64", "cos_sim": "float64"}
         )
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return empty
+        # Candidates sorted by vec_id so np.argmax's first-max rule
+        # implements the nn_id-ascending tiebreak.
+        cpdf = cpdf.sort_values("c_vec_id").reset_index(drop=True)
+        # vstack over the Arrow-delivered ndarray elements is C-speed;
+        # .tolist() would round-trip through Python ints.
+        C = np.vstack(cpdf["c_q"].to_numpy()).astype(np.float64)
+        c_ids = cpdf["c_vec_id"].to_numpy()
+        c_norm = np.einsum("ij,ij->i", C, C)  # exact: integers < 2^53
+        out = []
+        BLOCK = 2048
+        for lo in range(0, len(qpdf), BLOCK):
+            blk = qpdf.iloc[lo : lo + BLOCK]
+            Q = np.vstack(blk["q"].to_numpy()).astype(np.float64)
+            q_ids = blk["vec_id"].to_numpy()
+            G = Q @ C.T  # exact integer-valued float64 products
+            cos = G / np.sqrt(np.outer(np.einsum("ij,ij->i", Q, Q), c_norm))
+            cos[q_ids[:, None] == c_ids[None, :]] = -np.inf  # mask self
+            nn_idx = np.argmax(cos, axis=1)
+            best = cos[np.arange(len(blk)), nn_idx]
+            keep = np.isfinite(best)  # chunk held only the query itself
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": q_ids[keep],
+                        "label": blk["label"].to_numpy()[keep],
+                        "nn_id": c_ids[nn_idx[keep]],
+                        "cos_sim": best[keep],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
 
-    return emb.groupBy("label").applyInPandas(
-        nn_per_cell, schema="vec_id bigint, label int, nn_id bigint, cos_sim double"
+    local = (
+        queries.groupBy("label", "chunk_id")
+        .cogroup(corpus.groupBy("c_label", "c_chunk_id"))
+        .applyInPandas(
+            nn_per_chunk,
+            schema="vec_id bigint, label int, nn_id bigint, cos_sim double",
+        )
     )
+    # Associative global argmax with the (cos_sim desc, nn_id asc)
+    # tiebreak encoded as a struct max; exact because equal float64 cos
+    # values compare equal across chunks.
+    best = (
+        local.groupBy("vec_id", "label")
+        .agg(F.max(F.struct(F.col("cos_sim"), (-F.col("nn_id")).alias("neg_nn"))).alias("b"))
+        .select(
+            "vec_id",
+            "label",
+            (-F.col("b.neg_nn")).alias("nn_id"),
+            F.col("b.cos_sim").alias("cos_sim"),
+        )
+    )
+    return best
 
 
 # Sign-LSH plane count scales with corpus size: expected bucket

@@ -76,6 +76,37 @@ def _normalize(df):
     )
 
 
+def test_nn_within_label_multichunk_path(
+    spark, edge_emb_dir, edge_emb_duck, monkeypatch
+):
+    """Force the candidate-side chunk split (the 100 TB path) and require
+    the same exact oracle parity: with NN_CELL_CHUNK=2 every 3-member
+    cell runs as 2 cogroup tasks, so the cross-chunk struct-max merge and
+    the self-only-chunk drop (-inf row) are both exercised."""
+    from etl_spark.plans import llm_similarity as sim
+
+    monkeypatch.setattr(sim, "NN_CELL_CHUNK", 2)
+    q = REGISTRY["sim_nn_within_label"]
+    got = _normalize(q.builder(spark, edge_emb_dir).toPandas())
+    want = _normalize(edge_emb_duck.execute(q.oracle).df())
+    assert got == want
+
+
+def test_nn_within_label_chunked_equals_default(spark, monkeypatch):
+    """On real data (sf0.001), the chunked plan must return byte-equal
+    results to the single-chunk plan — argmax associativity + identical
+    float64 cos values make chunking invisible."""
+    from etl_spark.plans import llm_similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    q = REGISTRY["sim_nn_within_label"]
+    base = _normalize(q.builder(spark, sf).toPandas())
+    monkeypatch.setattr(sim, "NN_CELL_CHUNK", 3)
+    chunked = _normalize(q.builder(spark, sf).toPandas())
+    assert chunked == base
+    assert len(base) > 0
+
+
 @pytest.mark.parametrize("name", EMB_QUERIES)
 def test_edge_embeddings_match_oracle(spark, edge_emb_dir, edge_emb_duck, name):
     q = REGISTRY[name]
