@@ -5,12 +5,15 @@
 
 PY ?= python
 
-.PHONY: test contract contract-big bench bench-full fuzz plans scaling sfbig bench-sfbig run help
+.PHONY: test contract contract-big contract-sf1 contract-all roundclose bench bench-full fuzz plans scaling sfbig bench-sfbig run help
 
 help:
 	@echo "test         - full pytest suite"
 	@echo "contract     - driver-style contract: every query vs its DuckDB oracle (sf0.01)"
 	@echo "contract-big - same contract at bench scale (sf0.1)"
+	@echo "contract-sf1 - same contract at 10x bench scale (/tmp/sf1; builds it if absent)"
+	@echo "contract-all - sf0.01 + sf0.1 + sf1 contracts, fail on any non-green"
+	@echo "roundclose   - pytest at HEAD + contract-all + bench (the close gate)"
 	@echo "bench        - headline 25-query benchmark (one JSON line)"
 	@echo "bench-full   - full-registry timing sweep"
 	@echo "plans        - regenerate PLANS.md executed-plan receipts"
@@ -29,6 +32,24 @@ contract:
 
 contract-big:
 	cd /tmp && DRIVE_SF_DIR=/root/testdata/sf0.1 $(PY) $(CURDIR)/tools/drive_contract.py
+
+# 10x bench scale on driver-shaped knobs scaled for the data (4g heap,
+# 64 shuffle partitions — see tools/drive_contract.py header for why).
+# Builds /tmp/sf1 first if it is not already materialized.
+contract-sf1:
+	@test -d /tmp/sf1/lineitem.parquet || $(PY) tools/make_sfbig.py 10 /tmp/sf1
+	cd /tmp && DRIVE_SF_DIR=/tmp/sf1 DRIVE_DRIVER_MEM=4g \
+		DRIVE_SHUFFLE_PARTITIONS=64 $(PY) $(CURDIR)/tools/drive_contract.py
+
+# The round-close gate: every registered query green against its
+# oracle at three scales, so a scale regression is caught the round
+# it is introduced, not one round later.
+contract-all: contract contract-big contract-sf1
+
+# Full round-close checklist: pytest AT HEAD (round 4 shipped a red
+# fence because receipts were regenerated but pytest was not), then
+# the three-scale contract, then the bench line.
+roundclose: test contract-all bench
 
 bench:
 	$(PY) bench.py

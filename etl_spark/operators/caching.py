@@ -1,0 +1,78 @@
+"""Session-scoped keyed DataFrame cache — the ONE sanctioned way to
+hold a persisted frame across plan-builder calls.
+
+A bare ``.persist()`` inside a registered builder leaks: every call
+stacks another copy in storage memory, and nothing ever unpersists it
+(a builder returns a lazy plan, so it cannot unpersist before the
+caller's action). The pattern that works — grown independently in the
+dedup posting-list index and the LSH band table, now extracted — is a
+module-level dict keyed on ``(applicationId, sf_dir)``:
+
+* ``applicationId`` is stable for the session's lifetime; keying on
+  ``id(spark)`` would let CPython hand a recycled id to a NEW session
+  and return a frame bound to a stopped one.
+* Reuse only while ``storageLevel.useMemory`` still holds — an
+  external ``spark.catalog.clearCache()`` (bench reps do this between
+  timings) silently unpersists, and a stale reuse would run every
+  consumer uncached while looking cached.
+* Persist + ``count()`` BEFORE handing the frame to multi-consumer
+  plans: Spark has no cross-plan ReusedExchange, so an unmaterialized
+  "cached" frame recomputes its whole upstream once per consumer.
+
+``tests/test_registry_hygiene.py`` enforces the complement: every raw
+``.persist()`` call site outside this module must pair with an
+``unpersist()`` in the same function (the try/finally iterative-ML
+shape) — builders that need cross-call persistence come here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+# cache name -> {(applicationId, sf_dir): persisted DataFrame}
+_CACHES: dict[str, dict[tuple[str, str], DataFrame]] = {}
+
+
+def session_cached(
+    name: str,
+    spark: SparkSession,
+    sf_dir: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return the persisted frame for (``name``, session, ``sf_dir``),
+    building + materializing it via ``build()`` on first use or after
+    an external unpersist."""
+    cache = _CACHES.setdefault(name, {})
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = cache.get(key)
+    if cached is not None and cached.storageLevel.useMemory:
+        return cached
+    cache.pop(key, None)  # evict stale/unpersisted entries
+    df = build().persist()
+    df.count()  # materialize before multi-consumer reuse
+    cache[key] = df
+    return df
+
+
+def evict(name: str | None = None) -> None:
+    """Unpersist and drop cached entries — for ``name`` only, or every
+    cache when ``name`` is None. Test fixtures and fuzz harnesses that
+    swap the underlying corpus call this so a stale index bound to the
+    previous fixture can't be reused."""
+    caches = [_CACHES[name]] if name in _CACHES else (
+        list(_CACHES.values()) if name is None else []
+    )
+    for cache in caches:
+        for df in cache.values():
+            df.unpersist()
+        cache.clear()
+
+
+def live_caches() -> dict[str, int]:
+    """Cache name -> number of still-persisted entries (test hook)."""
+    return {
+        name: sum(1 for df in entries.values() if df.storageLevel.useMemory)
+        for name, entries in _CACHES.items()
+    }

@@ -1,12 +1,14 @@
 """Arrow-batched multimodal decode / feature-extract plumbing.
 
-Real pipelines decode image/audio/video payloads with native libs
-(PIL, ffmpeg, torchaudio). Those libs are NOT in this container, so
-``decode_payload`` raises NotImplementedError and the pipeline runs
-with ``fake_features`` — a deterministic, pure-Python stand-in that
-exercises the exact same Spark surface: binary column in, fixed-schema
-feature struct out, Arrow batch transfer, ``mapInPandas`` over
-partition-local batches.
+Rich pipelines decode image/audio/video payloads with native libs
+(PIL, ffmpeg, torchaudio). Those libs are NOT in this container, but
+the stdlib ships two REAL codecs — ``wave`` (RIFF/WAVE PCM audio) and
+``zlib`` (DEFLATE) — so ``decode_payload`` genuinely decodes those
+two container formats, dispatched on magic bytes, and falls back to
+``fake_features`` (a deterministic byte-math stand-in with the same
+Spark surface) for everything else. A user with PIL/ffmpeg adds their
+branch to the same dispatch; the Arrow batching, 1:N frame shape and
+no-payload-shuffle plumbing are format-independent.
 
 Scale notes: this is a narrow map (no shuffle); batch size is governed
 by spark.sql.execution.arrow.maxRecordsPerBatch, and the iterator form
@@ -17,6 +19,9 @@ partition size — the shape that survives 100 TB of payload bytes.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -28,13 +33,78 @@ FEATURE_SCHEMA = (
     "mean_byte double"
 )
 
+WAV_SAMPLE_RATE = 8000
 
-def decode_payload(payload: bytes) -> object:
-    """Decode a real media payload. Requires codec libs absent here."""
-    raise NotImplementedError(
-        "media decode requires PIL/ffmpeg-class libraries not present in "
-        "this environment; use fake_features for the tested pipeline"
-    )
+
+def build_wav(pcm: bytes) -> bytes:
+    """Wrap raw bytes as a REAL RIFF/WAVE container: 8-bit unsigned
+    mono PCM at 8 kHz, written by the stdlib ``wave`` encoder (so the
+    header, chunk layout and sizes are a genuine WAV file any player
+    parses)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(WAV_SAMPLE_RATE)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def sniff_mime(payload: bytes) -> str:
+    """Magic-byte container sniff (the dispatch key for decode)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio/wav"
+    # zlib has a 2-byte header, not a true magic: 0x78 CMF then a
+    # check byte making the pair a multiple of 31. Heuristic — the
+    # decode branch therefore verifies by actually inflating and
+    # falls back on zlib.error rather than trusting the sniff.
+    if len(payload) >= 2 and payload[0] == 0x78 and (
+        (payload[0] << 8 | payload[1]) % 31 == 0
+    ):
+        return "application/zlib"
+    return "application/octet-stream"
+
+
+def decode_payload(payload: bytes) -> dict:
+    """Decode a media payload: REAL codec where the stdlib has one
+    (WAV via ``wave``, DEFLATE via ``zlib``), deterministic byte-math
+    stand-in otherwise. Returns a tagged dict; a corrupt payload that
+    carries a true container magic (RIFF/WAVE) fails LOUDLY — silent
+    fallback would mislabel broken audio as opaque bytes."""
+    payload = bytes(payload)
+    mime = sniff_mime(payload)
+    if mime == "audio/wav":
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n = w.getnframes()
+            pcm = w.readframes(n)
+            return {
+                "mime": mime,
+                "n_channels": w.getnchannels(),
+                "sample_rate": w.getframerate(),
+                "sample_width": w.getsampwidth(),
+                "n_samples": n,
+                "mean_sample": (sum(pcm) / len(pcm)) if pcm else 0.0,
+                "pcm_md5": hashlib.md5(pcm).hexdigest(),
+            }
+    if mime == "application/zlib":
+        try:
+            raw = zlib.decompress(payload)
+        except zlib.error:
+            pass  # sniff false-positive (no real magic) — treat as bytes
+        else:
+            return {
+                "mime": mime,
+                "decoded_bytes": len(raw),
+                "decoded_md5": hashlib.md5(raw).hexdigest(),
+            }
+    n_bytes, n_frames, signature, mean_byte = fake_features(payload)
+    return {
+        "mime": "application/octet-stream",
+        "n_bytes": n_bytes,
+        "n_frames": n_frames,
+        "frame_signature": signature,
+        "mean_byte": mean_byte,
+    }
 
 
 def fake_features(payload: bytes) -> tuple[int, int, str, float]:
@@ -203,4 +273,178 @@ def resize_payload(
         df.select("doc_id", payload_col)
         .where(F.col(payload_col).isNotNull())
         .mapInPandas(batches, schema=RESIZE_SCHEMA)
+    )
+
+
+WAV_DECODE_SCHEMA = (
+    "doc_id bigint, mime string, n_channels int, sample_rate int, "
+    "n_samples bigint, mean_sample double, pcm_md5 string"
+)
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode stage: payloads are genuine RIFF/WAVE
+    containers (see ``build_wav``), parsed on the workers by the
+    stdlib ``wave`` codec — header walk, fmt-chunk fields, PCM frame
+    extraction. Narrow map, one container decoded per row, Arrow
+    batch in/out; the exact stage shape a torchaudio-backed pipeline
+    has, with a real (if humble) codec in the decode slot."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import io as _io
+        import wave as _wave
+
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                with _wave.open(_io.BytesIO(bytes(payload)), "rb") as w:
+                    n = w.getnframes()
+                    pcm = w.readframes(n)
+                rows.append(
+                    (
+                        doc_id,
+                        "audio/wav",
+                        w.getnchannels(),
+                        w.getframerate(),
+                        n,
+                        (sum(pcm) / len(pcm)) if pcm else 0.0,
+                        _hashlib.md5(pcm).hexdigest(),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mime", "n_channels", "sample_rate",
+                    "n_samples", "mean_sample", "pcm_md5",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "n_channels": "int32",
+                    "sample_rate": "int32", "n_samples": "int64",
+                    "mean_sample": "float64",
+                }
+            )
+
+    return (
+        df.select("doc_id", payload_col)
+        .where(F.col(payload_col).isNotNull())
+        .mapInPandas(batches, schema=WAV_DECODE_SCHEMA)
+    )
+
+
+DEFLATE_DECODE_SCHEMA = (
+    "doc_id bigint, mime string, decoded_bytes bigint, decoded_md5 string"
+)
+
+
+def decode_deflate(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL decompression decode stage: inflate zlib-DEFLATE payloads
+    on the workers (stdlib zlib, sniffed by the same header check as
+    ``sniff_mime``) and fingerprint the recovered bytes. Non-zlib
+    payloads fall back to raw-byte fingerprinting, mirroring
+    ``decode_payload``'s dispatch. Narrow map; payload never
+    shuffles."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                payload = bytes(payload)
+                raw, mime = None, "application/octet-stream"
+                if len(payload) >= 2 and payload[0] == 0x78 and (
+                    (payload[0] << 8 | payload[1]) % 31 == 0
+                ):
+                    try:
+                        raw = _zlib.decompress(payload)
+                        mime = "application/zlib"
+                    except _zlib.error:
+                        raw = None
+                if raw is None:
+                    raw = payload
+                rows.append(
+                    (doc_id, mime, len(raw), _hashlib.md5(raw).hexdigest())
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "decoded_bytes", "decoded_md5"],
+            ).astype({"doc_id": "int64", "decoded_bytes": "int64"})
+
+    return (
+        df.select("doc_id", payload_col)
+        .where(F.col(payload_col).isNotNull())
+        .mapInPandas(batches, schema=DEFLATE_DECODE_SCHEMA)
+    )
+
+
+def with_deflate_payload(docs: DataFrame, src: str = "text") -> DataFrame:
+    """Fixture builder: attach a zlib-DEFLATE-compressed payload of
+    the document's utf-8 bytes (stdlib zlib encoder, default level —
+    a genuine compressed stream, not byte math)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        _zlib.compress(t.encode("utf-8")) for t in pdf[src]
+                    ],
+                }
+            )
+
+    return (
+        docs.select("doc_id", src)
+        .where(F.col(src).isNotNull())
+        .mapInPandas(batches, schema="doc_id bigint, payload binary")
+    )
+
+
+def with_wav_payload(docs: DataFrame, pcm_from: str = "text") -> DataFrame:
+    """Fixture builder: attach a real WAV container whose 8-bit mono
+    PCM samples are the document's utf-8 bytes (deterministic, so the
+    decoded features replay in SQL from the text). Container bytes are
+    assembled by the stdlib ``wave`` ENCODER inside the batch — the
+    payload column carries genuine WAV files, not byte math."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        import pandas as _pd
+
+        def _wav(pcm: bytes) -> bytes:
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(1)
+                w.setframerate(8000)
+                w.writeframes(pcm)
+            return buf.getvalue()
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        _wav(t.encode("utf-8")) for t in pdf[pcm_from]
+                    ],
+                }
+            )
+
+    return (
+        docs.select("doc_id", pcm_from)
+        .where(F.col(pcm_from).isNotNull())
+        .mapInPandas(batches, schema="doc_id bigint, payload binary")
     )

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from etl_spark.io import load
+from etl_spark.operators.caching import session_cached
 from etl_spark.operators.graph import triangle_count
 from etl_spark.plans.registry import REGISTRY, register
 
@@ -109,13 +110,6 @@ def drop_stop_shingles(sh: DataFrame, max_df: int = STOP_SHINGLE_MAX_DF) -> Data
     return sh.join(F.broadcast(hot), "shingle", "left_anti").select(sh.columns)
 
 
-# One persisted posting-list index per (session, sf_dir): repeated
-# dedup queries in a long-lived session reuse the same cached
-# DataFrame instead of stacking duplicate persisted copies in storage
-# memory.
-_SHINGLE_CACHE: dict = {}
-
-
 def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unfiltered (doc_id, shingle) rows, one per distinct shingle per doc.
 
@@ -163,33 +157,21 @@ def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hot-list/anti-join step runs BEFORE collect_list so a 100 TB
     hot shingle never materializes a giant in-memory list.
     """
-    # Keyed on applicationId (stable for the session's lifetime), not
-    # id(spark): CPython can reuse an id() for a new session after the
-    # old one is collected, which would hand back a DataFrame bound to
-    # a stopped session.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SHINGLE_CACHE.get(key)
-    # Reuse only while still actually persisted — an external
-    # clearCache() (bench reps do this) silently unpersists the
-    # DataFrame and a stale reuse would run every consumer uncached.
-    if cached is not None and cached.storageLevel.useMemory:
-        return cached
-    _SHINGLE_CACHE.pop(key, None)  # evict stale/unpersisted entries
-    raw = _raw_shingles(spark, sf_dir)
+
     # The raw explode is evaluated twice (hot-list aggregate + kept
     # rows) instead of persisting the raw index: the explode is cheap
     # relative to caching 10^5-10^6 rows, and steady state holds ONE
     # cached structure — the posting lists. At 100 TB the same role is
     # played by checkpointing the posting lists to parquet.
-    posting = (
-        drop_stop_shingles(raw)
-        .groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .persist()
-    )
-    posting.count()  # materialize before multi-consumer reuse
-    _SHINGLE_CACHE[key] = posting
-    return posting
+    def build() -> DataFrame:
+        raw = _raw_shingles(spark, sf_dir)
+        return (
+            drop_stop_shingles(raw)
+            .groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        )
+
+    return session_cached("dedup_posting_lists", spark, sf_dir, build)
 
 
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,9 +422,6 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BANDS_CACHE: dict = {}
-
-
 def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted (doc_id, band_idx, band_hash) LSH index — N_BANDS
     rows per doc, the structure an LSH index materializes at scale.
@@ -451,28 +430,26 @@ def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows NO ReusedExchange for the two join sides, so an
     unmaterialized band table would run the whole signature pass
     (corpus scan -> md5 -> 16-way min-agg) TWICE. Tracked in the same
-    applicationId-keyed cache as posting_lists so repeated builds
-    reuse ONE persisted entry and a bench clearCache() (which silently
+    session_cached registry as posting_lists so repeated builds reuse
+    ONE persisted entry and a bench clearCache() (which silently
     unpersists) triggers a rebuild instead of an uncached reuse."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _BANDS_CACHE.get(key)
-    if cached is not None and cached.storageLevel.useMemory:
-        return cached
-    _BANDS_CACHE.pop(key, None)  # evict stale/unpersisted entries
-    sig = minhash_signatures(spark, sf_dir)
 
-    def band_hash(b: int):
-        s = [F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        return ((s[0] * 31 + s[1]) * 31 + s[2]) * 31 + s[3]
+    def build() -> DataFrame:
+        sig = minhash_signatures(spark, sf_dir)
 
-    band_hashes = [band_hash(b) for b in range(N_BANDS)]
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
-    ).persist()
-    bands.count()  # materialize before multi-consumer reuse
-    _BANDS_CACHE[key] = bands
-    return bands
+        def band_hash(b: int):
+            s = [
+                F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)
+            ]
+            return ((s[0] * 31 + s[1]) * 31 + s[2]) * 31 + s[3]
+
+        band_hashes = [band_hash(b) for b in range(N_BANDS)]
+        return sig.select(
+            "doc_id",
+            F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
+        )
+
+    return session_cached("lsh_band_table", spark, sf_dir, build)
 
 
 def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -848,18 +825,22 @@ def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Jaccard pairs over threshold): the standard cohesion check "
         "before transitive-closure dedup — many triangles means "
         "clusters are dense cliques (safe to collapse), few means "
-        "chains of borderline pairs (risky). Degree-ordered "
-        "adjacency intersection (node-iterator++): orient every edge "
-        "from the (degree, id)-smaller endpoint to the larger, build "
-        "per-node sorted out-neighbor arrays, then count per oriented "
-        "edge |N+(u) INTERSECT N+(v)| in-row. Each triangle {a<b<c} "
-        "is counted exactly once, at edge (a,b). The wedge set — "
-        "THETA(n_triangles) rows, cubic in clique size, the thing "
-        "that OOM'd the join-enumeration form on the 10x replicated "
-        "corpus where every dup clique grows 10x — is never "
-        "materialized: out-degree under degree orientation is "
-        "O(sqrt(m)), so adjacency rows stay small and the only "
-        "data-sized shuffles are edge/node-cardinality SMJs.",
+        "chains of borderline pairs (risky). Degree-ordered wedge "
+        "counting (node-iterator++ with map-side combine): orient "
+        "every edge from the (degree, id)-smaller endpoint to the "
+        "larger, build per-node sorted out-neighbor arrays, stream "
+        "every wedge (nbrs[i], nbrs[j]) out of a per-row generator "
+        "straight into a partial hash aggregate, then close wedges "
+        "with ONE skinny SMJ against the oriented edges. Each "
+        "triangle {a<b<c} is counted exactly once, as the wedge "
+        "(b, c) generated at a. Raw wedges — THETA(sum outdeg^2) "
+        "rows, the thing that OOM'd both the join-enumeration form "
+        "AND the per-edge array_intersect form on the 10x replicated "
+        "corpus — never cross a shuffle: the map-side combine ships "
+        "only DISTINCT wedge endpoints with counts (O(m) on "
+        "clique-heavy dup graphs vs O(m^1.5) raw), and out-degree "
+        "under degree orientation is O(sqrt(m)) so every in-flight "
+        "adjacency array stays small.",
     tags=("dedup", "llm", "neardup", "graph"),
 )
 def graph_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_spark.io import load
+from etl_spark.operators.caching import session_cached
 from etl_spark.plans.registry import register
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -472,10 +473,16 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # membership set; collapse it ONCE to per-doc trigram counts and
     # persist those — the two consumers then derive from the (much
     # smaller) count table instead of each re-running the explode.
-    cnt = (
-        tri_all.groupBy("doc_id", "lang", "tri")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+    # session_cached (not a bare persist): a builder can't unpersist
+    # its own lazy result, so an untracked persist here leaked one
+    # cached copy per call.
+    cnt = session_cached(
+        "langid_trigram_counts",
+        spark,
+        sf_dir,
+        lambda: tri_all.groupBy("doc_id", "lang", "tri").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
     )
     w_rank = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri").asc())
     # lang IS NOT NULL mirrors the oracle: unlabeled docs can't teach

@@ -8,9 +8,11 @@ pipeline needs at 100 TB:
 * an opaque `binary` payload column + typed metadata struct,
 * hashing/length/prefix ops on binary columns (JVM-side),
 * an Arrow-batched `mapInPandas` decode/feature-extract stage
-  (`etl_spark.operators.media`), with the actual image/audio decode
-  stubbed behind NotImplementedError (decode libs are not in this
-  container) and a deterministic fake used for tests.
+  (`etl_spark.operators.media`) whose decode slot dispatches on magic
+  bytes to REAL stdlib codecs where they exist — `wave` for RIFF/WAVE
+  audio (`mm_decode_wav`), `zlib` for DEFLATE (`mm_decode_deflate`) —
+  and to a deterministic byte-math stand-in for formats whose codecs
+  (PIL/ffmpeg) are not in this container.
 
 Scale: payloads never shuffle — feature extraction is a narrow map;
 metadata (small struct) is what joins/groupBys touch.
@@ -370,3 +372,69 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .orderBy("payload_md5")
     )
+
+
+@register(
+    "mm_decode_wav",
+    # REAL codec in the decode slot: payloads are genuine RIFF/WAVE
+    # containers (stdlib `wave` encoder), parsed back on the workers
+    # by the stdlib `wave` DECODER — header walk, fmt chunk, PCM frame
+    # read. Because the PCM samples are the doc's utf-8 bytes by
+    # construction, every decoded field replays in SQL from the text
+    # on the ASCII slice: the oracle checks the decode, not a copy of
+    # the stand-in math.
+    oracle=f"""
+    SELECT doc_id,
+      'audio/wav'                        AS mime,
+      CAST(1 AS INTEGER)                 AS n_channels,
+      CAST(8000 AS INTEGER)              AS sample_rate,
+      CAST(length(text) AS BIGINT)       AS n_samples,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE CAST(list_sum(list_transform(generate_series(1, length(text)),
+                                             i -> ord(text[i]))) AS DOUBLE)
+                / length(text)
+      END                                AS mean_sample,
+      md5(text)                          AS pcm_md5
+    FROM documents
+    WHERE {_ASCII_DOCS_SQL}
+    """,
+    doc="Genuine audio decode (operators/media.py decode_audio): "
+        "stdlib wave codec parses real WAV containers per row in an "
+        "Arrow mapInPandas — the same narrow-map stage shape a "
+        "torchaudio pipeline has. Payload never shuffles; only the "
+        "k-column feature row continues.",
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.media import decode_audio, with_wav_payload
+
+    docs = load(spark, sf_dir, "documents").where(_ASCII_DOCS)
+    return decode_audio(with_wav_payload(docs))
+
+
+@register(
+    "mm_decode_deflate",
+    # Second real stdlib codec: payloads are zlib-DEFLATE streams of
+    # the text bytes; the decode branch inflates them and fingerprints
+    # the recovered bytes. Compressed size is codec-internal (not SQL-
+    # replayable), so only decoded-side fields are output — which is
+    # exactly what proves the decompression round-trip.
+    oracle="""
+    SELECT doc_id,
+      'application/zlib'                           AS mime,
+      CAST(octet_length(encode(text)) AS BIGINT)   AS decoded_bytes,
+      md5(text)                                    AS decoded_md5
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+    doc="Genuine DEFLATE decode: payloads compressed with stdlib zlib "
+        "on one narrow map, inflated + fingerprinted on another via "
+        "decode_payload's magic-byte dispatch (operators/media.py). "
+        "The oracle verifies the round-trip against the source bytes.",
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def mm_decode_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.media import decode_deflate, with_deflate_payload
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return decode_deflate(with_deflate_payload(docs))

@@ -53,6 +53,10 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "stop-shingle heavy-hitter list: shingles with df > cap; under "
         "any Zipfian corpus the over-cap set is a vanishing fraction of "
         "the vocabulary (it is exactly the boilerplate head)",
+    ("plans/llm_similarity.py", "sim_nn_within_label", "cells"):
+        "IVF per-cell chunk counts: one row per coarse-quantizer cell "
+        "(nlist-sized — 10 here, a few thousand in a real index), "
+        "config-bounded regardless of corpus size",
     ("plans/llm_text.py", "text_langid_ngram", "profile"):
         "language trigram profiles: config table, ~langs x top-k rows",
     ("plans/llm_text.py", "text_cms_term_counts", "cms"):

@@ -78,8 +78,13 @@ def test_strip_dup_segments_keeps_each_segment_once(spark):
     assert sum(r["n_kept"] for r in rows) == n_distinct
     # Reassembly never invents content: each cleaned doc's tokens are a
     # subsequence of the original's (check a sample driver-side).
+    # Fetch originals for exactly the sampled doc_ids — a limit(2000)
+    # here would be an arbitrary unordered subset that can miss sampled
+    # ids on larger fixtures and KeyError nondeterministically.
+    sample_ids = [r["doc_id"] for r in rows[:200]]
     originals = {
-        r["doc_id"]: r["text"] for r in docs.limit(2000).collect()
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id").isin(sample_ids)).collect()
     }
     for r in rows[:200]:
         if not r["clean_text"]:

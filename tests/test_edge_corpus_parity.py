@@ -11,6 +11,7 @@ import duckdb
 import pytest
 
 import etl_spark.plans.llm_dedup as dd
+from etl_spark.operators.caching import evict
 from etl_spark.plans import REGISTRY
 
 EDGE_DOCS = [
@@ -95,11 +96,9 @@ def edge_dir(spark, tmp_path_factory):
     spark.createDataFrame(
         rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
     ).coalesce(1).write.parquet(f"{d}/documents.parquet")
-    dd._SHINGLE_CACHE.clear()
+    evict()
     yield str(d)
-    for df in dd._SHINGLE_CACHE.values():
-        df.unpersist()
-    dd._SHINGLE_CACHE.clear()
+    evict()
 
 
 @pytest.fixture(scope="module")

@@ -1,21 +1,102 @@
 """Multimodal plumbing: the Arrow mapInPandas feature extractor must
-agree with a pure-Python recompute of the same payloads, and the real
-decode hook must be explicitly stubbed."""
+agree with a pure-Python recompute of the same payloads, and the
+decode dispatch must route real containers to real stdlib codecs
+(wave, zlib) and everything else to the deterministic stand-in."""
 
 from __future__ import annotations
 
 import hashlib
+import wave
+import zlib
 
-import pytest
-
-from etl_spark.operators.media import decode_payload, extract_features, with_payload
+from etl_spark.operators.media import (
+    build_wav,
+    decode_payload,
+    extract_features,
+    sniff_mime,
+    with_payload,
+)
 from etl_spark.io import load
 from tests.conftest import SF_DIR
 
 
-def test_decode_payload_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_payload(b"\x89PNG...")
+def test_decode_dispatch_wav_is_a_real_wave_parse():
+    pcm = bytes(range(256)) * 3
+    payload = build_wav(pcm)
+    assert sniff_mime(payload) == "audio/wav"
+    out = decode_payload(payload)
+    # Ground truth straight from the stdlib codec, independently.
+    import io
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        assert out["n_channels"] == w.getnchannels() == 1
+        assert out["sample_rate"] == w.getframerate() == 8000
+        assert out["n_samples"] == w.getnframes() == len(pcm)
+    assert out["pcm_md5"] == hashlib.md5(pcm).hexdigest()
+    assert out["mean_sample"] == sum(pcm) / len(pcm)
+
+
+def test_decode_dispatch_zlib_inflates():
+    raw = b"the quick brown fox " * 50
+    out = decode_payload(zlib.compress(raw))
+    assert out["mime"] == "application/zlib"
+    assert out["decoded_bytes"] == len(raw)
+    assert out["decoded_md5"] == hashlib.md5(raw).hexdigest()
+
+
+def test_decode_dispatch_unknown_falls_back_to_standin():
+    payload = b"\x89PNG\r\n\x1a\x08 no png codec in the stdlib"
+    out = decode_payload(payload)
+    assert out["mime"] == "application/octet-stream"
+    assert out["n_bytes"] == len(payload)
+    assert out["frame_signature"] == hashlib.md5(payload[::64]).hexdigest()
+
+
+def test_decode_dispatch_zlib_false_positive_falls_back():
+    # 'x^' passes the 2-byte zlib header check ((0x78<<8|0x5e) % 31 == 0)
+    # but is plain text — the branch must verify by inflating and fall
+    # back instead of crashing the task.
+    payload = b"x^ plain ascii that happens to look like a zlib header"
+    assert sniff_mime(payload) == "application/zlib"
+    out = decode_payload(payload)
+    assert out["mime"] == "application/octet-stream"
+    assert out["n_bytes"] == len(payload)
+
+
+def test_decode_audio_stage_matches_driver_side_decode(spark):
+    # Parity between the worker closure (decode_audio's self-contained
+    # batch fn) and the canonical driver-side decode_payload dispatch.
+    from etl_spark.operators.media import decode_audio, with_wav_payload
+
+    docs = load(spark, SF_DIR, "documents").limit(30)
+    source = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = {r["doc_id"]: r for r in decode_audio(with_wav_payload(docs)).collect()}
+    assert set(rows) == set(source)
+    for doc_id, text in source.items():
+        expect = decode_payload(build_wav(text.encode("utf-8")))
+        got = rows[doc_id]
+        for field in (
+            "mime", "n_channels", "sample_rate", "n_samples",
+            "mean_sample", "pcm_md5",
+        ):
+            assert got[field] == expect[field], (doc_id, field)
+
+
+def test_decode_deflate_stage_matches_driver_side_decode(spark):
+    from etl_spark.operators.media import decode_deflate, with_deflate_payload
+
+    docs = load(spark, SF_DIR, "documents").limit(30)
+    source = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = {
+        r["doc_id"]: r
+        for r in decode_deflate(with_deflate_payload(docs)).collect()
+    }
+    assert set(rows) == set(source)
+    for doc_id, text in source.items():
+        expect = decode_payload(zlib.compress(text.encode("utf-8")))
+        got = rows[doc_id]
+        for field in ("mime", "decoded_bytes", "decoded_md5"):
+            assert got[field] == expect[field], (doc_id, field)
 
 
 def test_extract_features_matches_python_recompute(spark):

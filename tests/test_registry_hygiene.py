@@ -51,3 +51,36 @@ def test_oracle_references_known_tables(name):
     # elsewhere in the SQL text (e.g. parenthesized subquery aliases).
     truly_unknown = {r for r in unknown if q.oracle.count(r) < 2}
     assert not truly_unknown, f"{name}: oracle references {truly_unknown}"
+
+
+def test_no_unpaired_raw_persist():
+    """Every raw ``.persist()`` in etl_spark must be unpersisted in the
+    same function (the try/finally iterative-ML shape). Cross-call
+    persistence goes through ``operators.caching.session_cached`` —
+    a builder returns a lazy plan and can never unpersist its own
+    result, so a bare persist there leaks one cached copy per call
+    (found live in text_langid_ngram before this fence)."""
+    import ast
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "etl_spark"
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        rel = str(path.relative_to(pkg))
+        if rel == "operators/caching.py":  # the sanctioned implementation
+            continue
+        tree = ast.parse(path.read_text())
+        for fn in ast.walk(tree):
+            if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            calls = {
+                n.func.attr
+                for n in ast.walk(fn)
+                if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
+            }
+            if "persist" in calls and "unpersist" not in calls:
+                offenders.append(f"{rel}:{fn.lineno} {fn.name}")
+    assert not offenders, (
+        "raw .persist() without an unpersist in the same function — "
+        "use session_cached or pair it:\n" + "\n".join(offenders)
+    )

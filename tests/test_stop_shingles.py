@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 import etl_spark.plans.llm_dedup as dd
+from etl_spark.operators.caching import evict
 
 
 def _shingle_index(spark, rows):
@@ -43,7 +44,7 @@ def test_hot_shingle_does_not_explode_candidates(spark, tmp_path, monkeypatch):
         f"{sf_dir}/documents.parquet"
     )
     monkeypatch.setattr(dd, "STOP_SHINGLE_MAX_DF", 50)
-    dd._SHINGLE_CACHE.clear()
+    evict()
     try:
         sh = dd.shingles_df(spark, sf_dir)
         # The hot shingle ("common shared prefix") is gone from the index…
@@ -51,9 +52,7 @@ def test_hot_shingle_does_not_explode_candidates(spark, tmp_path, monkeypatch):
         # …so the candidate stage produces zero pairs instead of ~20k.
         assert dd.dedup_jaccard_pairs(spark, sf_dir).count() == 0
     finally:
-        for df in dd._SHINGLE_CACHE.values():
-            df.unpersist()
-        dd._SHINGLE_CACHE.clear()
+        evict()
 
 
 def test_sf_corpus_unaffected_by_cap(spark, duck):
@@ -62,7 +61,7 @@ def test_sf_corpus_unaffected_by_cap(spark, duck):
     # matches the raw DuckDB index exactly.
     from tests.conftest import SF_DIR
 
-    dd._SHINGLE_CACHE.clear()
+    evict()
     try:
         n_spark = dd.shingles_df(spark, SF_DIR).count()
         n_raw = duck.execute(
@@ -70,9 +69,7 @@ def test_sf_corpus_unaffected_by_cap(spark, duck):
         ).fetchone()[0]
         assert n_spark == n_raw
     finally:
-        for df in dd._SHINGLE_CACHE.values():
-            df.unpersist()
-        dd._SHINGLE_CACHE.clear()
+        evict()
 
 
 def test_hot_list_broadcasts_not_shuffles(spark):

@@ -15,7 +15,7 @@ fixed edge corpus hand-picks, this draws at random across seeds — an
 engine/oracle divergence on ANY drawn corpus is a real bug in one of
 the two sides (both engines see byte-identical parquet).
 
-Usage: python tools/fuzz_parity.py [n_seeds] [--docs-only|--events-only]
+Usage: python tools/fuzz_parity.py [n_seeds] [--docs-only|--events-only|--skew]
 (documents/embeddings/relational/mixed/events per seed; 161 queries)
 Writes a per-seed PASS/FAIL summary; exit 1 on any mismatch.
 """
@@ -100,6 +100,36 @@ REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+
+
+def gen_documents_skewed(rng: random.Random, n: int) -> list[tuple]:
+    """Adversarially SKEWED corpus: one boilerplate template duplicated
+    ~10^4 times (5/6 of the corpus), a tranche of near-dups of it (one
+    token perturbed), and a normal background — the hot-key shape that
+    makes naive pair joins quadratic. Every template shingle's df is
+    ~10^4 >> STOP_SHINGLE_MAX_DF, so the cap must drop them and keep
+    candidate emission bounded; the perturbed tokens' shingles stay
+    under the cap and still pair the near-dups. Volume is set at/above
+    the sf0.1 documents table (5000 rows) so the receipt speaks for
+    bench scale."""
+    vocab = _vocab(rng, 80)
+    template = " ".join(rng.choice(vocab) for _ in range(40))
+    n_template = (n * 5) // 6
+    n_near = n // 24
+    rows: list[tuple] = []
+    doc_id = 0
+    for _ in range(n_template):
+        rows.append((doc_id, template, "en", "boilerplate", len(template)))
+        doc_id += 1
+    for _ in range(n_near):
+        toks = template.split(" ")
+        toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        text = " ".join(toks)
+        rows.append((doc_id, text, "en", "near", len(text)))
+        doc_id += 1
+    for r in gen_documents(rng, n - doc_id):
+        rows.append((r[0] + doc_id, r[1], r[2], r[3], r[4]))
+    return rows
 
 
 def gen_relational(rng: random.Random, n_orders: int) -> dict[str, tuple]:
@@ -248,6 +278,7 @@ def main() -> None:
     n_seeds = int(args[0]) if args else 5
     docs_only = "--docs-only" in sys.argv
     events_only = "--events-only" in sys.argv
+    skew = "--skew" in sys.argv
 
     from etl_spark.plans import REGISTRY
     from etl_spark.session import get_spark, tune_session
@@ -280,12 +311,21 @@ def main() -> None:
         return build
 
     plan = []
-    if not events_only:
+    if skew:
+        # Skew receipt mode: ONLY the hot-key corpus, at sf0.1-scale
+        # volume. Also prints the posting-list df histogram before and
+        # after the stop-shingle cap — the statistic that bounds
+        # per-shingle pair emission to cap^2/2 (SCALING.md).
+        plan.append(("documents-skew", doc_queries, one_table(
+            gen_documents_skewed,
+            "doc_id bigint, text string, lang string, "
+            "source string, n_chars bigint", 12000, "documents")))
+    elif not events_only:
         plan.append(("documents", doc_queries, one_table(
             gen_documents,
             "doc_id bigint, text string, lang string, "
             "source string, n_chars bigint", 120, "documents")))
-    if not docs_only and not events_only:
+    if not docs_only and not events_only and not skew:
         plan.append(("embeddings", emb_queries, one_table(
             gen_embeddings,
             "vec_id bigint, embedding array<float>, label int",
@@ -306,14 +346,37 @@ def main() -> None:
             return tables
 
         plan.append(("mixed", mixed_queries, build_mixed))
-    if not docs_only:
+    if not docs_only and not skew:
         plan.append(("events", ev_queries, one_table(
             gen_events,
             "event_id bigint, ts timestamp, user_id bigint, "
             "event_type string, value double, props string", 400,
             "events")))
 
-    import etl_spark.plans.llm_dedup as dd
+    from etl_spark.operators.caching import evict
+
+    def print_skew_histogram(d: str) -> None:
+        """Posting-list df histogram BEFORE vs AFTER the stop-shingle
+        cap — df is what bounds per-shingle pair emission (cap^2/2
+        after, hot-df^2/2 before). Recorded in SCALING.md."""
+        import etl_spark.plans.llm_dedup as dd
+        from pyspark.sql import functions as F
+
+        raw_df = (
+            dd._raw_shingles(spark, d).groupBy("shingle")
+            .count().select(F.col("count").alias("df"))
+        )
+        kept_df = dd.posting_lists(spark, d).select(
+            F.size("docs").alias("df")
+        )
+        for label, frame in (("before-cap", raw_df), ("after-cap", kept_df)):
+            qs = frame.approxQuantile("df", [0.5, 0.9, 0.99, 1.0], 0.0)
+            n = frame.count()
+            print(
+                f"skew df {label}: n_shingles={n} "
+                f"p50={qs[0]:.0f} p90={qs[1]:.0f} p99={qs[2]:.0f} "
+                f"max={qs[3]:.0f} worst_pair_emission={qs[3]**2/2:.0f}"
+            )
 
     total_fail = 0
     for seed in range(n_seeds):
@@ -332,12 +395,7 @@ def main() -> None:
                         f"'{d}/{table}.parquet/*.parquet'"
                     )
                 # per-corpus caches must not leak across corpora
-                for df in dd._SHINGLE_CACHE.values():
-                    df.unpersist()
-                dd._SHINGLE_CACHE.clear()
-                for df in dd._BANDS_CACHE.values():
-                    df.unpersist()
-                dd._BANDS_CACHE.clear()
+                evict()
                 n_fail = 0
                 t0 = time.time()
                 for name in queries:
@@ -360,6 +418,8 @@ def main() -> None:
                             print(f"  spark={x}\n  duck ={y}")
                         n_fail += 1
                 con.close()
+                if family == "documents-skew":
+                    print_skew_histogram(d)
                 status = "PASS" if n_fail == 0 else f"{n_fail} FAILURES"
                 print(f"seed={seed} {family}: {len(queries)} queries "
                       f"{status}  ({time.time()-t0:.0f}s)")

@@ -55,6 +55,20 @@ def main() -> None:
         if not keys:
             big = src
         else:
+            # Shifted keys from copy i must not collide with copy i+1:
+            # every source key has to sit below OFFSET or the replicas
+            # silently interleave, corrupting FK consistency and dedup
+            # cardinalities. Fail loudly instead.
+            maxes = src.select(
+                *[F.max(F.col(k)).alias(k) for k in keys]
+            ).first()
+            for k in keys:
+                if maxes[k] is not None and maxes[k] >= OFFSET:
+                    raise SystemExit(
+                        f"{table}.{k} max={maxes[k]} >= OFFSET={OFFSET}: "
+                        "key-shifted copies would collide. Raise OFFSET "
+                        "above the largest source key."
+                    )
             # One explode per source row instead of a union chain:
             # n_copies stays a plan constant, not a plan depth.
             copies = F.explode(

@@ -150,7 +150,15 @@ def main() -> None:
         df = REGISTRY[name].builder(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         counts = summarize(plan)
-        if name not in ONE_ROW_CROSS_OK:
+        if name in ONE_ROW_CROSS_OK:
+            # Allowance is BOUNDED, not a skip: the contract is ONE
+            # single-row-aggregate cross (n_edges x n_triangles), so a
+            # future data-sized cartesian still fails the audit.
+            assert (
+                counts["CartesianProduct"] + counts["BroadcastNestedLoopJoin"]
+                <= 1
+            ), name
+        else:
             assert counts["CartesianProduct"] == 0, name
             assert counts["BroadcastNestedLoopJoin"] == 0, name
         lines = [
