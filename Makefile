@@ -5,7 +5,7 @@
 
 PY ?= python
 
-.PHONY: test contract contract-big contract-sf1 contract-all roundclose bench bench-full fuzz plans scaling sfbig bench-sfbig run help
+.PHONY: test contract contract-big contract-sf1 contract-all roundclose bench bench-full fuzz fuzz-skew plans scaling sfbig bench-sfbig run help
 
 help:
 	@echo "test         - full pytest suite"
@@ -59,6 +59,11 @@ bench-full:
 
 fuzz:
 	$(PY) tools/fuzz_parity.py 10
+
+# Hot-key skew receipt: 12k docs, one template duplicated 10^4x,
+# all document queries vs oracle + the df histogram (SCALING.md).
+fuzz-skew:
+	$(PY) tools/fuzz_parity.py 1 --skew
 
 plans:
 	$(PY) tools/plan_audit.py

@@ -275,6 +275,7 @@ def test_corpus_pair_joins_pinned_to_sort_merge(spark):
     for name, min_smj in [
         ("dedup_jaccard_pairs", 2),     # pairs ⋈ sizes(a) ⋈ sizes(b)
         ("dedup_containment_pairs", 2),
+        ("dedup_incremental_batch", 2),  # pairs ⋈ sizes(new) ⋈ sizes(match)
         ("dedup_minhash_error", 5),     # cand ⋈ sig(a/b) ⋈ sizes(a/b) ⋈ common
         # wedge_counts ⋈ closing edges; the degree-orientation SMJs
         # execute behind the localCheckpoint lineage cut and don't

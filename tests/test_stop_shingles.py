@@ -80,3 +80,29 @@ def test_hot_list_broadcasts_not_shuffles(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_batch_equals_restricted_full_pairs(spark):
+    """dedup_incremental_batch must be EXACTLY the full Jaccard pair
+    set restricted to pairs touching >= 1 batch doc, re-oriented so
+    the batch doc leads — the invariant that makes incremental dedup
+    trustworthy (no pair invented, none missed, old x old excluded)."""
+    from tests.conftest import SF_DIR
+
+    MOD = dd.INCREMENTAL_BATCH_MOD
+    full = dd.dedup_jaccard_pairs(spark, SF_DIR).collect()
+    expected = {}
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        a_new, b_new = a % MOD == 0, b % MOD == 0
+        if a_new:  # covers both-new too: a < b already holds
+            expected[(a, b)] = (r["n_common"], r["jaccard"], not b_new)
+        elif b_new:
+            expected[(b, a)] = (r["n_common"], r["jaccard"], True)
+    got = {
+        (r["new_doc"], r["match_doc"]): (
+            r["n_common"], r["jaccard"], r["vs_existing"]
+        )
+        for r in dd.dedup_incremental_batch(spark, SF_DIR).collect()
+    }
+    assert got == expected and len(got) > 0

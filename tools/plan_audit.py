@@ -107,6 +107,10 @@ AUDIT = [
      "HOF explode; first-occurrence window is PARTITIONED by the "
      "segment hash (never unpartitioned); reassembly is one "
      "groupBy(doc_id) with an in-row array_sort"),
+    ("mm_decode_wav",
+     "real-codec decode (stdlib wave): two chained Arrow mapInPandas "
+     "stages (encode fixture, decode), payload bytes NEVER cross an "
+     "Exchange — zero shuffles in the whole plan"),
 ]
 
 INTERESTING = re.compile(
