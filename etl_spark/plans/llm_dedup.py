@@ -110,16 +110,12 @@ def drop_stop_shingles(sh: DataFrame, max_df: int = STOP_SHINGLE_MAX_DF) -> Data
     return sh.join(F.broadcast(hot), "shingle", "left_anti").select(sh.columns)
 
 
-def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unfiltered (doc_id, shingle) rows, one per distinct shingle per doc.
-
-    The token array is materialized in its own projection before the
-    shingle transform: slice(split(text), ...) inside the lambda would
-    re-split the text once per shingle — O(n²) per document in the
-    hottest loop of the dedup family.
-    """
-    toks = F.col("toks")
-    sh = F.when(
+def shingle_array(toks):
+    """Distinct ``NGRAM``-token shingles of a token-array column, as
+    one in-row array expression. THE shingle definition — the batch
+    index, the incremental pass, and the streaming gate must all
+    shingle identically or their overlap math silently diverges."""
+    return F.when(
         F.size(toks) >= NGRAM,
         F.array_distinct(
             F.transform(
@@ -128,6 +124,17 @@ def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unfiltered (doc_id, shingle) rows, one per distinct shingle per doc.
+
+    The token array is materialized in its own projection before the
+    shingle transform: slice(split(text), ...) inside the lambda would
+    re-split the text once per shingle — O(n²) per document in the
+    hottest loop of the dedup family.
+    """
+    sh = shingle_array(F.col("toks"))
     # repartition: the testdata ships one parquet file → one input
     # partition, which would serialize the (CPU-heavy) shingle explode
     # on a single core; spreading docs across the cluster first is the
