@@ -35,9 +35,12 @@ contract-big:
 
 # 10x bench scale on driver-shaped knobs scaled for the data (4g heap,
 # 64 shuffle partitions — see tools/drive_contract.py header for why).
-# Builds /tmp/sf1 first if it is not already materialized.
+# Builds /tmp/sf1 first if it is not already materialized. The _DONE
+# marker is written after the LAST table, so a build interrupted
+# mid-loop (or a partial leftover) triggers a rebuild instead of a
+# contract drive against truncated data.
 contract-sf1:
-	@test -d /tmp/sf1/lineitem.parquet || $(PY) tools/make_sfbig.py 10 /tmp/sf1
+	@test -f /tmp/sf1/_DONE || $(PY) tools/make_sfbig.py 10 /tmp/sf1
 	cd /tmp && DRIVE_SF_DIR=/tmp/sf1 DRIVE_DRIVER_MEM=4g \
 		DRIVE_SHUFFLE_PARTITIONS=64 $(PY) $(CURDIR)/tools/drive_contract.py
 

@@ -190,6 +190,74 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Shared posting-list pair machinery. dedup_jaccard_pairs,
+# dedup_containment_pairs and dedup_incremental_batch all run the same
+# three steps — per-doc set sizes, in-row ordered pair emission, and
+# the spill-safe size join — so each step lives here ONCE; diverging a
+# copy silently broke lockstep edits before these were factored.
+# --------------------------------------------------------------------------
+
+
+def doc_sizes(posting: DataFrame) -> DataFrame:
+    """Per-doc (stop-filtered) shingle-set sizes: (doc_id, n_sh).
+    Doc-cardinality, so NOT force-broadcast (the round-3 advice
+    class): consumers attach it via ``join_pair_sizes``."""
+    return (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+
+
+def ordered_pair_structs(docs, a_name: str = "doc_a", b_name: str = "doc_b"):
+    """All (i, j>i) struct pairs of a SORTED id-array column — each
+    unordered pair exactly once with a < b by construction. The
+    lambdas are interpreted, but they run over ≤-cap-length lists and
+    emit exactly the candidate stream — far cheaper than
+    exchanging+sorting both sides of a corpus-sized self-join."""
+    return F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs) - i - 1),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
+    )
+
+
+def join_pair_sizes(
+    pairs: DataFrame, sizes: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Attach per-doc set sizes as (na, nb) to a pair frame keyed by
+    (a_col, b_col).
+
+    merge (SMJ) hints: pairs and sizes are both corpus-derived, so
+    neither may be broadcast at any scale, and a shuffled-hash build
+    pins execution memory. Measured on the sf1 contract drive (10x
+    bench data, plain 1g driver): the AQE auto-broadcast of these
+    sides was the heap-OOM that killed downstream consumers
+    (graph_dup_triangles inherits this lineage). SMJ spills.
+    """
+    sa = sizes.select(F.col("doc_id").alias(a_col), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias(b_col), F.col("n_sh").alias("nb"))
+    return pairs.join(sa.hint("merge"), a_col).join(sb.hint("merge"), b_col)
+
+
+# Engine-exact measures over the (n_common, na, nb) columns that
+# join_pair_sizes produces. Functions, not module constants: Column
+# construction needs an active SparkContext, which import time lacks.
+def jaccard_expr():
+    return F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+
+
+def containment_expr():
+    return F.col("n_common").cast("double") / F.least("na", "nb")
+
+
 _RAW_SHINGLES_SQL = f"""
       SELECT doc_id, unnest(list_distinct(
                list_transform(generate_series(1, len(t) - {NGRAM - 1}),
@@ -245,49 +313,18 @@ JACCARD_THRESHOLD = 0.05
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = posting_lists(spark, sf_dir)
-    # Per-doc (filtered) set sizes — doc-cardinality, so NOT force-
-    # broadcast (the round-3 advice class): plain equi-joins, AQE
-    # picks the strategy.
-    sizes = (
-        posting.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    # docs is sorted ascending, so nested (i, j>i) iteration yields
-    # each unordered pair exactly once with doc_a < doc_b by
-    # construction. The lambdas are interpreted, but they run over
-    # ≤-cap-length lists and emit exactly the candidate stream — far
-    # cheaper than exchanging+sorting both sides of a 10^5-row
-    # self-join.
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size(F.col("docs")) - i - 1),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    # docs is sorted ascending, so ordered_pair_structs yields each
+    # unordered pair exactly once with doc_a < doc_b by construction.
     pairs = (
         posting.filter(F.size("docs") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
+        .select(F.explode(ordered_pair_structs(F.col("docs"))).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    # merge (SMJ) hints: pairs and sizes are both corpus-derived, so
-    # neither may be broadcast at any scale, and a shuffled-hash build
-    # pins execution memory. Measured on the sf1 contract drive (10x
-    # bench data, plain 1g driver): the AQE auto-broadcast of these
-    # sides was the heap-OOM that killed downstream consumers
-    # (graph_dup_triangles inherits this lineage). SMJ spills.
     return (
-        pairs.join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        join_pair_sizes(pairs, doc_sizes(posting), "doc_a", "doc_b")
+        .filter(jaccard_expr() >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", jaccard_expr().alias("jaccard"))
     )
 
 
@@ -327,36 +364,16 @@ CONTAINMENT_THRESHOLD = 0.8
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = posting_lists(spark, sf_dir)
-    sizes = (
-        posting.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size(F.col("docs")) - i - 1),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     pairs = (
         posting.filter(F.size("docs") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
+        .select(F.explode(ordered_pair_structs(F.col("docs"))).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    containment = F.col("n_common").cast("double") / F.least("na", "nb")
-    # Same scale discipline as dedup_jaccard_pairs: corpus-derived
-    # sides take spill-safe SMJ, never a broadcast or hash build.
     return (
-        pairs.join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), "doc_b")
-        .filter(containment >= CONTAINMENT_THRESHOLD)
-        .select("doc_a", "doc_b", containment.alias("containment"))
+        join_pair_sizes(pairs, doc_sizes(posting), "doc_a", "doc_b")
+        .filter(containment_expr() >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", containment_expr().alias("containment"))
     )
 
 
@@ -409,15 +426,10 @@ INCREMENTAL_BATCH_MOD = 10
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = posting_lists(spark, sf_dir)
-    sizes = (
-        posting.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
     mod = F.lit(INCREMENTAL_BATCH_MOD)
     # Split each sorted posting list in-row; both halves stay sorted,
-    # so the new x new nested slice yields each batch pair once with
-    # new_doc < match_doc, exactly like dedup_jaccard_pairs.
+    # so the new x new ordered_pair_structs yields each batch pair
+    # once with new_doc < match_doc, exactly like dedup_jaccard_pairs.
     lists = posting.select(
         F.filter("docs", lambda d: d % mod == 0).alias("new_docs"),
         F.filter("docs", lambda d: d % mod != 0).alias("old_docs"),
@@ -431,16 +443,8 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs_in_batch = F.flatten(
-        F.transform(
-            F.col("new_docs"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("new_docs"), i + 2, F.size(F.col("new_docs")) - i - 1
-                ),
-                lambda y: F.struct(x.alias("new_doc"), y.alias("match_doc")),
-            ),
-        )
+    pairs_in_batch = ordered_pair_structs(
+        F.col("new_docs"), "new_doc", "match_doc"
     )
     pairs = (
         lists.select(
@@ -452,24 +456,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("na"))
-    sb = sizes.select(
-        F.col("doc_id").alias("match_doc"), F.col("n_sh").alias("nb")
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
-    # Same scale discipline as dedup_jaccard_pairs: corpus-derived
-    # sides take spill-safe SMJ, never a broadcast or hash build.
     return (
-        pairs.join(sa.hint("merge"), "new_doc")
-        .join(sb.hint("merge"), "match_doc")
-        .filter(jac >= JACCARD_THRESHOLD)
+        join_pair_sizes(pairs, doc_sizes(posting), "new_doc", "match_doc")
+        .filter(jaccard_expr() >= JACCARD_THRESHOLD)
         .select(
             "new_doc",
             "match_doc",
             "n_common",
-            jac.alias("jaccard"),
+            jaccard_expr().alias("jaccard"),
             (F.col("match_doc") % mod != 0).alias("vs_existing"),
         )
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_spark.plans.llm_dedup import shingle_array, shingles_df
+from etl_spark.plans.llm_dedup import _raw_shingles, shingle_array
 
 DOC_SCHEMA = "doc_id BIGINT, ingest_ts TIMESTAMP, text STRING"
 WATERMARK_DELAY = "30 minutes"
@@ -47,21 +47,31 @@ def read_doc_stream(spark: SparkSession, source_dir: str) -> DataFrame:
 def history_index(spark: SparkSession, sf_dir: str, batch_mod: int) -> DataFrame:
     """Static per-shingle index of the HISTORICAL corpus (docs outside
     the ``doc_id % batch_mod == 0`` ingest slice): (shingle, hist_df).
-    Derived from the df-capped shared shingle index, so the stop-cap
-    over boilerplate shingles applies here exactly as in the batch
-    dedup family."""
+
+    Built from the RAW (uncapped) shingle explode, deliberately NOT
+    from the stop-shingle-filtered index the pair joins use. The df
+    cap exists to bound per-shingle PAIR emission (O(df²) blowup);
+    this index has one row per shingle after the aggregate and each
+    stream shingle joins at most one index row, so there is no blowup
+    to prevent — while a capped index would make the gate blind to
+    exactly the most-duplicated content: a doc identical to a
+    template duplicated >cap times historically would score
+    containment 0 and be admitted."""
     return (
-        shingles_df(spark, sf_dir)
+        _raw_shingles(spark, sf_dir)
         .filter(F.col("doc_id") % batch_mod != 0)
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("hist_df"))
     )
 
 
-def history_overlap(docs: DataFrame, index: DataFrame) -> DataFrame:
-    """Batch form of the per-doc overlap aggregation — the streaming
-    query IS this plan with a watermark + event-time window bolted on,
-    which is what makes stream-vs-batch parity testable row-for-row."""
+def _score(docs: DataFrame, index: DataFrame, *group_cols) -> DataFrame:
+    """The shared explode → left-join-index → per-doc aggregate →
+    containment-score pipeline. Batch and stream run THIS function —
+    the twins differ only in the watermark on the input and the extra
+    event-time window in ``group_cols`` — so the claimed stream-vs-
+    batch identity is structural, not two copies kept in sync by
+    hand."""
     exploded = docs.select(
         "doc_id",
         "ingest_ts",
@@ -69,7 +79,7 @@ def history_overlap(docs: DataFrame, index: DataFrame) -> DataFrame:
     )
     scored = exploded.join(index, "shingle", "left")
     return (
-        scored.groupBy("doc_id")
+        scored.groupBy(*group_cols, "doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.count("hist_df").alias("n_seen"),
@@ -84,6 +94,13 @@ def history_overlap(docs: DataFrame, index: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def history_overlap(docs: DataFrame, index: DataFrame) -> DataFrame:
+    """Batch form of the per-doc overlap aggregation — the streaming
+    query IS this plan with a watermark + event-time window bolted on,
+    which is what makes stream-vs-batch parity testable row-for-row."""
+    return _score(docs, index)
 
 
 def history_overlap_stream(doc_stream: DataFrame, index: DataFrame) -> DataFrame:
@@ -98,25 +115,8 @@ def history_overlap_stream(doc_stream: DataFrame, index: DataFrame) -> DataFrame
     batch emit exactly once) or ``append`` for emit-once-on-close when
     the stream has continuous event-time progress to advance the
     watermark."""
-    exploded = doc_stream.withWatermark("ingest_ts", WATERMARK_DELAY).select(
-        "doc_id",
-        "ingest_ts",
-        F.explode(shingle_array(F.split(F.col("text"), " "))).alias("shingle"),
-    )
-    scored = exploded.join(index, "shingle", "left")
-    return (
-        scored.groupBy(F.window("ingest_ts", WINDOW).alias("w"), "doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count("hist_df").alias("n_seen"),
-        )
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_seen",
-            (F.col("n_seen") / F.col("n_shingles")).alias("containment"),
-            (F.col("n_seen") / F.col("n_shingles") >= CONTAINMENT_FLAG).alias(
-                "likely_dup"
-            ),
-        )
+    return _score(
+        doc_stream.withWatermark("ingest_ts", WATERMARK_DELAY),
+        index,
+        F.window("ingest_ts", WINDOW).alias("w"),
     )

@@ -31,8 +31,11 @@ def test_cap_boundary_is_exclusive(spark):
     assert out.count() == 4
 
 
-def test_hot_shingle_does_not_explode_candidates(spark, tmp_path, monkeypatch):
+def test_hot_shingle_does_not_explode_candidates(spark, tmp_path):
     # 200 docs sharing one hot 3-token prefix, otherwise unique text.
+    # df=200 exceeds the default STOP_SHINGLE_MAX_DF=64 cap (the cap
+    # is bound at import time, so patching the module attribute would
+    # be inert — size the fixture over the default instead).
     # Unfiltered, the shared shingle alone would emit 200*199/2 ≈ 20k
     # candidate pairs; with the guard the corpus has no near-dup pairs.
     docs = [
@@ -43,7 +46,6 @@ def test_hot_shingle_does_not_explode_candidates(spark, tmp_path, monkeypatch):
     spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(
         f"{sf_dir}/documents.parquet"
     )
-    monkeypatch.setattr(dd, "STOP_SHINGLE_MAX_DF", 50)
     evict()
     try:
         sh = dd.shingles_df(spark, sf_dir)

@@ -30,7 +30,10 @@ def main() -> None:
         if t_old is None:
             rows.append((float("inf"), name, None, t_new))
         elif max(t_old, t_new) >= ABS_FLOOR_SEC:
-            rows.append((t_new / t_old, name, t_old, t_new))
+            # bench_full rounds to 3 decimals, so a sub-0.5ms old time
+            # can arrive as exactly 0.0 — floor it rather than crash
+            # on the very regression the tool exists to report.
+            rows.append((t_new / max(t_old, 1e-3), name, t_old, t_new))
     rows.sort(reverse=True)
     print(f"| query | {old_f} | {new_f} | ratio |")
     print("|---|---|---|---|")

@@ -56,6 +56,13 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 
 qs = E.queries()
 oracles = E.oracle_sql()
+# DRIVE_ONLY=<glob> restricts the drive to matching query names —
+# iteration aid only; round receipts always run the full registry.
+only = os.environ.get("DRIVE_ONLY")
+if only:
+    import fnmatch
+    qs = {n: q for n, q in qs.items() if fnmatch.fnmatch(n, only)}
+    print(f"DRIVE_ONLY={only}: {len(qs)} queries")
 fail = 0
 for name in sorted(qs):
     t0 = time.time()

@@ -83,6 +83,11 @@ def main() -> None:
         dest = f"{out}/{table}.parquet"
         big.repartition(max(4, n_copies * 2)).write.mode("overwrite").parquet(dest)
         print(f"{table}: {spark.read.parquet(dest).count()} rows -> {dest}")
+    # Written LAST, so its existence proves every table landed — the
+    # Makefile's skip-if-built sentinel tests this, not a table dir
+    # that an interrupted build may have left behind.
+    with open(f"{out}/_DONE", "w") as fh:
+        fh.write(f"{n_copies} copies of {SRC}\n")
     spark.stop()
 
 
