@@ -469,6 +469,62 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_history_gate",
+    oracle=f"""
+    WITH raw AS ({_RAW_SHINGLES_SQL}),
+    hist AS (
+      SELECT shingle, COUNT(*) AS hist_df
+      FROM raw WHERE doc_id % {INCREMENTAL_BATCH_MOD} <> 0
+      GROUP BY shingle
+    ),
+    batch AS (
+      SELECT doc_id, shingle FROM raw
+      WHERE doc_id % {INCREMENTAL_BATCH_MOD} = 0
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(h.hist_df) AS n_seen,
+           CAST(COUNT(h.hist_df) AS DOUBLE) / COUNT(*) AS containment,
+           CAST(COUNT(h.hist_df) AS DOUBLE) / COUNT(*) >= 0.8 AS likely_dup
+    FROM batch b LEFT JOIN hist h USING (shingle)
+    GROUP BY b.doc_id
+    """,
+    doc="At-ingest history-containment gate (batch form of the "
+        "streaming twin in streaming/incremental_dedup.py): for each "
+        "doc in the ingest slice, the fraction of its shingles already "
+        "present in the historical per-shingle index. Deliberately "
+        "UNCAPPED index — the stop-shingle cap bounds pair emission, "
+        "but this index is one row per shingle and joins 1:1, and a "
+        "capped index would blind the gate to exactly the most-"
+        "duplicated content. Needs NO per-pair state: O(batch "
+        "shingles) join + one per-doc aggregate, the only gate shape "
+        "that runs at ingest speed against a 100 TB history.",
+    tags=("dedup", "llm", "incremental", "streaming-twin"),
+)
+def dedup_history_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lazy import: the streaming module imports shingle helpers from
+    # this module at load time, so importing it at module level here
+    # would be circular.
+    from etl_spark.streaming.incremental_dedup import (
+        history_index,
+        history_overlap,
+    )
+
+    batch_docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0)
+        .select(
+            "doc_id",
+            F.lit(None).cast("timestamp").alias("ingest_ts"),
+            "text",
+        )
+    )
+    return history_overlap(
+        batch_docs, history_index(spark, sf_dir, INCREMENTAL_BATCH_MOD)
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH. Engine-portable AND cheap: ONE md5 per shingle → a
 # 60-bit integer h, then N_HASHES universal-hash mixes

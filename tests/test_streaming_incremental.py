@@ -80,3 +80,34 @@ def test_stream_matches_batch_history_overlap(spark, tmp_path):
     # The fixture corpus carries real cross-slice duplication — the
     # gate must actually see history, not just emit zeros.
     assert any(n_seen > 0 for _, n_seen, _ in got.values())
+
+
+def test_gate_flags_doc_matching_hot_template(spark, tmp_path):
+    """Regression: the history index must be UNCAPPED. When a template
+    is duplicated in history more often than STOP_SHINGLE_MAX_DF, a
+    new doc identical to it must score containment 1.0 — with the
+    capped pair-join index it scored 0 and the most-redundant doc
+    possible sailed through the gate."""
+    from etl_spark.plans.llm_dedup import STOP_SHINGLE_MAX_DF
+
+    template = "alpha beta gamma delta epsilon zeta"
+    n_hist = STOP_SHINGLE_MAX_DF * 2  # every template shingle df > cap
+    rows = [(i * 10 + 1, template) for i in range(n_hist)]  # % 10 != 0
+    rows.append((1007, "totally fresh unseen words here now"))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    index = history_index(spark, sf_dir, INCREMENTAL_BATCH_MOD)
+    arriving = spark.createDataFrame(
+        [(5000, template), (5010, "totally novel never seen content")],
+        ["doc_id", "text"],
+    ).selectExpr(
+        "doc_id", "CAST('2026-01-01 00:10:00' AS TIMESTAMP) AS ingest_ts", "text"
+    )
+    got = {
+        r["doc_id"]: (r["containment"], r["likely_dup"])
+        for r in history_overlap(arriving, index).collect()
+    }
+    assert got[5000] == (1.0, True)
+    assert got[5010] == (0.0, False)
