@@ -188,3 +188,67 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             .alias("n_triangles")
         )
     )
+
+
+PR_SCALE = 10**12     # fixed-point rank scale (1.0 == 10^12)
+PR_DAMP = 85          # damping factor, percent
+
+
+def pagerank_integer(edges: DataFrame, iterations: int) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge set, in exact
+    fixed-point integer arithmetic.
+
+    edges: columns ``src``, ``dst`` (undirected; both directions are
+    derived internally). Vertices are the edge endpoints — callers
+    wanting isolated vertices ranked must handle them separately (an
+    isolated vertex's rank is the constant teleport term anyway).
+    Returns (id, pr) with pr a BIGINT on the 10^12 fixed-point scale.
+
+    Why integers: float PageRank sums are order-sensitive, so a
+    distributed reduce is not bit-reproducible run-to-run, let alone
+    engine-to-engine. On the fixed-point lattice every contribution is
+    rank div degree (integer division, positive operands), the
+    neighbor sum is an associative BIGINT sum, and the damping step is
+    (85 * s) div 100 — deterministic everywhere, same answer in the
+    unrolled-CTE SQL oracle. Overflow headroom: a vertex's rank is
+    bounded by SCALE * n_vertices, so 2^63 accommodates ~9e6 vertices
+    per component at this scale; drop SCALE one decade per decade
+    above that.
+
+    Scale notes: each iteration is one key join + one groupBy — the
+    same shuffle shape as connected_components; the rank vector is the
+    only state that moves. The iteration count is a fixed constant
+    (power iteration converges geometrically; rank ORDER stabilizes in
+    a handful of rounds), so the lineage stays O(iterations) deep and
+    needs no checkpointing.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    both_ways = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both_ways.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ids = deg.select(F.col("src").alias("id"))
+    base = (100 - PR_DAMP) * PR_SCALE // 100
+    ranks = ids.select("id", F.lit(PR_SCALE).cast("bigint").alias("pr"))
+    for _ in range(iterations):
+        contribs = (
+            both_ways.join(deg, "src")
+            .join(ranks, F.col("src") == F.col("id"))
+            .select(F.col("dst"), F.expr("pr div deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            ids.join(contribs, ids.id == contribs.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"({PR_DAMP} * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+        )
+    return ranks

@@ -1294,3 +1294,80 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t_pct", "n_pairs", "docs_affected", "docs_removed")
         .orderBy("t_pct")
     )
+
+
+PR_ITERS = 3
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled power-iteration oracle: PR_ITERS is a compile-time
+    constant, so each iteration is one (contribution sum, damped
+    update) CTE pair over the same LSH pair SQL — the same dissolve-
+    the-fixpoint trick as ml_kmeans_lloyd's oracle. Exactness rides
+    the fixed-point integer lattice (operators/graph.py:pagerank_integer):
+    `//` in DuckDB and `div` in Spark agree on positive BIGINTs."""
+    from etl_spark.operators.graph import PR_DAMP, PR_SCALE
+
+    base = (100 - PR_DAMP) * PR_SCALE // 100
+    parts = [f"""
+    WITH pairs AS MATERIALIZED (
+      {REGISTRY["dedup_minhash_lsh"].oracle}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS MATERIALIZED (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT src AS id, CAST({PR_SCALE} AS BIGINT) AS pr FROM deg),"""]
+    for i in range(1, PR_ITERS + 1):
+        p = i - 1
+        parts.append(f"""
+    s{i} AS (
+      SELECT e.dst AS id, SUM(r.pr // g.deg) AS s
+      FROM edges e
+      JOIN r{p} r ON r.id = e.src
+      JOIN deg g ON g.src = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT r{p}.id,
+             CAST({base} + ({PR_DAMP} * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS pr
+      FROM r{p} LEFT JOIN s{i} ON s{i}.id = r{p}.id
+    ),""")
+    body = "".join(parts).rstrip(",")
+    return f"""{body}
+    SELECT id AS doc_id, pr AS pagerank FROM r{PR_ITERS} ORDER BY doc_id
+    """
+
+
+@register(
+    "graph_dup_pagerank",
+    oracle=_pagerank_oracle_sql(),
+    doc=f"PageRank centrality over the MinHash-LSH duplicate graph "
+        f"({PR_ITERS} power iterations, exact fixed-point integers): "
+        "ranks each non-singleton document by how centrally it sits in "
+        "its duplication neighborhood. The curation use: inside a dup "
+        "cluster the highest-rank doc is the canonical template (most "
+        "copies gravitate to it) and low-rank periphery docs are the "
+        "mutated variants — a keep-one policy keyed on rank keeps the "
+        "representative rather than an arbitrary min-id. Each iteration "
+        "is one key join + groupBy (the connected_components shuffle "
+        "shape); only the BIGINT rank vector moves between rounds, and "
+        "the damped update is exact integer arithmetic so the unrolled "
+        "SQL oracle replays it bit-identically (float PageRank would "
+        "hash-diverge on summation order).",
+    tags=("dedup", "llm", "graph", "pagerank"),
+)
+def graph_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.graph import pagerank_integer
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return (
+        pagerank_integer(edges, PR_ITERS)
+        .select(F.col("id").alias("doc_id"), F.col("pr").alias("pagerank"))
+        .orderBy("doc_id")
+    )

@@ -39,6 +39,9 @@ EMB_QUERIES = [
     "emb_label_centroid_sim",
     "emb_norm_stats",
     "emb_dedup_exact",
+    # 8 vectors < PQ_KS seeds and < PQ_QUERY_LO: both engines must agree
+    # on the degenerate EMPTY result, not crash.
+    "sim_pq_adc",
     "ml_kmeans_step",
     "ml_cluster_separation",
 ]

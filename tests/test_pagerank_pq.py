@@ -1,0 +1,140 @@
+"""Integer PageRank vs a pure-Python reference; PQ-ADC invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.operators.graph import PR_DAMP, PR_SCALE, pagerank_integer
+from etl_spark.plans import REGISTRY
+from etl_spark.plans.llm_similarity import (
+    PQ_KS,
+    PQ_M,
+    PQ_QUERY_HI,
+    PQ_QUERY_LO,
+    PQ_SUBDIM,
+    PQ_TOPK,
+    quantize,
+)
+from tests.conftest import SF_DIR
+
+
+def _pagerank_reference(pairs: list[tuple[int, int]], iterations: int) -> dict[int, int]:
+    """Same fixed-point arithmetic as the operator, in plain Python."""
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    base = (100 - PR_DAMP) * PR_SCALE // 100
+    pr = {v: PR_SCALE for v in adj}
+    for _ in range(iterations):
+        s: dict[int, int] = {v: 0 for v in adj}
+        for u, nbrs in adj.items():
+            c = pr[u] // len(nbrs)
+            for v in nbrs:
+                s[v] += c
+        pr = {v: base + (PR_DAMP * s[v]) // 100 for v in adj}
+    return pr
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # path 1-2-3 plus a detached edge
+        [(1, 2), (2, 3), (10, 11)],
+        # star: hub 0 with 5 leaves (hub rank must exceed leaf rank)
+        [(0, i) for i in range(1, 6)],
+        # clique of 4 (all ranks equal by symmetry)
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+    ],
+)
+def test_pagerank_integer_matches_reference(spark, pairs):
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {r["id"]: r["pr"] for r in pagerank_integer(edges, 3).collect()}
+    assert got == _pagerank_reference(pairs, 3)
+
+
+def test_pagerank_star_hub_dominates(spark):
+    pairs = [(0, i) for i in range(1, 6)]
+    got = {r["id"]: r["pr"] for r in pagerank_integer(spark.createDataFrame(pairs, ["src", "dst"]), 3).collect()}
+    assert got[0] > got[1]
+    assert len({got[i] for i in range(1, 6)}) == 1  # leaves symmetric
+
+
+def test_pagerank_rejects_nonpositive_iterations(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank_integer(edges, 0)
+
+
+def test_registered_pagerank_covers_nonsingleton_docs(spark):
+    pr = REGISTRY["graph_dup_pagerank"].builder(spark, SF_DIR).collect()
+    pairs = REGISTRY["dedup_minhash_lsh"].builder(spark, SF_DIR).collect()
+    in_graph = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert {r["doc_id"] for r in pr} == in_graph
+    assert all(r["pagerank"] > 0 for r in pr)
+
+
+# ----------------------------- PQ / ADC -----------------------------
+
+
+def test_pq_constants_partition_the_dimension():
+    assert PQ_M * PQ_SUBDIM == 64
+    assert PQ_QUERY_LO >= PQ_KS  # queries disjoint from codebook seeds
+
+
+def test_pq_adc_shape_and_selfexclusion(spark):
+    rows = REGISTRY["sim_pq_adc"].builder(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(PQ_QUERY_LO, PQ_QUERY_HI))
+    for qid, rs in by_q.items():
+        assert len(rs) == PQ_TOPK
+        assert all(r["vec_id"] != qid for r in rs)
+        assert all(r["adc_d2"] >= 0 for r in rs)
+        ordered = sorted(rs, key=lambda r: (r["adc_d2"], r["vec_id"]))
+        assert [r["rnk"] for r in ordered] == list(range(1, PQ_TOPK + 1))
+
+
+def test_pq_adc_matches_python_reference(spark):
+    """Re-derive encode + ADC in plain numpy from the raw vectors."""
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.array(r["q"], dtype=np.int64) for r in emb}
+    CB = np.stack([vecs[i] for i in range(PQ_KS)]).reshape(PQ_KS, PQ_M, PQ_SUBDIM)
+    want: dict[int, list[tuple[int, int]]] = {}
+    codes = {
+        v: [
+            int(((vec.reshape(PQ_M, PQ_SUBDIM)[m] - CB[:, m, :]) ** 2).sum(1).argmin())
+            for m in range(PQ_M)
+        ]
+        for v, vec in vecs.items()
+    }
+    for qid in range(PQ_QUERY_LO, PQ_QUERY_HI):
+        q = vecs[qid].reshape(PQ_M, PQ_SUBDIM)
+        lut = ((q[:, None, :] - CB.transpose(1, 0, 2)) ** 2).sum(2)  # (M, KS)
+        dists = [
+            (sum(int(lut[m, codes[v][m]]) for m in range(PQ_M)), v)
+            for v in vecs
+            if v != qid
+        ]
+        want[qid] = sorted(dists)[:PQ_TOPK]
+    got = REGISTRY["sim_pq_adc"].builder(spark, SF_DIR).collect()
+    got_by_q: dict[int, list[tuple[int, int]]] = {}
+    for r in sorted(got, key=lambda r: r["rnk"]):
+        got_by_q.setdefault(r["query_id"], []).append((r["adc_d2"], r["vec_id"]))
+    assert got_by_q == want
+
+
+def test_pq_adc_empty_corpus_yields_empty(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    src.limit(0).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = REGISTRY["sim_pq_adc"].builder(spark, str(tmp_path))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "adc_d2", "rnk"]
