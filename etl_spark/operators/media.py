@@ -448,3 +448,92 @@ def with_wav_payload(docs: DataFrame, pcm_from: str = "text") -> DataFrame:
         .where(F.col(pcm_from).isNotNull())
         .mapInPandas(batches, schema="doc_id bigint, payload binary")
     )
+
+
+PHASH_SEGMENTS = 60
+PHASH_SCHEMA = "doc_id bigint, phash bigint"
+# Deterministic "re-encode" noise model: +1 on every 17th byte — the
+# stand-in for the byte-local jitter a lossy re-compression applies to
+# an image. Same length, tiny per-segment sum shift, so a perceptual
+# hash survives it while an exact md5 cannot.
+PHASH_NOISE_STRIDE = 17
+# Variant rows get doc_id + this offset; far above any real doc_id
+# (make_sfbig shifts by 10M per copy, max ~100M at sf1).
+PHASH_VARIANT_OFFSET = 1_000_000_000
+
+
+def perceptual_hash(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    noisy_variant: bool = False,
+) -> DataFrame:
+    """aHash-style perceptual fingerprint over payload bytes.
+
+    The image-pipeline shape (average-hash: resize to a tiny grid,
+    threshold each cell against the global mean) applied to the
+    deterministic byte-math stand-in: the payload is split into
+    PHASH_SEGMENTS contiguous byte segments (boundaries at
+    (s*n)//SEG — the integer "resize"), and bit s is set iff the
+    segment's byte mean is >= the whole payload's byte mean. The
+    comparison is done as an exact integer cross-multiply
+    (seg_sum * n >= total_sum * seg_len), so the 60-bit fingerprint
+    is bit-identical across engines — no float thresholds.
+
+    With ``noisy_variant`` the stage ALSO emits, per input payload, a
+    second fingerprint row (doc_id + PHASH_VARIANT_OFFSET) hashed from
+    the payload with re-encode noise applied (+1 every 17th byte) —
+    the fixture for "same image, different bytes after recompression".
+    The noise is applied inside this stage, so the variant payload
+    never materializes anywhere.
+
+    Narrow map: payload bytes never shuffle; only (doc_id, phash)
+    continues downstream. A real image pipeline swaps the byte
+    segments for pixel-grid luminance means and keeps everything
+    else (banding, Hamming join) unchanged.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        _SEG = 60
+        _STRIDE = 17
+        _OFF = 1_000_000_000
+
+        _BITS = 1 << _np.arange(_SEG, dtype=_np.int64)
+
+        def _phash(arr: "_np.ndarray") -> int:
+            # One cumsum per payload instead of 60 sliced sums: segment
+            # boundaries (s*n)//SEG are exact integer math, so the
+            # result is bit-identical to the per-segment loop the
+            # oracle replays — including empty segments (n < 60),
+            # whose sum correctly diffs to 0.
+            n = len(arr)
+            bounds = (_np.arange(_SEG + 1, dtype=_np.int64) * n) // _SEG
+            csum = _np.concatenate(([0], _np.cumsum(arr)))
+            ssums = csum[bounds[1:]] - csum[bounds[:-1]]
+            slens = bounds[1:] - bounds[:-1]
+            total = int(csum[-1])
+            bits = (ssums * n) >= (total * slens)
+            return int(_BITS[bits].sum())
+
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                arr = _np.frombuffer(bytes(payload), dtype=_np.uint8).astype(
+                    _np.int64
+                )
+                ids.append(doc_id)
+                hashes.append(_phash(arr))
+                if noisy_variant:
+                    noisy = arr.copy()
+                    noisy[::_STRIDE] += 1
+                    ids.append(doc_id + _OFF)
+                    hashes.append(_phash(noisy))
+            yield _pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return (
+        docs.select("doc_id", payload_col)
+        .where(F.col(payload_col).isNotNull())
+        .mapInPandas(batches, schema=PHASH_SCHEMA)
+    )

@@ -281,6 +281,7 @@ def test_corpus_pair_joins_pinned_to_sort_merge(spark):
         # execute behind the localCheckpoint lineage cut and don't
         # appear in the final plan.
         ("graph_dup_triangles", 1),
+        ("mm_phash_neardup", 1),        # band self-join, both sides corpus
     ]:
         plan = plan_of(spark, name)
         assert plan.count("SortMergeJoin") >= min_smj, (

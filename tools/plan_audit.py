@@ -111,6 +111,22 @@ AUDIT = [
      "real-codec decode (stdlib wave): two chained Arrow mapInPandas "
      "stages (encode fixture, decode), payload bytes NEVER cross an "
      "Exchange — zero shuffles in the whole plan"),
+    ("sim_pq_adc",
+     "PQ-ADC: ONE MapInPandas stage encodes the corpus to sub-space "
+     "codes AND scores them against the per-query integer lookup "
+     "tables, pruning to batch-local top-k — the only Exchange feeds "
+     "the final per-query top-k window; no join, nothing broadcast, "
+     "raw vectors never shuffle"),
+    ("graph_dup_pagerank",
+     "integer PageRank: per iteration one equi join of the rank "
+     "vector against the cached edge list and one partial+final "
+     "contribution aggregate; only the BIGINT rank vector moves "
+     "between rounds — no cartesian, no unpartitioned window"),
+    ("mm_phash_neardup",
+     "perceptual-hash near-dup: payload bytes stop at the Arrow "
+     "mapInPandas fingerprint stage (only 8-byte phashes shuffle); "
+     "the band self-join is SMJ-pinned (both sides corpus-derived), "
+     "no cartesian, Hamming confirm is in-row bit_count"),
 ]
 
 INTERESTING = re.compile(
