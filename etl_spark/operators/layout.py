@@ -78,3 +78,86 @@ def read_with_skipping(spark: SparkSession, path: str) -> DataFrame:
     """Plain parquet read; filter pushdown (on by default) lets the
     reader skip row groups via the statistics written above."""
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (multi-column) clustering
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8  # quantile buckets per dimension (2^8 = 256)
+
+
+def zorder_column(
+    df: DataFrame, cols: list[str], bits: int = ZORDER_BITS
+):
+    """Z-value Column interleaving the quantile-bucket bits of ``cols``.
+
+    Each column is first rank-uniformized into ``2^bits`` buckets via
+    approxQuantile boundaries (a sampling aggregate — the same
+    skew-resistant mechanism repartitionByRange uses; the driver sees
+    only ``2^bits - 1`` doubles per column, config-bounded). Bucketing
+    by quantiles rather than raw value range keeps the Z-curve
+    balanced under any marginal distribution. The bucket lookup and
+    the bit interleave are pure built-in expressions (aggregate over a
+    literal boundary array + shift/or), so the whole derivation stays
+    inside whole-stage codegen — no UDF, no extra shuffle.
+
+    Why interleave: sorting by (a, b) lexicographically gives file
+    zones that are tight on ``a`` and useless on ``b``; interleaving
+    the bucket bits makes every file cover a small square-ish region
+    of the (a, b) quantile grid, so min/max stats prune on BOTH
+    columns. This is Delta/Iceberg's OPTIMIZE ZORDER expressed with
+    nothing but built-in Spark writes (the reference has no layout
+    surface at all; SURVEY.md §2.2 formats/maintenance).
+    """
+    from pyspark.sql import functions as F
+
+    nb = (1 << bits) - 1
+    parts = []
+    for ci, c in enumerate(cols):
+        bounds = df.stat.approxQuantile(
+            c, [i / (nb + 1) for i in range(1, nb + 1)], 0.001
+        )
+        bucket = F.aggregate(
+            F.lit(bounds).cast("array<double>"),
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc
+            + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+        )
+        parts.append((ci, bucket))
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for ci, bucket in parts:
+        for i in range(bits):
+            # bit i of this column lands at position i*n + (n-1-ci):
+            # column 0 takes the most significant slot of each group.
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                    i * n + (n - 1 - ci),
+                )
+            )
+    return z
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Rewrite ``df`` as ``n_files`` parquet files clustered on the
+    Z-curve of ``cols``: range-partition + sort on the z-value, then
+    drop it — readers see the original schema, but every file's
+    min/max stats are tight on every z-ordered column at once. One
+    range shuffle, same cost shape as write_sorted_layout."""
+    z = zorder_column(df, cols, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

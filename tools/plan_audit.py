@@ -122,6 +122,13 @@ AUDIT = [
      "vector against the cached edge list and one partial+final "
      "contribution aggregate; only the BIGINT rank vector moves "
      "between rounds — no cartesian, no unpartitioned window"),
+    ("sim_ivfpq_search",
+     "IVF-PQ: one assignment scan (centroids in the closure) chained "
+     "into one MapInPandas that residual-encodes and ADC-scores each "
+     "batch against the config-sized per-(query,cell) LUTs with "
+     "batch-local top-k pruning; the only Exchange feeds the final "
+     "per-query top-k window — no join, nothing data-sized broadcast, "
+     "raw vectors never shuffle"),
     ("mm_phash_neardup",
      "perceptual-hash near-dup: payload bytes stop at the Arrow "
      "mapInPandas fingerprint stage (only 8-byte phashes shuffle); "
