@@ -112,12 +112,23 @@ def zorder_column(
     """
     from pyspark.sql import functions as F
 
-    nb = (1 << bits) - 1
-    parts = []
-    for ci, c in enumerate(cols):
-        bounds = df.stat.approxQuantile(
-            c, [i / (nb + 1) for i in range(1, nb + 1)], 0.001
+    # The interleaved value must fit in a non-negative BIGINT: bit 63
+    # is the sign (shiftleft(1, 63) = Long.MIN_VALUE would invert the
+    # curve at its most significant bit) and Java shift distances wrap
+    # mod 64 beyond that.
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"z-order needs {len(cols)}x{bits}={len(cols) * bits} bits; "
+            "at most 63 fit in a BIGINT — lower bits or drop columns"
         )
+    nb = (1 << bits) - 1
+    # One pass computes every column's boundaries (approxQuantile
+    # accepts a column list), not one full scan per column.
+    all_bounds = df.stat.approxQuantile(
+        cols, [i / (nb + 1) for i in range(1, nb + 1)], 0.001
+    )
+    parts = []
+    for ci, (c, bounds) in enumerate(zip(cols, all_bounds)):
         bucket = F.aggregate(
             F.lit(bounds).cast("array<double>"),
             F.lit(0).cast("bigint"),

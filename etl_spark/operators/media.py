@@ -492,13 +492,18 @@ def perceptual_hash(
     else (banding, Hamming join) unchanged.
     """
 
+    # Plain-int locals: the mapInPandas closure captures these BY VALUE
+    # (free variables pickle with the function), keeping the worker
+    # self-contained — etl_spark is not importable on workers when the
+    # driver runs from another cwd — while single-sourcing the
+    # constants the oracle SQL and tests mirror.
+    _SEG = PHASH_SEGMENTS
+    _STRIDE = PHASH_NOISE_STRIDE
+    _OFF = PHASH_VARIANT_OFFSET
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
         import pandas as _pd
-
-        _SEG = 60
-        _STRIDE = 17
-        _OFF = 1_000_000_000
 
         _BITS = 1 << _np.arange(_SEG, dtype=_np.int64)
 
@@ -506,15 +511,17 @@ def perceptual_hash(
             # One cumsum per payload instead of 60 sliced sums: segment
             # boundaries (s*n)//SEG are exact integer math, so the
             # result is bit-identical to the per-segment loop the
-            # oracle replays — including empty segments (n < 60),
-            # whose sum correctly diffs to 0.
+            # oracle replays. Empty segments (n < SEG) contribute bit 0
+            # — 0*n >= total*0 would SET the bit and make all short
+            # payloads look alike, so they are masked out; registered
+            # queries filter length >= SEG and never hit this branch.
             n = len(arr)
             bounds = (_np.arange(_SEG + 1, dtype=_np.int64) * n) // _SEG
             csum = _np.concatenate(([0], _np.cumsum(arr)))
             ssums = csum[bounds[1:]] - csum[bounds[:-1]]
             slens = bounds[1:] - bounds[:-1]
             total = int(csum[-1])
-            bits = (ssums * n) >= (total * slens)
+            bits = ((ssums * n) >= (total * slens)) & (slens > 0)
             return int(_BITS[bits].sum())
 
         for pdf in it:

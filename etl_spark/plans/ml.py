@@ -38,7 +38,14 @@ from etl_spark.plans.llm_similarity import (
     COSINE_DUP_THRESHOLD,
     DIM,
     N_QUERIES,
+    PQ_KS,
+    PQ_M,
+    PQ_QUERY_HI,
+    PQ_QUERY_LO,
+    PQ_SUBDIM,
+    PQ_TOPK,
     TOP_K,
+    _pq_d2_sql,
     _vec_cte,
     cosine,
     dot,
@@ -902,16 +909,6 @@ def pipeline_embed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # IVF-PQ: coarse quantizer + residual product quantization + ADC.
 # --------------------------------------------------------------------------
-
-from etl_spark.plans.llm_similarity import (  # noqa: E402
-    PQ_KS,
-    PQ_M,
-    PQ_QUERY_HI,
-    PQ_QUERY_LO,
-    PQ_SUBDIM,
-    PQ_TOPK,
-    _pq_d2_sql,
-)
 
 _IVFPQ_RES_SQL = (
     f"list_transform(generate_series(1, {DIM}), "

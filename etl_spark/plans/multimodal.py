@@ -445,14 +445,21 @@ def mm_decode_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Perceptual-hash near-dup over multimodal payloads
 # ---------------------------------------------------------------------------
 
-PHASH_BANDS = 4
-PHASH_BAND_BITS = 15  # 4 x 15 = the full 60-bit fingerprint
+# 5 bands x 12 bits = the full 60-bit fingerprint. The band count is
+# the recall CONTRACT: a pair within Hamming <= HAM_MAX differs in at
+# most HAM_MAX bands, so with BANDS = HAM_MAX + 1 the pigeonhole
+# principle guarantees at least one untouched band and the pair is
+# ALWAYS a candidate — banding at 4 bands would silently drop true
+# pairs at exactly Hamming 4 (one flipped bit per band).
+PHASH_BANDS = 5
+PHASH_BAND_BITS = 12
+PHASH_BAND_MASK = (1 << PHASH_BAND_BITS) - 1  # 4095
 PHASH_HAM_MAX = 4
 
 # The oracle replays the whole pipeline from text bytes: fingerprint
 # (bit s = exact integer cross-multiply of segment byte-sum vs whole-
 # payload byte-sum), the noisy re-encode variant (+1 every 17th byte,
-# 1-based (i-1)%17=0 mirrors the 0-based numpy stride), 15-bit LSH
+# 1-based (i-1)%17=0 mirrors the 0-based numpy stride), 12-bit LSH
 # banding, and the Hamming<=4 confirm via bit_count(xor(..)).
 _PHASH_ORACLE = """
     WITH reps AS (
@@ -492,8 +499,8 @@ _PHASH_ORACLE = """
     ),
     bands AS (
       SELECT doc_id, phash, b.band_idx,
-             (phash >> (15 * b.band_idx)) & 32767 AS band_val
-      FROM ph, UNNEST(generate_series(0, 3)) AS b(band_idx)
+             (phash >> (12 * b.band_idx)) & 4095 AS band_val
+      FROM ph, UNNEST(generate_series(0, 4)) AS b(band_idx)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -525,8 +532,11 @@ _PHASH_ORACLE = """
         "and a deterministic re-encode variant (+1 every 17th byte, "
         "the recompression-jitter stand-in; operators/media.py "
         "perceptual_hash) — and the payload never shuffles, only "
-        "(doc_id, 60-bit phash) rows do. Fingerprints band into 4x"
-        "15-bit LSH keys, candidates pair on band equality (SMJ-"
+        "(doc_id, 60-bit phash) rows do. Fingerprints band into 5x"
+        "12-bit LSH keys — bands = HAM_MAX + 1, so the pigeonhole "
+        "principle GUARANTEES every pair within the Hamming bar "
+        "shares an untouched band — candidates pair on band equality "
+        "(SMJ-"
         "pinned: both sides corpus-derived), survivors confirmed by "
         "exact Hamming <= 4 via bit_count(xor). Every base/variant "
         "pair lands within the bar (byte-local noise barely moves "
@@ -553,7 +563,8 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(b).alias("band_idx"),
                 F.expr(
-                    f"shiftright(phash, {PHASH_BAND_BITS * b}) & 32767"
+                    f"shiftright(phash, {PHASH_BAND_BITS * b})"
+                    f" & {PHASH_BAND_MASK}"
                 ).alias("band_val"),
             )
             for b in range(PHASH_BANDS)

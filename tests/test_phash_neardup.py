@@ -26,10 +26,14 @@ def _hamming(a: int, b: int) -> int:
 
 def _rep_payloads(spark, limit=400):
     """Exact-dup-collapsed (doc_id, utf-8 payload) rows, the same
-    representative set the query fingerprints."""
+    representative set the query fingerprints (including its ASCII
+    slice — a non-ASCII fixture doc must not desync test and query)."""
+    from etl_spark.plans.multimodal import _ASCII_DOCS
+
     rows = (
         load(spark, SF_DIR, "documents")
         .where(F.col("text").isNotNull() & (F.length("text") >= 60))
+        .where(_ASCII_DOCS)
         .groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
         .limit(limit)
