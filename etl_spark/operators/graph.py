@@ -210,10 +210,16 @@ def pagerank_integer(edges: DataFrame, iterations: int) -> DataFrame:
     rank div degree (integer division, positive operands), the
     neighbor sum is an associative BIGINT sum, and the damping step is
     (85 * s) div 100 — deterministic everywhere, same answer in the
-    unrolled-CTE SQL oracle. Overflow headroom: a vertex's rank is
-    bounded by SCALE * n_vertices, so 2^63 accommodates ~9e6 vertices
-    per component at this scale; drop SCALE one decade per decade
-    above that.
+    unrolled-CTE SQL oracle. Overflow headroom: the damping multiply
+    is evaluated as 85*(s div 100) + (85*(s mod 100)) div 100 —
+    algebraically identical for s >= 0 but never forming the 85x
+    intermediate (a naive 85*s wraps int64 once a hub's neighbor sum
+    passes ~1.1e17, i.e. ~1e5 star neighbors at this SCALE, and Spark
+    multiplies BIGINTs silently in non-ANSI mode while the oracle's
+    HUGEINT stays exact). With the decomposition the binding bound is
+    the neighbor sum itself, <= SCALE * n_vertices: 2^63 accommodates
+    ~9e6 vertices per component at this scale; drop SCALE one decade
+    per decade above that.
 
     Scale notes: each iteration is one key join + one groupBy — the
     same shuffle shape as connected_components; the rank vector is the
@@ -245,7 +251,13 @@ def pagerank_integer(edges: DataFrame, iterations: int) -> DataFrame:
                 "id",
                 (
                     F.lit(base)
-                    + F.expr(f"({PR_DAMP} * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                    # == (DAMP * s) div 100 for s >= 0, without the
+                    # DAMP-x intermediate (see overflow headroom above)
+                    + F.expr(
+                        f"{PR_DAMP} * (coalesce(s, CAST(0 AS BIGINT))"
+                        f" div 100) + ({PR_DAMP} *"
+                        " (coalesce(s, CAST(0 AS BIGINT)) % 100)) div 100"
+                    )
                 )
                 .cast("bigint")
                 .alias("pr"),

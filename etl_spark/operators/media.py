@@ -65,6 +65,30 @@ def sniff_mime(payload: bytes) -> str:
     return "application/octet-stream"
 
 
+def pcm_mean(pcm: bytes, sample_width: int) -> float:
+    """Mean of the DECODED samples (all channels pooled) for PCM of
+    any width — averaging raw frame bytes is only correct for 8-bit
+    audio; 16/24/32-bit samples are little-endian signed, so the byte
+    mean of interleaved halves is meaningless for them."""
+    if not pcm:
+        return 0.0
+    if sample_width == 1:
+        return sum(pcm) / len(pcm)  # 8-bit WAV PCM is unsigned
+    import struct
+
+    n = len(pcm) // sample_width
+    if sample_width == 2:
+        vals = struct.unpack(f"<{n}h", pcm[: n * 2])
+    elif sample_width == 4:
+        vals = struct.unpack(f"<{n}i", pcm[: n * 4])
+    else:  # 24-bit: no struct code; decode 3-byte groups signed
+        vals = [
+            int.from_bytes(pcm[i : i + 3], "little", signed=True)
+            for i in range(0, n * 3, 3)
+        ]
+    return sum(vals) / n
+
+
 def decode_payload(payload: bytes) -> dict:
     """Decode a media payload: REAL codec where the stdlib has one
     (WAV via ``wave``, DEFLATE via ``zlib``), deterministic byte-math
@@ -83,7 +107,7 @@ def decode_payload(payload: bytes) -> dict:
                 "sample_rate": w.getframerate(),
                 "sample_width": w.getsampwidth(),
                 "n_samples": n,
-                "mean_sample": (sum(pcm) / len(pcm)) if pcm else 0.0,
+                "mean_sample": pcm_mean(pcm, w.getsampwidth()),
                 "pcm_md5": hashlib.md5(pcm).hexdigest(),
             }
     if mime == "application/zlib":
@@ -293,9 +317,29 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
         import io as _io
+        import struct as _struct
         import wave as _wave
 
         import pandas as _pd
+
+        def _mean(pcm: bytes, width: int) -> float:
+            # Self-contained twin of pcm_mean (workers can't import
+            # etl_spark); the driver-vs-worker parity test pins them.
+            if not pcm:
+                return 0.0
+            if width == 1:
+                return sum(pcm) / len(pcm)
+            n = len(pcm) // width
+            if width == 2:
+                vals = _struct.unpack(f"<{n}h", pcm[: n * 2])
+            elif width == 4:
+                vals = _struct.unpack(f"<{n}i", pcm[: n * 4])
+            else:
+                vals = [
+                    int.from_bytes(pcm[i : i + 3], "little", signed=True)
+                    for i in range(0, n * 3, 3)
+                ]
+            return sum(vals) / n
 
         for pdf in it:
             rows = []
@@ -303,14 +347,17 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 with _wave.open(_io.BytesIO(bytes(payload)), "rb") as w:
                     n = w.getnframes()
                     pcm = w.readframes(n)
+                    channels = w.getnchannels()
+                    rate = w.getframerate()
+                    width = w.getsampwidth()
                 rows.append(
                     (
                         doc_id,
                         "audio/wav",
-                        w.getnchannels(),
-                        w.getframerate(),
+                        channels,
+                        rate,
                         n,
-                        (sum(pcm) / len(pcm)) if pcm else 0.0,
+                        _mean(pcm, width),
                         _hashlib.md5(pcm).hexdigest(),
                     )
                 )
@@ -417,6 +464,7 @@ def with_wav_payload(docs: DataFrame, pcm_from: str = "text") -> DataFrame:
     decoded features replay in SQL from the text). Container bytes are
     assembled by the stdlib ``wave`` ENCODER inside the batch — the
     payload column carries genuine WAV files, not byte math."""
+    _rate = WAV_SAMPLE_RATE  # plain-int local -> pickled by value
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
@@ -429,7 +477,8 @@ def with_wav_payload(docs: DataFrame, pcm_from: str = "text") -> DataFrame:
             with _wave.open(buf, "wb") as w:
                 w.setnchannels(1)
                 w.setsampwidth(1)
-                w.setframerate(8000)
+                w.setframerate(_rate)  # captured by value: stays
+                # in sync with build_wav without importing etl_spark
                 w.writeframes(pcm)
             return buf.getvalue()
 

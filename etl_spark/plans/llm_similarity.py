@@ -891,24 +891,29 @@ def _pq_d2_sql(a: str, b: str) -> str:
     tags=("similarity", "llm", "ann", "pq", "pandas-udf"),
 )
 def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = (
-        load(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
     )
+    # The repartition exists for the scoring pass's parallelism; the
+    # driver collect below reads the un-shuffled source directly.
+    emb = base.repartition(spark.sparkContext.defaultParallelism)
     out_schema = "query_id bigint, vec_id bigint, adc_d2 bigint"
-    # Config-sized driver collects (<= PQ_KS + 4 rows), same discipline
+    # ONE config-sized driver collect (<= PQ_KS + 4 rows; vec_id
+    # pushdown reaches the scan), split driver-side — same discipline
     # as sim_topk_cosine's query set: codebook and queries ride in the
     # mapInPandas closure; the corpus is never collected.
-    seed_rows = sorted(
-        emb.filter(F.col("vec_id") < PQ_KS).collect(), key=lambda r: r["vec_id"]
-    )
-    query_rows = sorted(
-        emb.filter(
-            (F.col("vec_id") >= PQ_QUERY_LO) & (F.col("vec_id") < PQ_QUERY_HI)
+    picked = sorted(
+        base.filter(
+            (F.col("vec_id") < PQ_KS)
+            | (
+                (F.col("vec_id") >= PQ_QUERY_LO)
+                & (F.col("vec_id") < PQ_QUERY_HI)
+            )
         ).collect(),
         key=lambda r: r["vec_id"],
     )
+    seed_rows = [r for r in picked if r["vec_id"] < PQ_KS]
+    query_rows = [r for r in picked if r["vec_id"] >= PQ_QUERY_LO]
     if not seed_rows or not query_rows:
         # Degenerate corpus (fewer than PQ_QUERY_HI vectors): no codebook
         # or no queries -> empty result, matching the oracle's empty CTEs.

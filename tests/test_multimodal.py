@@ -178,3 +178,47 @@ def test_resize_payload_matches_python_recompute(spark):
         assert r["orig_bytes"] == len(payload)
         assert r["new_bytes"] == RESIZE_TARGET_BYTES
         assert r["resized_md5"] == hashlib.md5(resized).hexdigest()
+
+
+def test_pcm_mean_decodes_samples_not_bytes():
+    # 16-bit PCM: the mean must be over decoded signed samples, not
+    # the interleaved little-endian bytes (whose mean is ~127.5-ish
+    # noise for any signal). Ground truth built sample-by-sample.
+    import struct
+
+    from etl_spark.operators.media import pcm_mean
+
+    samples = [-32768, -1, 0, 1, 32767, 12345, -12345, 100]
+    pcm16 = struct.pack(f"<{len(samples)}h", *samples)
+    assert pcm_mean(pcm16, 2) == sum(samples) / len(samples)
+    byte_mean = sum(pcm16) / len(pcm16)
+    assert pcm_mean(pcm16, 2) != byte_mean
+    # 32-bit and 24-bit paths.
+    pcm32 = struct.pack(f"<{len(samples)}i", *samples)
+    assert pcm_mean(pcm32, 4) == sum(samples) / len(samples)
+    vals24 = [-(2**23), 2**23 - 1, 0, 77]
+    pcm24 = b"".join(v.to_bytes(3, "little", signed=True) for v in vals24)
+    assert pcm_mean(pcm24, 3) == sum(vals24) / len(vals24)
+    # 8-bit stays the (unsigned) byte mean — the fixture contract.
+    pcm8 = bytes([0, 1, 254, 255])
+    assert pcm_mean(pcm8, 1) == sum(pcm8) / len(pcm8)
+    assert pcm_mean(b"", 2) == 0.0
+
+
+def test_decode_payload_16bit_wav_mean_is_sample_mean():
+    import io
+    import struct
+    import wave
+
+    from etl_spark.operators.media import decode_payload
+
+    samples = [1000, -1000, 500, -500, 0, 32767]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    out = decode_payload(buf.getvalue())
+    assert out["sample_width"] == 2
+    assert out["mean_sample"] == sum(samples) / len(samples)

@@ -61,6 +61,23 @@ def test_pagerank_star_hub_dominates(spark):
     assert len({got[i] for i in range(1, 6)}) == 1  # leaves symmetric
 
 
+def test_pagerank_hot_hub_does_not_overflow(spark):
+    # Regression: the damped update must never form the naive 85*s
+    # intermediate. A 120k-spoke star gives the hub a neighbor sum of
+    # 1.2e17 in iteration 1, so 85*s = 1.02e19 > 2^63 wraps negative
+    # under non-ANSI BIGINT multiply; the decomposed form
+    # 85*(s div 100) + (85*(s mod 100)) div 100 stays exact. Python's
+    # arbitrary-precision reference is ground truth.
+    n = 120_000
+    pairs = [(0, i) for i in range(1, n + 1)]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {r["id"]: r["pr"] for r in pagerank_integer(edges, 2).collect()}
+    ref = _pagerank_reference(pairs, 2)
+    assert got[0] == ref[0] > 0
+    assert got[1] == ref[1] > 0
+    assert min(got.values()) > 0  # a wrap would go negative
+
+
 def test_pagerank_rejects_nonpositive_iterations(spark):
     edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError):

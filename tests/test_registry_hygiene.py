@@ -84,3 +84,25 @@ def test_no_unpaired_raw_persist():
         "raw .persist() without an unpersist in the same function — "
         "use session_cached or pair it:\n" + "\n".join(offenders)
     )
+
+
+def test_session_cache_evict_leaves_nothing_live(spark):
+    # live_caches() is the observability hook the eviction contract is
+    # stated in terms of: after evict(), no entry may still hold
+    # storage memory (a leak here is exactly the bug session_cached
+    # exists to prevent).
+    from etl_spark.operators.caching import evict, live_caches, session_cached
+
+    df = session_cached(
+        "hygiene_probe", spark, "/hygiene", lambda: spark.range(10)
+    )
+    assert df.storageLevel.useMemory
+    assert live_caches().get("hygiene_probe") == 1
+    # Second call reuses the same persisted frame, not a new copy.
+    again = session_cached(
+        "hygiene_probe", spark, "/hygiene", lambda: spark.range(10)
+    )
+    assert again is df
+    assert live_caches().get("hygiene_probe") == 1
+    evict("hygiene_probe")
+    assert live_caches().get("hygiene_probe", 0) == 0
