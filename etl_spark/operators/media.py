@@ -515,6 +515,7 @@ def perceptual_hash(
     docs: DataFrame,
     payload_col: str = "payload",
     noisy_variant: bool = False,
+    carry: tuple[tuple[str, str], ...] = (),
 ) -> DataFrame:
     """aHash-style perceptual fingerprint over payload bytes.
 
@@ -575,21 +576,35 @@ def perceptual_hash(
 
         for pdf in it:
             ids, hashes = [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+            carried: list[list] = [[] for _ in _carry_names]
+            for row_i, (doc_id, payload) in enumerate(
+                zip(pdf["doc_id"], pdf[payload_col])
+            ):
                 arr = _np.frombuffer(bytes(payload), dtype=_np.uint8).astype(
                     _np.int64
                 )
                 ids.append(doc_id)
                 hashes.append(_phash(arr))
+                reps = 1
                 if noisy_variant:
                     noisy = arr.copy()
                     noisy[::_STRIDE] += 1
                     ids.append(doc_id + _OFF)
                     hashes.append(_phash(noisy))
-            yield _pd.DataFrame({"doc_id": ids, "phash": hashes})
+                    reps = 2
+                for ci, cname in enumerate(_carry_names):
+                    carried[ci].extend([pdf[cname].iloc[row_i]] * reps)
+            out = {"doc_id": ids, "phash": hashes}
+            for ci, cname in enumerate(_carry_names):
+                out[cname] = carried[ci]
+            yield _pd.DataFrame(out)
 
+    _carry_names = tuple(name for name, _ in carry)
+    schema = PHASH_SCHEMA + "".join(
+        f", {name} {typ}" for name, typ in carry
+    )
     return (
-        docs.select("doc_id", payload_col)
+        docs.select("doc_id", payload_col, *_carry_names)
         .where(F.col(payload_col).isNotNull())
-        .mapInPandas(batches, schema=PHASH_SCHEMA)
+        .mapInPandas(batches, schema=schema)
     )

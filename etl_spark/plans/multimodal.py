@@ -608,3 +608,123 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_HAM_MAX)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_PHASH_GATE_ORACLE = """
+    WITH side AS (
+      -- arriving slice: every doc individually (each needs a verdict);
+      -- history: exact-dup-collapsed representatives
+      SELECT doc_id, text, length(text) AS n, 1 AS arriving
+      FROM documents
+      WHERE {ascii_docs} AND length(text) >= 60 AND doc_id % 10 = 0
+      UNION ALL
+      SELECT MIN(doc_id), MIN(text), MIN(length(text)), 0
+      FROM documents
+      WHERE {ascii_docs} AND length(text) >= 60 AND doc_id % 10 <> 0
+      GROUP BY md5(text)
+    ),
+    segsum AS (
+      SELECT r.doc_id, r.n, g.s,
+             ((g.s + 1) * r.n) // 60 - (g.s * r.n) // 60 AS slen,
+             COALESCE(list_sum(list_transform(
+               generate_series((g.s * r.n) // 60 + 1, ((g.s + 1) * r.n) // 60),
+               i -> ord(r.text[i]))), 0) AS ssum
+      FROM side r, UNNEST(generate_series(0, 59)) AS g(s)
+    ),
+    tot AS (
+      SELECT doc_id, SUM(ssum) AS dsum FROM segsum GROUP BY doc_id
+    ),
+    ph AS (
+      SELECT g.doc_id,
+             CAST(SUM(CASE WHEN g.ssum * g.n >= t.dsum * g.slen
+                      THEN (CAST(1 AS BIGINT) << g.s) ELSE 0 END)
+                  AS BIGINT) AS phash
+      FROM segsum g JOIN tot t USING (doc_id)
+      GROUP BY g.doc_id
+    ),
+    arr AS (
+      SELECT s.doc_id, p.phash FROM side s JOIN ph p USING (doc_id)
+      WHERE s.arriving = 1
+    ),
+    hist AS (
+      SELECT s.doc_id AS hist_id, p.phash AS hist_phash
+      FROM side s JOIN ph p USING (doc_id) WHERE s.arriving = 0
+    ),
+    ab AS (
+      SELECT doc_id, phash, b.band_idx,
+             (phash >> (12 * b.band_idx)) & 4095 AS band_val
+      FROM arr, UNNEST(generate_series(0, 4)) AS b(band_idx)
+    ),
+    hb AS (
+      SELECT hist_id, hist_phash, b.band_idx,
+             (hist_phash >> (12 * b.band_idx)) & 4095 AS band_val
+      FROM hist, UNNEST(generate_series(0, 4)) AS b(band_idx)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id, h.hist_id, a.phash, h.hist_phash
+      FROM ab a JOIN hb h ON a.band_idx = h.band_idx
+                         AND a.band_val = h.band_val
+    ),
+    best AS (
+      SELECT doc_id, min_hamming, hist_id AS nearest_hist_id FROM (
+        SELECT doc_id,
+               CAST(bit_count(xor(phash, hist_phash)) AS INTEGER)
+                 AS min_hamming,
+               hist_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY bit_count(xor(phash, hist_phash)), hist_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )
+    SELECT a.doc_id, b.min_hamming, b.nearest_hist_id,
+           COALESCE(b.min_hamming <= 4, FALSE) AS likely_dup
+    FROM arr a LEFT JOIN best b USING (doc_id)
+    ORDER BY a.doc_id
+"""
+
+
+@register(
+    "mm_phash_history_gate",
+    oracle=_PHASH_GATE_ORACLE.format(ascii_docs=_ASCII_DOCS_SQL),
+    doc="At-ingest perceptual-hash dup gate, batch form of the "
+        "streaming twin (streaming/phash_gate.py): every arriving "
+        "payload (the deterministic doc_id % 10 == 0 ingest slice) is "
+        "fingerprinted and band-joined against the STATIC historical "
+        "fingerprint index (exact-dup-collapsed % 10 != 0 docs); the "
+        "verdict is the minimum Hamming distance over band-colliding "
+        "history with a deterministic (hamming, hist_id) tie-break, "
+        "flag at <= 4 — catching re-encodes of already-ingested "
+        "content that md5 AND shingle gates are blind to. LEFT join "
+        "keeps candidate-free docs in the output (admitted, flag "
+        "false). Per-ingest cost is proportional to the batch x "
+        "band-bucket occupancy, never history size re-paired; min is "
+        "idempotent over duplicate multi-band candidates, so no dedup "
+        "shuffle. The streaming twin runs THIS pipeline (shared "
+        "gate_verdicts function) with a watermark + event-time window "
+        "bolted on; stream-vs-batch parity is structural, proven "
+        "row-for-row in tests/test_streaming_phash_gate.py.",
+    tags=("multimodal", "llm", "dedup", "neardup", "incremental",
+          "pandas-udf"),
+)
+def mm_phash_history_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.streaming.phash_gate import (
+        PHASH_GATE_MOD,
+        history_phash_index,
+        phash_gate,
+    )
+
+    arriving = (
+        load(spark, sf_dir, "documents")
+        .where(_ASCII_DOCS)
+        .where(F.length("text") >= 60)
+        .filter(F.col("doc_id") % PHASH_GATE_MOD == 0)
+        .select("doc_id", "text")
+    )
+    # Batch form pins the corpus-derived index side to spill-safe SMJ
+    # (same discipline as every corpus pair join; the streaming twin
+    # keeps the planner's stream-static join instead, where the stream
+    # side is one micro-batch, not a corpus slice).
+    return phash_gate(
+        arriving, history_phash_index(spark, sf_dir).hint("merge")
+    ).orderBy("doc_id")

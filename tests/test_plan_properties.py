@@ -282,6 +282,7 @@ def test_corpus_pair_joins_pinned_to_sort_merge(spark):
         # appear in the final plan.
         ("graph_dup_triangles", 1),
         ("mm_phash_neardup", 1),        # band self-join, both sides corpus
+        ("mm_phash_history_gate", 1),   # arriving slice ⋈ history index
     ]:
         plan = plan_of(spark, name)
         assert plan.count("SortMergeJoin") >= min_smj, (

@@ -134,6 +134,11 @@ AUDIT = [
      "mapInPandas fingerprint stage (only 8-byte phashes shuffle); "
      "the band self-join is SMJ-pinned (both sides corpus-derived), "
      "no cartesian, Hamming confirm is in-row bit_count"),
+    ("mm_phash_history_gate",
+     "at-ingest phash gate (batch form): arriving slice fingerprinted "
+     "in one Arrow stage, LEFT band join against the SMJ-pinned "
+     "historical index, one per-doc min-aggregate verdict — no "
+     "cartesian, nothing data-sized broadcast, payloads never shuffle"),
 ]
 
 INTERESTING = re.compile(
