@@ -43,7 +43,15 @@ def session_cached(
 ) -> DataFrame:
     """Return the persisted frame for (``name``, session, ``sf_dir``),
     building + materializing it via ``build()`` on first use or after
-    an external unpersist."""
+    an external unpersist.
+
+    Caller contract: the key is the PATH, not the data — rewriting
+    the parquet at the same ``sf_dir`` within one session serves the
+    stale pre-rewrite frame until ``evict(name)`` (or ``evict()``) is
+    called. Fixtures and harnesses that rewrite in place (the fuzz
+    corpus-swap pattern) must evict between corpora; keying on a data
+    fingerprint was considered and rejected — listing files per call
+    would put a driver-side FS scan on every cached hit."""
     cache = _CACHES.setdefault(name, {})
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = cache.get(key)
@@ -60,10 +68,19 @@ def evict(name: str | None = None) -> None:
     """Unpersist and drop cached entries — for ``name`` only, or every
     cache when ``name`` is None. Test fixtures and fuzz harnesses that
     swap the underlying corpus call this so a stale index bound to the
-    previous fixture can't be reused."""
-    caches = [_CACHES[name]] if name in _CACHES else (
-        list(_CACHES.values()) if name is None else []
-    )
+    previous fixture can't be reused.
+
+    A non-None ``name`` that was never registered raises ``KeyError``:
+    a caller passing a name always intends a registered cache, and a
+    silent no-op on a typo would leave the exact stale-index hazard
+    this module exists to prevent while appearing to have evicted it.
+    """
+    if name is not None and name not in _CACHES:
+        raise KeyError(
+            f"evict({name!r}): no such cache; registered = "
+            f"{sorted(_CACHES)}"
+        )
+    caches = [_CACHES[name]] if name is not None else list(_CACHES.values())
     for cache in caches:
         for df in cache.values():
             df.unpersist()

@@ -90,7 +90,9 @@ ZORDER_BITS = 8  # quantile buckets per dimension (2^8 = 256)
 def zorder_column(
     df: DataFrame, cols: list[str], bits: int = ZORDER_BITS
 ):
-    """Z-value Column interleaving the quantile-bucket bits of ``cols``.
+    """Z-value Column interleaving the quantile-bucket bits of ``cols``
+    — EAGER: runs a driver-side approxQuantile job (a Spark action
+    over ``df``) at call time, not at plan execution.
 
     Each column is first rank-uniformized into ``2^bits`` buckets via
     approxQuantile boundaries (a sampling aggregate — the same
@@ -120,6 +122,15 @@ def zorder_column(
         raise ValueError(
             f"z-order needs {len(cols)}x{bits}={len(cols) * bits} bits; "
             "at most 63 fit in a BIGINT — lower bits or drop columns"
+        )
+    # The bucket lookup below is an F.aggregate over a 2^bits - 1
+    # element literal boundary array — O(2^bits) work PER ROW. 12 bits
+    # (4096 buckets) is already ~16x the default cost; beyond that the
+    # per-row scan silently dominates the write it is meant to help.
+    if bits > 12:
+        raise ValueError(
+            f"bits={bits}: per-row bucket cost is O(2^bits) via the "
+            "literal-boundary aggregate; 12 is the supported ceiling"
         )
     nb = (1 << bits) - 1
     # One pass computes every column's boundaries (approxQuantile

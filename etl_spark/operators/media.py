@@ -54,13 +54,16 @@ def sniff_mime(payload: bytes) -> str:
     """Magic-byte container sniff (the dispatch key for decode)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/wav"
-    # zlib has a 2-byte header, not a true magic: 0x78 CMF then a
-    # check byte making the pair a multiple of 31. Heuristic — the
-    # decode branch therefore verifies by actually inflating and
-    # falls back on zlib.error rather than trusting the sniff.
-    if len(payload) >= 2 and payload[0] == 0x78 and (
-        (payload[0] << 8 | payload[1]) % 31 == 0
-    ):
+    # zlib has a 2-byte header, not a true magic: CMF low nibble 0x8
+    # (compression method 8 = deflate; the high nibble is the window
+    # size, 0x08..0x78 all valid — streams written with wbits < 15
+    # are still zlib) then a check byte making the pair a multiple of
+    # 31. Heuristic — the decode branch therefore verifies by
+    # actually inflating and falls back on zlib.error rather than
+    # trusting the sniff.
+    if len(payload) >= 2 and (payload[0] & 0x0F) == 0x08 and (
+        payload[0] >> 4
+    ) <= 7 and ((payload[0] << 8 | payload[1]) % 31 == 0):
         return "application/zlib"
     return "application/octet-stream"
 
@@ -406,8 +409,15 @@ def decode_deflate(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 payload = bytes(payload)
                 raw, mime = None, "application/octet-stream"
-                if len(payload) >= 2 and payload[0] == 0x78 and (
-                    (payload[0] << 8 | payload[1]) % 31 == 0
+                # Inlined sniff_mime zlib branch (closure stays
+                # self-contained for workers): CMF low nibble 0x8 =
+                # deflate, high nibble <= 7 = any valid window size,
+                # header pair % 31 == 0.
+                if (
+                    len(payload) >= 2
+                    and (payload[0] & 0x0F) == 0x08
+                    and (payload[0] >> 4) <= 7
+                    and (payload[0] << 8 | payload[1]) % 31 == 0
                 ):
                     try:
                         raw = _zlib.decompress(payload)

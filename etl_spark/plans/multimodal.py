@@ -27,7 +27,9 @@ from etl_spark.io import load, register_views
 from etl_spark.operators.media import (
     FRAME_BYTES,
     FRAME_SAMPLE_EVERY,
+    PHASH_NOISE_STRIDE,
     PHASH_SEGMENTS,
+    PHASH_VARIANT_OFFSET,
     RESIZE_TARGET_BYTES,
 )
 from etl_spark.plans.curation import CHUNK_STRIDE, CHUNK_TOKENS
@@ -465,6 +467,25 @@ PHASH_HAM_MAX = 4
 PHASH_BANDS = PHASH_HAM_MAX + 1
 PHASH_BAND_BITS = PHASH_SEGMENTS // PHASH_BANDS  # 12
 PHASH_BAND_MASK = (1 << PHASH_BAND_BITS) - 1  # 4095
+# Deterministic ingest-slice convention for the history gate; the
+# streaming twin (streaming/phash_gate.py) imports THIS constant so
+# batch query, oracle and stream stay single-sourced.
+PHASH_GATE_MOD = 10
+
+# Every geometry constant the oracles replay, interpolated so widening
+# PHASH_SEGMENTS (the documented scale knob, 60 -> 120) re-derives the
+# oracle SQL instead of silently desyncing it.
+_PHASH_FMT = dict(
+    seg=PHASH_SEGMENTS,
+    seg_last=PHASH_SEGMENTS - 1,
+    band_last=PHASH_BANDS - 1,
+    band_bits=PHASH_BAND_BITS,
+    band_mask=PHASH_BAND_MASK,
+    stride=PHASH_NOISE_STRIDE,
+    offset=PHASH_VARIANT_OFFSET,
+    ham=PHASH_HAM_MAX,
+    gate_mod=PHASH_GATE_MOD,
+)
 
 # The oracle replays the whole pipeline from text bytes: fingerprint
 # (bit s = exact integer cross-multiply of segment byte-sum vs whole-
@@ -484,17 +505,17 @@ _PHASH_ORACLE = """
     both_sides AS (
       SELECT doc_id, text, n, 0 AS noise FROM reps
       UNION ALL
-      SELECT doc_id + 1000000000, text, n, 1 AS noise FROM reps
+      SELECT doc_id + {offset}, text, n, 1 AS noise FROM reps
     ),
     segsum AS (
       SELECT r.doc_id, r.n, g.s,
-             ((g.s + 1) * r.n) // 60 - (g.s * r.n) // 60 AS slen,
+             ((g.s + 1) * r.n) // {seg} - (g.s * r.n) // {seg} AS slen,
              COALESCE(list_sum(list_transform(
-               generate_series((g.s * r.n) // 60 + 1, ((g.s + 1) * r.n) // 60),
+               generate_series((g.s * r.n) // {seg} + 1, ((g.s + 1) * r.n) // {seg}),
                i -> ord(r.text[i])
-                    + CASE WHEN r.noise = 1 AND (i - 1) % 17 = 0
+                    + CASE WHEN r.noise = 1 AND (i - 1) % {stride} = 0
                            THEN 1 ELSE 0 END)), 0) AS ssum
-      FROM both_sides r, UNNEST(generate_series(0, 59)) AS g(s)
+      FROM both_sides r, UNNEST(generate_series(0, {seg_last})) AS g(s)
     ),
     tot AS (
       SELECT doc_id, SUM(ssum) AS dsum FROM segsum GROUP BY doc_id
@@ -509,8 +530,8 @@ _PHASH_ORACLE = """
     ),
     bands AS (
       SELECT doc_id, phash, b.band_idx,
-             (phash >> (12 * b.band_idx)) & 4095 AS band_val
-      FROM ph, UNNEST(generate_series(0, 4)) AS b(band_idx)
+             (phash >> ({band_bits} * b.band_idx)) & {band_mask} AS band_val
+      FROM ph, UNNEST(generate_series(0, {band_last})) AS b(band_idx)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -523,14 +544,14 @@ _PHASH_ORACLE = """
     SELECT doc_a, doc_b, phash_a, phash_b,
            CAST(bit_count(xor(phash_a, phash_b)) AS INTEGER) AS hamming
     FROM cand
-    WHERE bit_count(xor(phash_a, phash_b)) <= 4
+    WHERE bit_count(xor(phash_a, phash_b)) <= {ham}
     ORDER BY doc_a, doc_b
 """
 
 
 @register(
     "mm_phash_neardup",
-    oracle=_PHASH_ORACLE.format(ascii_docs=_ASCII_DOCS_SQL),
+    oracle=_PHASH_ORACLE.format(ascii_docs=_ASCII_DOCS_SQL, **_PHASH_FMT),
     doc="Perceptual-hash near-dup over binary payloads — the image-"
         "dedup shape (aHash fingerprint + Hamming-LSH banding) that "
         "catches what exact hashing cannot: the same payload after a "
@@ -616,20 +637,20 @@ _PHASH_GATE_ORACLE = """
       -- history: exact-dup-collapsed representatives
       SELECT doc_id, text, length(text) AS n, 1 AS arriving
       FROM documents
-      WHERE {ascii_docs} AND length(text) >= 60 AND doc_id % 10 = 0
+      WHERE {ascii_docs} AND length(text) >= 60 AND doc_id % {gate_mod} = 0
       UNION ALL
       SELECT MIN(doc_id), MIN(text), MIN(length(text)), 0
       FROM documents
-      WHERE {ascii_docs} AND length(text) >= 60 AND doc_id % 10 <> 0
+      WHERE {ascii_docs} AND length(text) >= 60 AND doc_id % {gate_mod} <> 0
       GROUP BY md5(text)
     ),
     segsum AS (
       SELECT r.doc_id, r.n, g.s,
-             ((g.s + 1) * r.n) // 60 - (g.s * r.n) // 60 AS slen,
+             ((g.s + 1) * r.n) // {seg} - (g.s * r.n) // {seg} AS slen,
              COALESCE(list_sum(list_transform(
-               generate_series((g.s * r.n) // 60 + 1, ((g.s + 1) * r.n) // 60),
+               generate_series((g.s * r.n) // {seg} + 1, ((g.s + 1) * r.n) // {seg}),
                i -> ord(r.text[i]))), 0) AS ssum
-      FROM side r, UNNEST(generate_series(0, 59)) AS g(s)
+      FROM side r, UNNEST(generate_series(0, {seg_last})) AS g(s)
     ),
     tot AS (
       SELECT doc_id, SUM(ssum) AS dsum FROM segsum GROUP BY doc_id
@@ -652,13 +673,13 @@ _PHASH_GATE_ORACLE = """
     ),
     ab AS (
       SELECT doc_id, phash, b.band_idx,
-             (phash >> (12 * b.band_idx)) & 4095 AS band_val
-      FROM arr, UNNEST(generate_series(0, 4)) AS b(band_idx)
+             (phash >> ({band_bits} * b.band_idx)) & {band_mask} AS band_val
+      FROM arr, UNNEST(generate_series(0, {band_last})) AS b(band_idx)
     ),
     hb AS (
       SELECT hist_id, hist_phash, b.band_idx,
-             (hist_phash >> (12 * b.band_idx)) & 4095 AS band_val
-      FROM hist, UNNEST(generate_series(0, 4)) AS b(band_idx)
+             (hist_phash >> ({band_bits} * b.band_idx)) & {band_mask} AS band_val
+      FROM hist, UNNEST(generate_series(0, {band_last})) AS b(band_idx)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id, h.hist_id, a.phash, h.hist_phash
@@ -678,7 +699,7 @@ _PHASH_GATE_ORACLE = """
       ) WHERE rn = 1
     )
     SELECT a.doc_id, b.min_hamming, b.nearest_hist_id,
-           COALESCE(b.min_hamming <= 4, FALSE) AS likely_dup
+           COALESCE(b.min_hamming <= {ham}, FALSE) AS likely_dup
     FROM arr a LEFT JOIN best b USING (doc_id)
     ORDER BY a.doc_id
 """
@@ -686,7 +707,7 @@ _PHASH_GATE_ORACLE = """
 
 @register(
     "mm_phash_history_gate",
-    oracle=_PHASH_GATE_ORACLE.format(ascii_docs=_ASCII_DOCS_SQL),
+    oracle=_PHASH_GATE_ORACLE.format(ascii_docs=_ASCII_DOCS_SQL, **_PHASH_FMT),
     doc="At-ingest perceptual-hash dup gate, batch form of the "
         "streaming twin (streaming/phash_gate.py): every arriving "
         "payload (the deterministic doc_id % 10 == 0 ingest slice) is "

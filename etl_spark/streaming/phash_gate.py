@@ -39,6 +39,7 @@ from etl_spark.plans.multimodal import (
     PHASH_BAND_BITS,
     PHASH_BAND_MASK,
     PHASH_BANDS,
+    PHASH_GATE_MOD,
     PHASH_HAM_MAX,
     _ASCII_DOCS,
 )
@@ -46,8 +47,6 @@ from etl_spark.plans.multimodal import (
 DOC_SCHEMA = "doc_id BIGINT, ingest_ts TIMESTAMP, text STRING"
 WATERMARK_DELAY = "30 minutes"
 WINDOW = "1 hour"
-# Same deterministic ingest-slice convention as the shingle gate.
-PHASH_GATE_MOD = 10
 
 
 def _bands(hashed: DataFrame) -> DataFrame:

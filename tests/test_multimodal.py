@@ -44,6 +44,21 @@ def test_decode_dispatch_zlib_inflates():
     assert out["decoded_md5"] == hashlib.md5(raw).hexdigest()
 
 
+def test_decode_dispatch_zlib_small_window_streams():
+    # zlib streams written with wbits < 15 carry a CMF byte other than
+    # 0x78 (e.g. 0x48 for a 4K window); they are valid zlib and must
+    # dispatch to the real inflate, not fall through to the stand-in.
+    raw = b"small-window zlib payload " * 40
+    for wbits in (9, 11, 13, 15):
+        comp = zlib.compressobj(wbits=wbits)
+        payload = comp.compress(raw) + comp.flush()
+        assert payload[0] != 0x78 or wbits == 15  # CMF varies by window
+        assert sniff_mime(payload) == "application/zlib", hex(payload[0])
+        out = decode_payload(payload)
+        assert out["mime"] == "application/zlib"
+        assert out["decoded_md5"] == hashlib.md5(raw).hexdigest()
+
+
 def test_decode_dispatch_unknown_falls_back_to_standin():
     payload = b"\x89PNG\r\n\x1a\x08 no png codec in the stdlib"
     out = decode_payload(payload)

@@ -106,3 +106,21 @@ def test_session_cache_evict_leaves_nothing_live(spark):
     assert live_caches().get("hygiene_probe") == 1
     evict("hygiene_probe")
     assert live_caches().get("hygiene_probe", 0) == 0
+
+
+def test_session_cache_evict_unknown_name_raises(spark):
+    # A typo'd cache name must fail loudly, not silently no-op — a
+    # harness that believes it evicted a stale index while the real
+    # cache survives is the exact hazard the module guards against.
+    import pytest
+
+    from etl_spark.operators.caching import evict, session_cached
+
+    with pytest.raises(KeyError, match="no_such_cache"):
+        evict("no_such_cache")
+    # None still means "evict everything" and never raises.
+    session_cached(
+        "hygiene_probe2", spark, "/hygiene2", lambda: spark.range(5)
+    )
+    evict()
+    evict()  # idempotent on empty caches

@@ -108,3 +108,16 @@ def test_zorder_pushdown_row_count_matches(spark, tmp_path):
         spark.read.parquet(zpath).filter(cond).count()
         == li.filter(cond).count()
     )
+
+
+def test_zorder_bits_ceiling_guard(spark):
+    # The bucket lookup is O(2^bits) per row via the literal-boundary
+    # aggregate; the guard keeps a casual bits bump from silently
+    # exploding per-row cost.
+    import pytest
+
+    from etl_spark.operators.layout import zorder_column
+
+    df = spark.range(10).selectExpr("id AS a", "id * 2 AS b")
+    with pytest.raises(ValueError, match="ceiling"):
+        zorder_column(df, ["a", "b"], bits=13)
