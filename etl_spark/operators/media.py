@@ -2,9 +2,11 @@
 
 Rich pipelines decode image/audio/video payloads with native libs
 (PIL, ffmpeg, torchaudio). Those libs are NOT in this container, but
-the stdlib ships two REAL codecs — ``wave`` (RIFF/WAVE PCM audio) and
-``zlib`` (DEFLATE) — so ``decode_payload`` genuinely decodes those
-two container formats, dispatched on magic bytes, and falls back to
+the stdlib can genuinely parse three formats — ``wave`` (RIFF/WAVE
+PCM audio), ``zlib`` (DEFLATE), and uncompressed 24-bit BMP (pure
+``struct`` header walk + bottom-up padded pixel rows; no imaging lib
+needed) — so ``decode_payload`` genuinely decodes those container
+formats, dispatched on magic bytes, and falls back to
 ``fake_features`` (a deterministic byte-math stand-in with the same
 Spark surface) for everything else. A user with PIL/ffmpeg adds their
 branch to the same dispatch; the Arrow batching, 1:N frame shape and
@@ -20,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
 import zlib
 from collections.abc import Iterator
@@ -54,6 +57,18 @@ def sniff_mime(payload: bytes) -> str:
     """Magic-byte container sniff (the dispatch key for decode)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/wav"
+    # BMP: 'BM' is a weak magic (any text starting "BM" matches), so
+    # require the full header story to hold — declared file size ==
+    # actual, pixel offset past both headers, BITMAPINFOHEADER (40) —
+    # before claiming the payload is an image.
+    if (
+        len(payload) >= 54
+        and payload[:2] == b"BM"
+        and struct.unpack_from("<I", payload, 2)[0] == len(payload)
+        and struct.unpack_from("<I", payload, 10)[0] >= 54
+        and struct.unpack_from("<I", payload, 14)[0] == 40
+    ):
+        return "image/bmp"
     # zlib has a 2-byte header, not a true magic: CMF low nibble 0x8
     # (compression method 8 = deflate; the high nibble is the window
     # size, 0x08..0x78 all valid — streams written with wbits < 15
@@ -113,6 +128,8 @@ def decode_payload(payload: bytes) -> dict:
                 "mean_sample": pcm_mean(pcm, w.getsampwidth()),
                 "pcm_md5": hashlib.md5(pcm).hexdigest(),
             }
+    if mime == "image/bmp":
+        return decode_bmp(payload)
     if mime == "application/zlib":
         try:
             raw = zlib.decompress(payload)
@@ -509,6 +526,223 @@ def with_wav_payload(docs: DataFrame, pcm_from: str = "text") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BMP: REAL uncompressed 24-bit bitmap encode/parse, stdlib-only
+# ---------------------------------------------------------------------------
+
+# Fixture grid width (pixels per row). 24 keeps sf0.01 docs (~200-2000
+# chars) at tens of rows — big enough to exercise multi-row bottom-up
+# storage and per-row padding, small enough that the oracle's
+# per-character replay stays cheap.
+BMP_WIDTH = 24
+
+BMP_DECODE_SCHEMA = (
+    "doc_id bigint, mime string, width int, height int, bpp int, "
+    "n_pixels bigint, luma_sum bigint, luma_md5 string"
+)
+
+
+def build_bmp(gray: bytes, width: int = BMP_WIDTH) -> bytes:
+    """Encode a grayscale byte grid as a REAL uncompressed 24-bit BMP
+    (BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, BGR triplets,
+    bottom-up row order, rows padded to 4 bytes) — any image viewer
+    opens the result. Pixels are gray (B = G = R = byte value), rows
+    are ``width`` wide, and a trailing partial row is dropped, so the
+    image holds exactly ``(len(gray) // width) * width`` pixels."""
+    height = len(gray) // width
+    if height == 0:
+        raise ValueError(
+            f"need at least {width} gray bytes for one row, got {len(gray)}"
+        )
+    gray = gray[: width * height]
+    row_pad = (-(width * 3)) % 4
+    row_size = width * 3 + row_pad
+    data_size = row_size * height
+    offset = 14 + 40
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", offset + data_size, 0, 0, offset
+    )
+    # biHeight > 0 = bottom-up (the standard orientation); 2835 px/m
+    # = 72 DPI, the conventional placeholder resolution.
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size,
+        2835, 2835, 0, 0,
+    )
+    pad = b"\x00" * row_pad
+    rows = [
+        b"".join(
+            bytes((v, v, v)) for v in gray[y * width : (y + 1) * width]
+        )
+        + pad
+        for y in range(height - 1, -1, -1)
+    ]
+    return file_header + info_header + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse an uncompressed 24-bit BMP: header walk, bottom-up (or
+    top-down when biHeight < 0) row un-flip, padding strip, integer
+    ITU-R 601 luma per pixel ((299R + 587G + 114B) // 1000 — exact
+    integer math, equal to the byte value on gray pixels). Returns
+    the decode summary; ``luma_md5`` is over the TOP-DOWN row-major
+    luma bytes, the orientation a downstream vision model consumes.
+    Fails LOUDLY on a malformed container (sniff_mime verified the
+    header, so a parse error here is corruption, not a false sniff).
+    """
+    magic, file_size, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    (dib_size, width, height, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if magic != b"BM" or dib_size != 40:
+        raise ValueError("not a BITMAPINFOHEADER BMP")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = height < 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    luma = bytearray(width * height)
+    for out_y in range(height):
+        src_y = out_y if top_down else height - 1 - out_y
+        base = offset + src_y * row_size
+        row = payload[base : base + width * 3]
+        for x in range(width):
+            b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+            luma[out_y * width + x] = (299 * r + 587 * g + 114 * b) // 1000
+    luma = bytes(luma)
+    return {
+        "mime": "image/bmp",
+        "width": width,
+        "height": height,
+        "bpp": bpp,
+        "n_pixels": width * height,
+        "luma_sum": sum(luma),
+        "luma_md5": hashlib.md5(luma).hexdigest(),
+    }
+
+
+def with_bmp_payload(docs: DataFrame, src: str = "text") -> DataFrame:
+    """Fixture builder: attach a REAL 24-bit BMP whose gray pixel grid
+    is the document's utf-8 bytes, BMP_WIDTH pixels per row (trailing
+    partial row dropped by the encoder). Narrow Arrow map; requires
+    ``length(src) >= BMP_WIDTH`` upstream."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        _W = BMP_WIDTH
+
+        def _bmp(gray: bytes) -> bytes:
+            # Self-contained twin of build_bmp (workers can't import
+            # etl_spark); tests pin driver-vs-worker byte parity.
+            h = len(gray) // _W
+            gray = gray[: _W * h]
+            pad = (-( _W * 3)) % 4
+            data = ( _W * 3 + pad) * h
+            head = _struct.pack("<2sIHHI", b"BM", 54 + data, 0, 0, 54)
+            dib = _struct.pack(
+                "<IiiHHIIiiII", 40, _W, h, 1, 24, 0, data, 2835, 2835, 0, 0
+            )
+            rows = [
+                b"".join(
+                    bytes((v, v, v)) for v in gray[y * _W : (y + 1) * _W]
+                )
+                + b"\x00" * pad
+                for y in range(h - 1, -1, -1)
+            ]
+            return head + dib + b"".join(rows)
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        _bmp(t.encode("utf-8")) for t in pdf[src]
+                    ],
+                }
+            )
+
+    return (
+        docs.select("doc_id", src)
+        .where(F.col(src).isNotNull())
+        .mapInPandas(batches, schema="doc_id bigint, payload binary")
+    )
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL image decode stage: payloads are genuine BMP containers
+    (see ``build_bmp``), parsed on the workers by a pure-struct
+    header walk — bottom-up row un-flip, padding strip, integer luma.
+    Narrow map, Arrow batch in/out; the exact stage shape a
+    PIL-backed pipeline has, with the one raster codec the stdlib
+    can express in the decode slot."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _decode(payload: bytes) -> tuple:
+            # Self-contained twin of decode_bmp, vectorized with
+            # numpy (rows decode as a (h, row_size) uint8 matrix; the
+            # BGR->luma dot product and the bottom-up flip are array
+            # ops, not per-pixel Python).
+            offset = _struct.unpack_from("<I", payload, 10)[0]
+            (_ds, w, h, _p, bpp, comp) = _struct.unpack_from(
+                "<IiiHHI", payload, 14
+            )
+            if bpp != 24 or comp != 0:
+                raise ValueError(f"unsupported BMP bpp={bpp} comp={comp}")
+            top_down = h < 0
+            h = abs(h)
+            row_size = (w * 3 + 3) & ~3
+            mat = _np.frombuffer(
+                payload, dtype=_np.uint8, count=h * row_size, offset=offset
+            ).reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+            if not top_down:
+                mat = mat[::-1]
+            bgr = mat.astype(_np.int64)
+            luma = (
+                299 * bgr[:, :, 2] + 587 * bgr[:, :, 1] + 114 * bgr[:, :, 0]
+            ) // 1000
+            luma_bytes = luma.astype(_np.uint8).tobytes()
+            return (
+                w,
+                h,
+                bpp,
+                w * h,
+                int(luma.sum()),
+                _hashlib.md5(luma_bytes).hexdigest(),
+            )
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                w, h, bpp, npx, lsum, lmd5 = _decode(bytes(payload))
+                rows.append((doc_id, "image/bmp", w, h, bpp, npx, lsum, lmd5))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mime", "width", "height", "bpp",
+                    "n_pixels", "luma_sum", "luma_md5",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "width": "int32", "height": "int32",
+                    "bpp": "int32", "n_pixels": "int64", "luma_sum": "int64",
+                }
+            )
+
+    return (
+        df.select("doc_id", payload_col)
+        .where(F.col(payload_col).isNotNull())
+        .mapInPandas(batches, schema=BMP_DECODE_SCHEMA)
+    )
+
+
 PHASH_SEGMENTS = 60
 PHASH_SCHEMA = "doc_id bigint, phash bigint"
 # Deterministic "re-encode" noise model: +1 on every 17th byte — the
@@ -526,6 +760,7 @@ def perceptual_hash(
     payload_col: str = "payload",
     noisy_variant: bool = False,
     carry: tuple[tuple[str, str], ...] = (),
+    pixel_decode: bool = False,
 ) -> DataFrame:
     """aHash-style perceptual fingerprint over payload bytes.
 
@@ -547,9 +782,18 @@ def perceptual_hash(
     never materializes anywhere.
 
     Narrow map: payload bytes never shuffle; only (doc_id, phash)
-    continues downstream. A real image pipeline swaps the byte
-    segments for pixel-grid luminance means and keeps everything
-    else (banding, Hamming join) unchanged.
+    continues downstream.
+
+    ``pixel_decode=True`` IS the real image pipeline: payloads are
+    parsed as BMP containers (the same struct walk as decode_image)
+    and the fingerprint runs over the decoded top-down luminance grid
+    instead of raw container bytes — headers, padding and bottom-up
+    storage order no longer leak into the hash, so the fingerprint is
+    a property of the IMAGE, not its serialization. Banding and the
+    Hamming join downstream are unchanged, exactly as documented.
+    The noisy variant then perturbs pixel VALUES (+1 per stride-th
+    luma sample — re-encode jitter where it physically lands), not
+    header bytes.
     """
 
     # Plain-int locals: the mapInPandas closure captures these BY VALUE
@@ -560,12 +804,41 @@ def perceptual_hash(
     _SEG = PHASH_SEGMENTS
     _STRIDE = PHASH_NOISE_STRIDE
     _OFF = PHASH_VARIANT_OFFSET
+    _PIXELS = pixel_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
         import numpy as _np
         import pandas as _pd
 
         _BITS = 1 << _np.arange(_SEG, dtype=_np.int64)
+
+        def _luma(payload: bytes) -> "_np.ndarray":
+            # Inline BMP parse (decode_image's twin; closures stay
+            # self-contained for workers): top-down luminance grid,
+            # flattened row-major — the array the fingerprint sees.
+            offset = _struct.unpack_from("<I", payload, 10)[0]
+            (_ds, w, h, _p, _bpp, _c) = _struct.unpack_from(
+                "<IiiHHI", payload, 14
+            )
+            top_down = h < 0
+            h = abs(h)
+            row_size = (w * 3 + 3) & ~3
+            mat = _np.frombuffer(
+                payload, dtype=_np.uint8, count=h * row_size, offset=offset
+            ).reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+            if not top_down:
+                mat = mat[::-1]
+            bgr = mat.astype(_np.int64)
+            return (
+                (
+                    299 * bgr[:, :, 2]
+                    + 587 * bgr[:, :, 1]
+                    + 114 * bgr[:, :, 0]
+                )
+                // 1000
+            ).reshape(-1)
 
         def _phash(arr: "_np.ndarray") -> int:
             # One cumsum per payload instead of 60 sliced sums: segment
@@ -590,8 +863,13 @@ def perceptual_hash(
             for row_i, (doc_id, payload) in enumerate(
                 zip(pdf["doc_id"], pdf[payload_col])
             ):
-                arr = _np.frombuffer(bytes(payload), dtype=_np.uint8).astype(
-                    _np.int64
+                payload = bytes(payload)
+                arr = (
+                    _luma(payload)
+                    if _PIXELS
+                    else _np.frombuffer(payload, dtype=_np.uint8).astype(
+                        _np.int64
+                    )
                 )
                 ids.append(doc_id)
                 hashes.append(_phash(arr))

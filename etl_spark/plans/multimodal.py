@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from etl_spark.io import load, register_views
 from etl_spark.operators.media import (
+    BMP_WIDTH,
     FRAME_BYTES,
     FRAME_SAMPLE_EVERY,
     PHASH_NOISE_STRIDE,
@@ -588,7 +589,14 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
         .withColumn("payload", F.encode("text", "utf-8"))
     )
-    hashed = perceptual_hash(reps, noisy_variant=True)
+    return _phash_band_pairs(perceptual_hash(reps, noisy_variant=True))
+
+
+def _phash_band_pairs(hashed: DataFrame) -> DataFrame:
+    """LSH banding + self-join + exact-Hamming confirm over a
+    (doc_id, phash) frame — the shared back half of every phash
+    near-dup query (byte-segment and decoded-pixel fingerprints use
+    identical band geometry; only the fingerprint stage differs)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -629,6 +637,133 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_HAM_MAX)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Real pixel decode (stdlib BMP) + phash over decoded pixel grids
+# ---------------------------------------------------------------------------
+
+# Pixel-grid fixture: the document's bytes become a BMP_WIDTH-wide
+# grayscale image (trailing partial row dropped), so n_pixels =
+# (length // W) * W and the decoded top-down luminance bytes equal the
+# first n_pixels text bytes — which is what lets DuckDB replay a REAL
+# bitmap decode from text alone.
+_PIXEL_PHASH_MIN_LEN = BMP_WIDTH * 3  # >= 3 full rows -> n_pixels >= 60
+
+_BMP_DECODE_ORACLE = f"""
+    SELECT doc_id,
+           'image/bmp' AS mime,
+           {BMP_WIDTH} AS width,
+           CAST(length(text) // {BMP_WIDTH} AS INTEGER) AS height,
+           24 AS bpp,
+           CAST((length(text) // {BMP_WIDTH}) * {BMP_WIDTH} AS BIGINT)
+             AS n_pixels,
+           CAST(list_sum(list_transform(
+             generate_series(1, (length(text) // {BMP_WIDTH}) * {BMP_WIDTH}),
+             i -> ord(text[i]))) AS BIGINT) AS luma_sum,
+           md5(substr(text, 1, (length(text) // {BMP_WIDTH}) * {BMP_WIDTH}))
+             AS luma_md5
+    FROM documents
+    WHERE {{ascii_docs}} AND length(text) >= {BMP_WIDTH}
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "mm_decode_bmp",
+    oracle=_BMP_DECODE_ORACLE.format(ascii_docs=_ASCII_DOCS_SQL),
+    doc="REAL raster decode round-trip, stdlib-only: each document's "
+        "bytes are encoded as a genuine uncompressed 24-bit BMP "
+        "(BITMAPFILEHEADER + BITMAPINFOHEADER, BGR triplets, bottom-"
+        "up rows, 4-byte row padding — operators/media.py build_bmp; "
+        "any viewer opens it) and decoded back on the workers by a "
+        "pure-struct header walk + numpy row matrix (decode_image): "
+        "un-flip the bottom-up storage, strip padding, integer ITU-R "
+        "601 luma per pixel. The oracle replays the decode from text "
+        "alone because gray pixels make luma the identity — so a "
+        "header-parse bug, a padding slip or a row-order mistake all "
+        "hash-mismatch. Narrow Arrow map; payload bytes never "
+        "shuffle. This is the sandbox-real analog of a PIL decode "
+        "stage: swap _decode for Image.open and the plumbing — "
+        "schema, batching, no-shuffle shape — is unchanged. "
+        "(The reference ships no media surface; SURVEY.md north-star "
+        "multimodal family.)",
+    tags=("multimodal", "llm", "decode", "pandas-udf"),
+)
+def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.media import decode_image, with_bmp_payload
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(_ASCII_DOCS)
+        .where(F.length("text") >= BMP_WIDTH)
+    )
+    return decode_image(with_bmp_payload(docs)).orderBy("doc_id")
+
+
+# Same replay as _PHASH_ORACLE, but the fingerprint input is the
+# DECODED pixel grid: substr(text, 1, (length // W) * W) — the exact
+# luminance byte sequence decode_image recovers from the BMP.
+_PHASH_PIXELS_ORACLE = _PHASH_ORACLE.replace(
+    """FROM documents
+      WHERE {ascii_docs} AND length(text) >= 60""",
+    f"""FROM (SELECT doc_id,
+                   substr(text, 1,
+                          (length(text) // {BMP_WIDTH}) * {BMP_WIDTH})
+                     AS text
+            FROM documents
+            WHERE ({{ascii_docs}})
+              AND length(text) >= {_PIXEL_PHASH_MIN_LEN})""",
+)
+assert _PHASH_PIXELS_ORACLE != _PHASH_ORACLE  # replace anchored
+
+
+@register(
+    "mm_phash_pixels_neardup",
+    oracle=_PHASH_PIXELS_ORACLE.format(
+        ascii_docs=_ASCII_DOCS_SQL, **_PHASH_FMT
+    ),
+    doc="Perceptual-hash near-dup over REAL decoded pixel grids — "
+        "mm_phash_neardup with the fingerprint moved from raw "
+        "container bytes to the image itself: payloads are genuine "
+        "24-bit BMPs, the phash stage struct-parses each one on the "
+        "workers (bottom-up un-flip, padding strip, integer luma) and "
+        "fingerprints the top-down luminance grid, so headers and "
+        "serialization order can no longer leak into the hash and "
+        "the SAME image stored top-down vs bottom-up fingerprints "
+        "identically. Exact-dup collapse keys on the PIXEL grid "
+        "(md5 of the truncated-to-rows byte prefix) — two files that "
+        "decode to the same image are one representative. The noisy "
+        "variant perturbs pixel VALUES (+1 per 17th luma sample), "
+        "i.e. re-encode jitter applied where it physically lands. "
+        "Banding, SMJ pair join and Hamming confirm are byte-variant-"
+        "identical (shared _phash_band_pairs); the pigeonhole recall "
+        "contract carries over unchanged. The oracle replays decode + "
+        "fingerprint + banding from text because gray pixels make "
+        "decoded luma equal the byte prefix — a decoder bug breaks "
+        "the match.",
+    tags=("multimodal", "llm", "dedup", "neardup", "decode",
+          "pandas-udf"),
+)
+def mm_phash_pixels_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.media import perceptual_hash, with_bmp_payload
+
+    px = F.expr(
+        f"substring(text, 1, "
+        f"CAST((length(text) div {BMP_WIDTH}) * {BMP_WIDTH} AS INT))"
+    )
+    reps = (
+        load(spark, sf_dir, "documents")
+        .where(_ASCII_DOCS)
+        .where(F.length("text") >= _PIXEL_PHASH_MIN_LEN)
+        .select("doc_id", px.alias("text"))
+        .groupBy(F.md5("text").alias("pixel_md5"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+    )
+    hashed = perceptual_hash(
+        with_bmp_payload(reps), noisy_variant=True, pixel_decode=True
+    )
+    return _phash_band_pairs(hashed)
 
 
 _PHASH_GATE_ORACLE = """
