@@ -223,10 +223,22 @@ def pagerank_integer(edges: DataFrame, iterations: int) -> DataFrame:
 
     Scale notes: each iteration is one key join + one groupBy — the
     same shuffle shape as connected_components; the rank vector is the
-    only state that moves. The iteration count is a fixed constant
-    (power iteration converges geometrically; rank ORDER stabilizes in
-    a handful of rounds), so the lineage stays O(iterations) deep and
-    needs no checkpointing.
+    only state that moves. The iteration count is a fixed constant,
+    so the lineage stays O(iterations) deep and needs no
+    checkpointing.
+
+    Iterations-vs-stability: the fixed count is EVIDENCE-backed for
+    the graph class this ranks — on the registered dup-pair graph the
+    full rank order is identical across iterations PR_ITERS-1 ..
+    PR_ITERS+1 (tests/test_pagerank_pq.py::
+    test_pagerank_rank_order_stable_at_shipped_iterations), so more
+    rounds cannot change a keep/drop decision. The claim is scoped,
+    not universal: undirected power iteration oscillates rank order
+    with period 2 on path-like graphs (negative adjacency
+    eigenvalues; demonstrated by the lollipop fixture in
+    test_pagerank_order_oscillation_caveat_is_real). Dup clusters
+    are near-cliques, the non-oscillating class; rank a path-heavy
+    graph and you must average consecutive iterates or check parity.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")

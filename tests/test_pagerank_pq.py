@@ -155,3 +155,54 @@ def test_pq_adc_empty_corpus_yields_empty(spark, tmp_path):
     out = REGISTRY["sim_pq_adc"].builder(spark, str(tmp_path))
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "adc_d2", "rnk"]
+
+
+def _rank_order(pr: dict[int, int]) -> list[int]:
+    return [v for v, _ in sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))]
+
+
+def test_pagerank_rank_order_stable_at_shipped_iterations(spark):
+    """PR_ITERS=3 as EVIDENCE, not assumption: on the registered dup
+    graph (the LSH pair edges the query actually ranks) the full rank
+    ORDER — not just top-k — is already identical across iterations
+    2->3->4, so the shipped constant sits past the point where another
+    iteration could change any downstream keep/drop decision. The
+    pure-Python sweep is the operator (pinned bit-equal by
+    test_pagerank_integer_matches_reference), and the registered
+    Spark query's values are re-pinned against it here at PR_ITERS."""
+    from etl_spark.plans.llm_dedup import PR_ITERS
+
+    pair_rows = REGISTRY["dedup_minhash_lsh"].builder(spark, SF_DIR).collect()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in pair_rows]
+    assert pairs, "fixture graph vanished — stability claim untestable"
+    orders = {
+        it: _rank_order(_pagerank_reference(pairs, it))
+        for it in (PR_ITERS - 1, PR_ITERS, PR_ITERS + 1)
+    }
+    assert orders[PR_ITERS - 1] == orders[PR_ITERS] == orders[PR_ITERS + 1]
+    got = {
+        r["doc_id"]: r["pagerank"]
+        for r in REGISTRY["graph_dup_pagerank"].builder(spark, SF_DIR).collect()
+    }
+    assert got == _pagerank_reference(pairs, PR_ITERS)
+
+
+def test_pagerank_order_oscillation_caveat_is_real():
+    """The documented limitation, kept falsifiable: fixed-iteration
+    power iteration on an UNDIRECTED graph can oscillate rank order
+    with period 2 on path-like structures (the adjacency operator's
+    negative eigenvalues don't decay under symmetric propagation).
+    A lollipop (K4 + 4-node tail) exhibits it: consecutive iterates
+    keep swapping two tail nodes. Dup-cluster graphs are near-cliques
+    — the class where the previous test shows order settles at once —
+    which is WHY a fixed small PR_ITERS is sound for dedup ranking
+    and why this operator's docstring scopes its stability claim to
+    that graph class rather than claiming universal convergence."""
+    lollipop = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [
+        (3, 4), (4, 5), (5, 6), (6, 7)
+    ]
+    o4 = _rank_order(_pagerank_reference(lollipop, 4))
+    o5 = _rank_order(_pagerank_reference(lollipop, 5))
+    o6 = _rank_order(_pagerank_reference(lollipop, 6))
+    assert o4 != o5, "oscillation gone — caveat may be deletable"
+    assert o4 == o6, "period-2 oscillation, not chaos"

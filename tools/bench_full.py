@@ -5,11 +5,16 @@ one timed run of EVERY registered query at $SPARK_GRAFT_SF_DIR
 
 Complements bench.py: the frozen 25-query HEADLINE set stays the
 cross-round comparable; this sweep makes regressions in the other
-~140 queries visible round-over-round. Single rep per query (the
-sweep is a regression tripwire, not a precision benchmark — compare
-round files with ~2x tolerance before investigating).
+~150 queries visible round-over-round. Two reps per query, min
+recorded (min-of-N is the standard noise estimator for wall-clock on
+a shared host: the min approaches the true cost, the spread measures
+interference) — single-rep sweeps produced false >2x movers that took
+manual cross-window forensics to exonerate (round 5's
+sim_nn_within_label). Both reps are kept in "queries_reps" so the
+delta tool can show the spread; pair with tools/bench_delta.py, which
+divides out the sweep-wide noise scalar before applying the 2x bar.
 
-Usage: python tools/bench_full.py > BENCH_FULL_r04.json
+Usage: python tools/bench_full.py > BENCH_FULL_r06.json
 """
 
 from __future__ import annotations
@@ -42,17 +47,34 @@ def main() -> None:
         REGISTRY[warm].builder(spark, SMOKE_SF_DIR).count()
     spark.catalog.clearCache()
 
+    reps_n = int(os.environ.get("BENCH_FULL_REPS", "2"))
     times: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     for name in sorted(REGISTRY):
-        t0 = time.perf_counter()
-        try:
-            rows = REGISTRY[name].builder(spark, sf_dir).count()
-        except Exception as ex:  # record, keep sweeping
-            failures[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+        rep_times = []
+        rows = None
+        for _rep in range(reps_n):
+            # Session caches (session_cached indexes) persist across
+            # reps on purpose: rep 2 then measures the query, not the
+            # index build — which is also what round-over-round
+            # comparisons want. clearCache between QUERIES would
+            # instead couple each query's time to registry order.
+            t0 = time.perf_counter()
+            try:
+                rows = REGISTRY[name].builder(spark, sf_dir).count()
+            except Exception as ex:  # record, keep sweeping
+                failures[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+                break
+            rep_times.append(round(time.perf_counter() - t0, 3))
+        if not rep_times or name in failures:
             continue
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {rows} rows in {times[name]}s", file=sys.stderr)
+        reps[name] = rep_times
+        times[name] = min(rep_times)
+        print(
+            f"# {name}: {rows} rows, reps {rep_times} -> {times[name]}s",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 3)
     # Shared host: co-tenant load swings wall times 2-3x, so record the
@@ -65,8 +87,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(times),
+                "reps_per_query": reps_n,
                 "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
                 "queries": times,
+                "queries_reps": reps,
                 "failures": failures,
                 "sf": sf_dir,
             }
