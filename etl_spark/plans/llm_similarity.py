@@ -814,6 +814,10 @@ PQ_M = 8                      # subspaces
 PQ_SUBDIM = DIM // PQ_M       # dims per subspace
 PQ_KS = 16                    # codewords per subspace (codebook = first PQ_KS vectors)
 PQ_TOPK = 10
+# ADC shortlist width for the exact-rerank refine step; 5x the answer
+# size is the conventional refine ratio (recall receipt in SCALING.md:
+# 0.200 -> 0.425 at this width on the uniform fixture).
+PQ_RERANK = 5 * PQ_TOPK
 PQ_QUERY_LO, PQ_QUERY_HI = 16, 20  # query vec_ids, disjoint from the codebook seeds
 
 

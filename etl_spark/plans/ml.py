@@ -42,6 +42,7 @@ from etl_spark.plans.llm_similarity import (
     PQ_M,
     PQ_QUERY_HI,
     PQ_QUERY_LO,
+    PQ_RERANK,
     PQ_SUBDIM,
     PQ_TOPK,
     TOP_K,
@@ -916,9 +917,10 @@ _IVFPQ_RES_SQL = (
 )
 
 
-@register(
-    "sim_ivfpq_search",
-    oracle=f"""{_trained_ctes()},
+# Shared oracle CTE chain ending in ``adc`` (per-(query, candidate)
+# asymmetric distances over the probed cells) — consumed by both the
+# plain ADC top-k and the exact-rerank refine query.
+_IVFPQ_ADC_CTES = f"""{_trained_ctes()},
     res AS MATERIALIZED (
       -- residual r = q - trained_centroid[assigned cell], exact BIGINTs
       SELECT a.vec_id, a.cluster,
@@ -977,7 +979,12 @@ _IVFPQ_RES_SQL = (
       JOIN cb ON cb.m = e.m AND cb.c = e.code
       WHERE e.vec_id <> qr.query_id
       GROUP BY qr.query_id, e.vec_id, a.cluster
-    )
+    )"""
+
+
+@register(
+    "sim_ivfpq_search",
+    oracle=f"""{_IVFPQ_ADC_CTES}
     SELECT query_id, vec_id, CAST(cell AS INTEGER) AS cell,
            CAST(adc_d2 AS BIGINT) AS adc_d2, CAST(rn AS INTEGER) AS rnk
     FROM (
@@ -1018,6 +1025,14 @@ _IVFPQ_RES_SQL = (
           "pandas-udf"),
 )
 def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivfpq_adc(spark, sf_dir, PQ_TOPK)
+
+
+def _ivfpq_adc(spark: SparkSession, sf_dir: str, keep: int) -> DataFrame:
+    """ADC-ranked IVF-PQ candidates, top-``keep`` per query — the
+    shared front half of sim_ivfpq_search (keep = PQ_TOPK, the
+    answer) and sim_ivfpq_rerank (keep = PQ_RERANK, the shortlist
+    the exact refine step re-orders)."""
     from pyspark.sql import Window
 
     emb = _quantized(spark, sf_dir)
@@ -1099,7 +1114,7 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cc = codes[in_cell]
                     dv = lut[np.arange(PQ_M)[None, :], cc].sum(axis=1)
                     vv = vids[in_cell]
-                    top = np.lexsort((vv, dv))[:PQ_TOPK]
+                    top = np.lexsort((vv, dv))[:keep]
                     frames.append(
                         pd.DataFrame(
                             {
@@ -1121,8 +1136,92 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (
             scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-            .filter(F.col("rnk") <= PQ_TOPK)
+            .filter(F.col("rnk") <= keep)
             .select("query_id", "vec_id", "cell", "adc_d2", "rnk")
         )
     finally:
         emb.unpersist()
+
+
+@register(
+    "sim_ivfpq_rerank",
+    oracle=f"""{_IVFPQ_ADC_CTES},
+    short AS (
+      SELECT query_id, vec_id, adc_d2 FROM (
+        SELECT query_id, vec_id, adc_d2, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_RERANK}
+    ),
+    refined AS (
+      SELECT s.query_id, s.vec_id, CAST(s.adc_d2 AS BIGINT) AS adc_d2,
+             q.norm + v.norm
+               - 2 * CAST(list_dot_product(q.q, v.q) AS BIGINT)
+               AS exact_d2
+      FROM short s
+      JOIN vec q ON q.vec_id = s.query_id
+      JOIN vec v ON v.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, CAST(exact_d2 AS BIGINT) AS exact_d2,
+           adc_d2, CAST(rn AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY exact_d2, vec_id) AS rn
+      FROM refined
+    ) WHERE rn <= {PQ_TOPK}
+    """,
+    doc=f"IVF-PQ search with the exact-rerank refine step — the "
+        f"standard production recall recovery (FAISS refine / "
+        f"IndexRefineFlat): the ADC stage keeps a top-{PQ_RERANK} "
+        f"shortlist per query ({PQ_RERANK // PQ_TOPK}x the answer "
+        "size) instead of trusting quantized distances for the final "
+        f"order, then re-scores just those {PQ_RERANK} candidates "
+        "with EXACT integer L2 against the full stored vectors and "
+        f"re-ranks to top-{PQ_TOPK}. Fenced motivation (SCALING.md "
+        "IVF-PQ recall table): raw ADC recall@10 is capped by code "
+        "fidelity at 0.200 on the uniform fixture; this refine lifts "
+        "it to 0.425 at 50 extra vector reads per query — the cheap "
+        "end of the recall/compression trade-off, vs 16x codebook "
+        "memory for a comparable gain. Spark shape: the shortlist is "
+        "config-sized (queries x R rows), so the refine join prunes "
+        "the second corpus scan to R semi-joined rows per query and "
+        "the exact distance runs JVM-side (zip_with + aggregate over "
+        "the lattice ints — no Python in the refine). Exact BIGINT "
+        "end-to-end, so the trained-index + refine pipeline replays "
+        "bit-identically in the oracle.",
+    tags=("ml", "kmeans", "similarity", "ann", "ivf", "pq", "rerank",
+          "llm", "pandas-udf"),
+)
+def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    short = _ivfpq_adc(spark, sf_dir, PQ_RERANK).select(
+        "query_id", "vec_id", "adc_d2"
+    )
+    emb = _quantized(spark, sf_dir)
+    qvec = (
+        emb.filter(
+            (F.col("vec_id") >= PQ_QUERY_LO) & (F.col("vec_id") < PQ_QUERY_HI)
+        )
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
+    )
+    refined = (
+        short.join(emb.select("vec_id", "q"), "vec_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "exact_d2",
+            F.aggregate(
+                F.zip_with("qq", "q", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        refined.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select("query_id", "vec_id", "exact_d2", "adc_d2", "rnk")
+    )

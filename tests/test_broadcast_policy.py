@@ -59,6 +59,9 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "config-bounded regardless of corpus size",
     ("plans/llm_text.py", "text_langid_ngram", "profile"):
         "language trigram profiles: config table, ~langs x top-k rows",
+    ("plans/ml.py", "sim_ivfpq_rerank", "qvec"):
+        "query vectors: PQ_QUERY_HI - PQ_QUERY_LO rows, config-sized "
+        "regardless of corpus (the same set every PQ query collects)",
     ("plans/llm_text.py", "text_cms_term_counts", "cms"):
         "count-min sketch: K x W cells, config-sized",
     ("plans/llm_text.py", "text_vocab_growth", "bounds"):

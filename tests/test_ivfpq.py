@@ -257,3 +257,33 @@ def test_exact_rerank_recovers_adc_recall_loss(spark, corpus):
         ids, V, cls, cents, CB, codes, N_PROBE, rerank=5 * PQ_TOPK
     )
     assert rer >= raw + 0.1, (raw, rer)
+
+
+def test_registered_rerank_matches_python_replay_exactly(spark, corpus):
+    """The registered sim_ivfpq_rerank = ADC top-PQ_RERANK shortlist
+    re-ordered by exact lattice L2 — pinned bit-equal to the numpy
+    replay, which ties the recall numbers in SCALING.md to the
+    shipped query."""
+    from etl_spark.plans.llm_similarity import PQ_RERANK
+
+    ids, V = corpus
+    cls, cents, CB, codes = _replay(ids, V)
+    per_q = _adc_rows(ids, V, cls, cents, CB, codes)
+    expected = set()
+    for q, (cid, adc, _, _probe) in per_q.items():
+        short = np.lexsort((cid, adc))[:PQ_RERANK]
+        sid, sadc = cid[short], adc[short]
+        qv = V[ids == q][0]
+        d_exact = np.array(
+            [((V[ids == i][0] - qv) ** 2).sum() for i in sid]
+        )
+        top = np.lexsort((sid, d_exact))[:PQ_TOPK]
+        for rnk, t in enumerate(top, start=1):
+            expected.add(
+                (q, int(sid[t]), int(d_exact[t]), int(sadc[t]), rnk)
+            )
+    got = {
+        (r.query_id, r.vec_id, r.exact_d2, r.adc_d2, r.rnk)
+        for r in REGISTRY["sim_ivfpq_rerank"].builder(spark, SF_DIR).collect()
+    }
+    assert got == expected

@@ -10,8 +10,16 @@ NOT perturbed, so the dedup family sees a corpus whose duplicate
 rate grows with the copy count — which only makes the dedup probes
 harder (more pairs), never easier.
 
-Usage: python tools/make_sfbig.py [n_copies] [out_dir]
+Usage: python tools/make_sfbig.py [n_copies] [out_dir] [--tables a,b,c]
          (defaults: 10 copies of /root/testdata/sf0.1 -> /tmp/sf1)
+       --tables restricts replication to the named tables; the rest
+         land as single unreplicated copies so every load() still
+         resolves. This is the sf10 mode: replicating only the
+         data-superlinear families' tables (documents, embeddings,
+         events) keeps the build minutes-cheap while the probe
+         measures exactly the queries whose cost is data-proportional.
+         python tools/make_sfbig.py 100 /tmp/sf10 \
+             --tables documents,embeddings,events
 Then:  SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py
 """
 
@@ -46,13 +54,34 @@ SHIFTS: dict[str, list[str]] = {
 
 
 def main() -> None:
-    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    n_copies = int(args[0]) if args else 10
+    out = args[1] if len(args) > 1 else "/tmp/sf1"
+    only: set[str] | None = None
+    for f in flags:
+        if f.startswith("--tables="):
+            only = set(f.split("=", 1)[1].split(","))
+        elif f == "--tables":
+            raise SystemExit("use --tables=a,b,c")
+        else:
+            raise SystemExit(f"unknown flag {f}")
+    if only is not None and (unknown := only - set(SHIFTS)):
+        raise SystemExit(f"unknown tables: {sorted(unknown)}")
+    # The phash noisy-variant ids live at doc_id + 1e9
+    # (operators/media.py PHASH_VARIANT_OFFSET); shifted real ids must
+    # stay below that or variants collide with genuine documents.
+    if n_copies * OFFSET > 1_000_000_000:
+        raise SystemExit(
+            f"{n_copies} copies x OFFSET {OFFSET} crosses the 1e9 "
+            "phash variant-id band; lower copies or rescale both."
+        )
     spark = tune_session(get_spark("make-sfbig"))
     spark.sparkContext.setLogLevel("ERROR")
     for table, keys in SHIFTS.items():
+        table_copies = n_copies if only is None or table in only else 1
         src = load(spark, SRC, table)
-        if not keys:
+        if not keys or table_copies == 1:
             big = src
         else:
             # Shifted keys from copy i must not collide with copy i+1:
@@ -72,7 +101,7 @@ def main() -> None:
             # One explode per source row instead of a union chain:
             # n_copies stays a plan constant, not a plan depth.
             copies = F.explode(
-                F.array(*[F.lit(i) for i in range(n_copies)])
+                F.array(*[F.lit(i) for i in range(table_copies)])
             ).alias("_copy")
             big = src.select("*", copies)
             for k in keys:
@@ -81,13 +110,19 @@ def main() -> None:
                 )
             big = big.drop("_copy")
         dest = f"{out}/{table}.parquet"
-        big.repartition(max(4, n_copies * 2)).write.mode("overwrite").parquet(dest)
+        big.repartition(
+            max(4, min(table_copies * 2, 64))
+        ).write.mode("overwrite").parquet(dest)
         print(f"{table}: {spark.read.parquet(dest).count()} rows -> {dest}")
     # Written LAST, so its existence proves every table landed — the
     # Makefile's skip-if-built sentinel tests this, not a table dir
     # that an interrupted build may have left behind.
     with open(f"{out}/_DONE", "w") as fh:
-        fh.write(f"{n_copies} copies of {SRC}\n")
+        fh.write(
+            f"{n_copies} copies of {SRC}"
+            + (f" (tables {sorted(only)}; rest 1 copy)" if only else "")
+            + "\n"
+        )
     spark.stop()
 
 
