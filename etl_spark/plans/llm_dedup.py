@@ -19,17 +19,32 @@ implement bit-identically):
 * SimHash      — 16-bit tf-weighted fingerprint; near-dups share
                  (or almost share) the fingerprint value.
 
-Scale notes: the shingle inverted index shuffles on shingle — head
-shingles are the skew risk, mitigated by dropping ultra-frequent
-shingles (a standard stop-shingle filter, STOP_SHINGLE_MAX_DF) from
-the index before posting lists are collected: a shingle shared by k
-documents emits O(k²) candidate pairs, so capping document frequency
-bounds per-shingle pair emission to STOP_SHINGLE_MAX_DF²/2 regardless
-of corpus size (and a shingle in thousands of documents carries no
-similarity signal anyway) — and keeps every collected posting list at
-most STOP_SHINGLE_MAX_DF elements. The cap is mirrored in the DuckDB
-oracles so the pair stays hash-green; LSH band buckets are uniformly
-distributed by construction.
+Scale notes — two defenses compose, in this order:
+
+1. **Exact-dup collapse first** (``rep_docs``): every near-dup
+   structure is built over one representative per distinct text, so
+   copy multiplicity — the dominant duplication mode in web corpora,
+   where one template has 10^4+ byte-identical copies — can neither
+   inflate shingle document frequencies past the stop cap (the sf10
+   probe's measured failure: every shingle over the cap, the whole
+   near-dup surface silently empty) nor turn each dup group into a
+   C(copies, 2) pair clique (the measured 590 → 4.9M pair blowup at
+   10x replication). Exact multiplicity is dedup_exact's output;
+   dedup_clusters re-attaches copies via doc→canonical edges.
+2. **Stop-shingle df cap** over rep-space df: the shingle inverted
+   index shuffles on shingle — head shingles are the skew risk,
+   mitigated by dropping ultra-frequent shingles (a standard
+   stop-shingle filter, STOP_SHINGLE_MAX_DF) from the index before
+   posting lists are collected: a shingle shared by k DISTINCT texts
+   emits O(k²) candidate pairs, so capping rep-space document
+   frequency bounds per-shingle pair emission to
+   STOP_SHINGLE_MAX_DF²/2 regardless of corpus size (and a shingle
+   in thousands of distinct texts is boilerplate, not signal) — and
+   keeps every collected posting list at most STOP_SHINGLE_MAX_DF
+   elements.
+
+Both are mirrored in the DuckDB oracles so the pairs stay hash-green;
+LSH band buckets are uniformly distributed by construction.
 """
 
 from __future__ import annotations
@@ -126,8 +141,35 @@ def shingle_array(toks):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unfiltered (doc_id, shingle) rows, one per distinct shingle per doc.
+def rep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup representatives: one (doc_id, text) row per DISTINCT
+    text, doc_id = the group's minimum (dedup_exact's canonical rule).
+
+    Collapsing BEFORE shingling is the load-bearing scale order the
+    phash family already follows (plans/multimodal.py) and the one
+    the sf10 decade probe proved the shingle family needed: on a
+    corpus where every text has >= cap exact copies, per-DOC document
+    frequency pushes EVERY shingle over STOP_SHINGLE_MAX_DF and the
+    whole near-dup surface silently returns empty — while below the
+    cliff each exact-dup group forms a clique in the pair output
+    (C(copies, 2) pairs per text: measured 590 -> 4.9M pairs on the
+    10x replication, 2s -> 40s triangle counting). Rep-space df
+    counts distinct TEXTS, so the cap is again a boilerplate filter
+    rather than a duplication-rate tripwire, and pair volume is
+    governed by content diversity, never by copy counts — exact
+    multiplicity is dedup_exact's job.
+    """
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .drop("_h")
+    )
+
+
+def shingle_explode(docs: DataFrame) -> DataFrame:
+    """Unfiltered (doc_id, shingle) rows from a (doc_id, text) frame,
+    one per distinct shingle per doc.
 
     The token array is materialized in its own projection before the
     shingle transform: slice(split(text), ...) inside the lambda would
@@ -142,11 +184,17 @@ def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # core-aligned partitions before a row-multiplying transform still
     # hold).
     return (
-        load(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .select("doc_id", F.explode(sh).alias("shingle"))
     )
+
+
+def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unfiltered (rep_id, shingle) rows over exact-dup
+    REPRESENTATIVES — the input every downstream dedup structure
+    (posting lists, signatures, pair joins) builds from."""
+    return shingle_explode(rep_docs(spark, sf_dir))
 
 
 def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,13 +306,27 @@ def containment_expr():
     return F.col("n_common").cast("double") / F.least("na", "nb")
 
 
-_RAW_SHINGLES_SQL = f"""
+def _shingles_over_sql(docs_sql: str) -> str:
+    """Oracle twin of ``shingle_explode`` over an arbitrary
+    (doc_id, text) relation."""
+    return f"""
       SELECT doc_id, unnest(list_distinct(
                list_transform(generate_series(1, len(t) - {NGRAM - 1}),
                               i -> array_to_string(t[i:i+{NGRAM - 1}], ' ')))) AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ({docs_sql}))
       WHERE len(t) >= {NGRAM}
 """
+
+
+# Oracle twin of ``rep_docs``: exact-dup representatives.
+_REP_DOCS_SQL = (
+    "SELECT MIN(doc_id) AS doc_id, MIN(text) AS text "
+    "FROM documents GROUP BY md5(text)"
+)
+
+# Rep-space raw shingles — the fragment every dedup oracle builds on
+# (mirrors _raw_shingles; see rep_docs for why collapse comes first).
+_RAW_SHINGLES_SQL = _shingles_over_sql(_REP_DOCS_SQL)
 
 # Mirror of shingles_df including the stop-shingle df cap (no NULL
 # shingles exist, so NOT IN is safe three-valued-logic-wise).
@@ -301,8 +363,10 @@ JACCARD_THRESHOLD = 0.05
     FROM pairs
     WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= {JACCARD_THRESHOLD}
     """,
-    doc="Exact n-gram Jaccard near-dup pairs from the posting-list "
-        "inverted index: each shingle's (sorted, df-capped) doc list "
+    doc="Exact n-gram Jaccard near-dup pairs BETWEEN exact-dup "
+        "representatives (rep_docs collapse first — copies are "
+        "dedup_exact's output, not pair noise) from the posting-list "
+        "inverted index: each shingle's (sorted, df-capped) rep list "
         "emits its candidate pairs MAP-SIDE — no self-join, no "
         "crossJoin — then one aggregation counts shared shingles per "
         f"pair. The stop-shingle df cap (> {STOP_SHINGLE_MAX_DF} docs) "
@@ -355,6 +419,7 @@ CONTAINMENT_THRESHOLD = 0.8
     """,
     doc="Asymmetric containment near-dup pairs: |A∩B| / min(|A|,|B|) — "
         "the measure that catches a document EMBEDDED in a larger one, "
+        "computed between exact-dup representatives (rep_docs), "
         "which symmetric Jaccard misses (a 100-token doc pasted into a "
         "10k-token doc has tiny Jaccard but containment 1.0). Shares "
         "the posting-list candidate machinery with dedup_jaccard_pairs: "
@@ -409,7 +474,8 @@ INCREMENTAL_BATCH_MOD = 10
     WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
           >= {JACCARD_THRESHOLD}
     """,
-    doc="Incremental near-dup: Jaccard pairs for a NEW ingest batch "
+    doc="Incremental near-dup over exact-dup representatives: "
+        "Jaccard pairs for a NEW ingest batch "
         f"(the deterministic doc_id % {INCREMENTAL_BATCH_MOD} == 0 "
         "slice, ~10% of the corpus) against the existing corpus AND "
         "within the batch — WITHOUT ever re-pairing existing-vs-"
@@ -472,15 +538,22 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_history_gate",
     oracle=f"""
-    WITH raw AS ({_RAW_SHINGLES_SQL}),
-    hist AS (
+    WITH hist AS (
+      -- exact-dup-collapsed representatives OF the historical slice:
+      -- hist_df counts distinct historical TEXTS per shingle
       SELECT shingle, COUNT(*) AS hist_df
-      FROM raw WHERE doc_id % {INCREMENTAL_BATCH_MOD} <> 0
+      FROM ({_shingles_over_sql(
+          "SELECT MIN(doc_id) AS doc_id, MIN(text) AS text FROM documents "
+          f"WHERE doc_id % {INCREMENTAL_BATCH_MOD} <> 0 GROUP BY md5(text)"
+      )})
       GROUP BY shingle
     ),
     batch AS (
-      SELECT doc_id, shingle FROM raw
-      WHERE doc_id % {INCREMENTAL_BATCH_MOD} = 0
+      -- arriving side stays per-DOC: every ingested doc gets a verdict
+      SELECT doc_id, shingle FROM ({_shingles_over_sql(
+          "SELECT doc_id, text FROM documents "
+          f"WHERE doc_id % {INCREMENTAL_BATCH_MOD} = 0"
+      )})
     )
     SELECT b.doc_id,
            COUNT(*) AS n_shingles,
@@ -656,7 +729,8 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
                AND a.doc_id < b.doc_id
     """,
-    doc=f"MinHash LSH candidate pairs: {N_HASHES} md5-minhash signatures "
+    doc=f"MinHash LSH candidate pairs over exact-dup representatives: "
+        f"{N_HASHES} md5-minhash signatures "
         f"banded {N_BANDS}×{ROWS_PER_BAND}; docs colliding in any band are "
         "candidates. The scale path for near-dup at 100 TB: signature "
         "computation is one pass over shingles, the band join touches "
@@ -725,10 +799,22 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE pairs AS (
       {{lsh_pairs}}
     ),
+    exact_edges AS (
+      -- every exact-dup copy links to its canonical representative,
+      -- so copies inherit their rep's near-dup cluster
+      SELECT doc_id AS doc_a, canon AS doc_b FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+        FROM documents
+      ) WHERE doc_id <> canon
+    ),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL
       SELECT doc_b AS src, doc_a AS dst FROM pairs
+      UNION ALL
+      SELECT doc_a AS src, doc_b AS dst FROM exact_edges
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM exact_edges
     ),
     reach(id, r) AS (
       SELECT doc_id, doc_id FROM documents
@@ -737,10 +823,16 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
     """.format(lsh_pairs=REGISTRY["dedup_minhash_lsh"].oracle),
-    doc="Near-dup clusters: connected components (iterative min-label "
-        "propagation, operators/graph.py) over the MinHash-LSH candidate "
-        "pairs — the step that turns pairwise matches into canonical "
-        "groups a keep-one dedup policy can act on. Every document "
+    doc="Dup clusters: connected components (iterative min-label "
+        "propagation, operators/graph.py) over the union of the "
+        "MinHash-LSH candidate pairs (near-dup edges between exact-dup "
+        "REPRESENTATIVES) and the exact-dup doc→canonical edges — the "
+        "step that turns pairwise matches into canonical groups a "
+        "keep-one dedup policy can act on. The composite edge set is "
+        "the scale-correct decomposition: near-dup edges are bounded "
+        "by content diversity (rep-space, no per-copy cliques), exact "
+        "edges are one per duplicate copy (linear), and together every "
+        "copy lands in its representative's cluster. Every document "
         "appears; singletons are their own cluster. Oracle: recursive "
         "reachability closure + MIN — equivalent to the fixpoint label.",
     tags=("dedup", "llm", "graph"),
@@ -750,9 +842,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_minhash_lsh(spark, sf_dir)
     vertices = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    exact_edges = (
+        dedup_exact(spark, sf_dir)
+        .filter(F.col("is_duplicate") == 1)
+        .select(F.col("doc_id").alias("src"), F.col("canonical_id").alias("dst"))
+    )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    ).unionByName(exact_edges)
     return connected_components(vertices, edges).select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -994,7 +1091,8 @@ def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
     """,
     doc="Triangle count over the near-dup similarity graph (edges = "
-        "Jaccard pairs over threshold): the standard cohesion check "
+        "rep-space Jaccard pairs over threshold — exact-dup copies "
+        "never form per-copy cliques): the standard cohesion check "
         "before transitive-closure dedup — many triangles means "
         "clusters are dense cliques (safe to collapse), few means "
         "chains of borderline pairs (risky). Degree-ordered wedge "

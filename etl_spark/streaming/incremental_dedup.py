@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_spark.plans.llm_dedup import _raw_shingles, shingle_array
+from etl_spark.io import load
+from etl_spark.plans.llm_dedup import shingle_array
 
 DOC_SCHEMA = "doc_id BIGINT, ingest_ts TIMESTAMP, text STRING"
 WATERMARK_DELAY = "30 minutes"
@@ -56,10 +57,26 @@ def history_index(spark: SparkSession, sf_dir: str, batch_mod: int) -> DataFrame
     to prevent — while a capped index would make the gate blind to
     exactly the most-duplicated content: a doc identical to a
     template duplicated >cap times historically would score
-    containment 0 and be admitted."""
-    return (
-        _raw_shingles(spark, sf_dir)
+    containment 0 and be admitted.
+
+    The historical slice is exact-dup-collapsed BEFORE shingling
+    (filter-then-collapse, so every historical text keeps exactly one
+    representative inside the slice): hist_df counts distinct
+    historical TEXTS per shingle, not raw copies — a 10^4x-duplicated
+    template contributes 1, and the index size is bounded by content
+    diversity rather than corpus volume. Presence (what the gate
+    actually tests) is unchanged; only the df magnitudes are."""
+    from etl_spark.plans.llm_dedup import shingle_explode
+
+    hist_reps = (
+        load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % batch_mod != 0)
+        .groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .drop("_h")
+    )
+    return (
+        shingle_explode(hist_reps)
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("hist_df"))
     )

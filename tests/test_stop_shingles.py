@@ -108,3 +108,33 @@ def test_incremental_batch_equals_restricted_full_pairs(spark):
         for r in dd.dedup_incremental_batch(spark, SF_DIR).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_exact_dup_multiplicity_cannot_blank_or_bloat_near_dup(spark, tmp_path):
+    """The sf10-probe cliff, fenced: a corpus where every text has
+    more exact copies than STOP_SHINGLE_MAX_DF must still find its
+    near-dup pairs (pre-collapse, per-copy df pushed every shingle
+    over the cap and the whole near-dup surface silently emptied) —
+    and must find exactly ONE pair per near-dup text pair, not a
+    C(copies,2) clique (pre-collapse, 10x replication measured a
+    590 -> 4.9M pair blowup). Copies rejoin their representative's
+    group through dedup_clusters' exact edges."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "tokX")  # one-token perturbation
+    docs = [(i, base) for i in range(100)]          # 100 exact copies
+    docs += [(100 + i, near) for i in range(100)]   # 100 copies of near-dup
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    evict()
+    try:
+        pairs = dd.dedup_jaccard_pairs(spark, sf_dir).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(0, 100)]
+        assert pairs[0]["jaccard"] > 0.5
+        # And the cluster view puts all 200 copies in ONE group.
+        clusters = dd.dedup_clusters(spark, sf_dir).collect()
+        assert {r["cluster_id"] for r in clusters} == {0}
+        assert len(clusters) == 200
+    finally:
+        evict()
