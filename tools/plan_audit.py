@@ -139,6 +139,23 @@ AUDIT = [
      "in one Arrow stage, LEFT band join against the SMJ-pinned "
      "historical index, one per-doc min-aggregate verdict — no "
      "cartesian, nothing data-sized broadcast, payloads never shuffle"),
+    ("mm_decode_bmp",
+     "real-codec raster decode (struct-parsed BMP): encode fixture "
+     "and decode are two chained Arrow mapInPandas stages; payload "
+     "bytes NEVER cross an Exchange — the only shuffle is the "
+     "exact-dup groupBy upstream of the fixture"),
+    ("mm_phash_pixels_neardup",
+     "pixel-space phash near-dup: BMP parse + luminance fingerprint "
+     "in ONE Arrow stage (container bytes stop there), then the same "
+     "SMJ-pinned band self-join and in-row Hamming confirm as the "
+     "byte variant — no cartesian, payloads never shuffle"),
+    ("sim_ivfpq_rerank",
+     "IVF-PQ + exact refine: the ADC shortlist pipeline unchanged, "
+     "then the config-sized (queries x R) shortlist joins the corpus "
+     "scan for exact lattice L2 computed JVM-side (zip_with + "
+     "aggregate, no Python in the refine); query vectors enter via "
+     "an allowlisted config-sized broadcast; final top-k window "
+     "partitioned by query_id"),
 ]
 
 INTERESTING = re.compile(
