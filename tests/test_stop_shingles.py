@@ -57,10 +57,15 @@ def test_hot_shingle_does_not_explode_candidates(spark, tmp_path):
         evict()
 
 
-def test_sf_corpus_unaffected_by_cap(spark, duck):
-    # At test scale no shingle exceeds the cap (max df is ~25 at
-    # sf0.1), so the guard must be a no-op: Spark's filtered index
-    # matches the raw DuckDB index exactly.
+def test_rep_space_shingle_index_matches_raw_sql_at_fixture_scale(spark, duck):
+    # BOTH premises of this equality are rep-space (post round-6
+    # collapse): Spark's index and _RAW_SHINGLES_SQL each shingle one
+    # representative per distinct text, and at fixture scale no
+    # rep-space shingle's df exceeds the cap (max ~25 at sf0.1), so
+    # the cap filter is additionally a no-op. If this ever fails with
+    # a small count gap, suspect the cap premise (a >cap-df shingle
+    # entered the fixture) BEFORE suspecting the index plumbing — the
+    # cap no-op is a property of the fixture data, not of the code.
     from tests.conftest import SF_DIR
 
     evict()

@@ -25,7 +25,12 @@ SF = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 con.execute("SET TimeZone='UTC'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    # Driver testdata ships one file per table; Spark-written copies
+    # (e.g. make_sfbig output) are directories of part files.
+    src = f"{SF}/{t}.parquet"
+    if os.path.isdir(src):
+        src = f"{src}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 qs = E.queries()
 oracles = E.oracle_sql()

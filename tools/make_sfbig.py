@@ -20,6 +20,23 @@ Usage: python tools/make_sfbig.py [n_copies] [out_dir] [--tables a,b,c]
          measures exactly the queries whose cost is data-proportional.
          python tools/make_sfbig.py 100 /tmp/sf10 \
              --tables documents,embeddings,events
+       --perturb mutates documents.text per copy so the corpus grows
+         CONTENT DIVERSITY, not copy multiplicity: copy i > 0 appends
+         a copy-unique marker to every 3rd token (stride == the
+         shingle NGRAM, so EVERY 3-gram window spans a mutated token
+         and sibling copies share ZERO shingles — all cross-copy
+         near-dup similarity is destroyed by construction), while two
+         organically similar docs inside the same copy receive
+         identical position-keyed mutations and so keep their
+         within-copy similarity. Exact-dup collapse then yields
+         n_copies x the representative set, which is what makes the
+         rep-proportional phases (shingle explode, posting lists,
+         band joins, pair confirm) measurable directly instead of
+         argued from the df-cap/banding math. Deterministic: the
+         mutation is a pure function of (token position, copy index).
+         Note n_chars is NOT rewritten — it describes the unperturbed
+         text; probe corpora only, never a correctness fixture for
+         n_chars-vs-length queries.
 Then:  SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py
 """
 
@@ -37,6 +54,27 @@ from etl_spark.session import get_spark, tune_session  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 OFFSET = 10_000_000
+# --perturb mutation stride. MUST equal llm_dedup.NGRAM: with one
+# mutated position in every NGRAM consecutive tokens, no shingle
+# window survives unmutated, so distinct copies share zero shingles.
+PERTURB_STRIDE = 3
+
+
+def perturbed_text(copy_col: str = "_copy") -> "F.Column":
+    """text column with every PERTURB_STRIDE-th token made copy-unique.
+
+    Copy 0 is the unperturbed original. For copy i > 0, token at
+    position p gets 'q<i>' appended when p % PERTURB_STRIDE == 0 —
+    deterministic in (p, i), so the same source text always perturbs
+    identically and organically-similar docs in the same copy stay
+    similar (their shared tokens mutate to the same shared values).
+    """
+    mutated = F.expr(
+        f"array_join(transform(split(text, ' '), (t, p) -> "
+        f"IF(p % {PERTURB_STRIDE} = 0, concat(t, 'q', {copy_col}), t)"
+        f"), ' ')"
+    )
+    return F.when(F.col(copy_col) == 0, F.col("text")).otherwise(mutated)
 
 # table -> columns to shift by i*OFFSET per copy. Dims are shared.
 SHIFTS: dict[str, list[str]] = {
@@ -59,11 +97,14 @@ def main() -> None:
     n_copies = int(args[0]) if args else 10
     out = args[1] if len(args) > 1 else "/tmp/sf1"
     only: set[str] | None = None
+    perturb = False
     for f in flags:
         if f.startswith("--tables="):
             only = set(f.split("=", 1)[1].split(","))
         elif f == "--tables":
             raise SystemExit("use --tables=a,b,c")
+        elif f == "--perturb":
+            perturb = True
         else:
             raise SystemExit(f"unknown flag {f}")
     if only is not None and (unknown := only - set(SHIFTS)):
@@ -108,6 +149,8 @@ def main() -> None:
                 big = big.withColumn(
                     k, (F.col(k) + F.col("_copy") * F.lit(OFFSET)).cast("bigint")
                 )
+            if perturb and table == "documents":
+                big = big.withColumn("text", perturbed_text())
             big = big.drop("_copy")
         dest = f"{out}/{table}.parquet"
         big.repartition(
@@ -121,6 +164,7 @@ def main() -> None:
         fh.write(
             f"{n_copies} copies of {SRC}"
             + (f" (tables {sorted(only)}; rest 1 copy)" if only else "")
+            + (" (documents text perturbed per copy)" if perturb else "")
             + "\n"
         )
     spark.stop()

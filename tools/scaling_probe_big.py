@@ -40,6 +40,15 @@ SFS = [
     ("sf1", "/tmp/sf1"),
     ("sf10", "/tmp/sf10"),
 ]
+# Override the three-corpus ladder, e.g. for the --perturb corpora:
+#   PROBE_SF_DIRS="sf0.1=/root/testdata/sf0.1,sf1p=/tmp/sf1p,sf10p=/tmp/sf10p"
+if os.environ.get("PROBE_SF_DIRS"):
+    SFS = [
+        tuple(pair.split("=", 1))
+        for pair in os.environ["PROBE_SF_DIRS"].split(",")
+    ]
+    if len(SFS) != 3:
+        raise SystemExit("PROBE_SF_DIRS needs exactly 3 label=dir pairs")
 
 # The data-superlinear candidates: everything whose naive form is
 # O(pairs) or O(corpus x index) rather than O(rows).
@@ -96,8 +105,9 @@ def main() -> None:
 
     print(f"loadavg: {[round(x, 2) for x in os.getloadavg()]}")
     print(f"reps: {REPS} (min recorded)\n")
-    print("| query | sf0.1 | sf1 | sf10 | slope sf0.1->1 | slope sf1->10 |"
-          " | rows sf0.1/1/10 |".replace("| |", "|"))
+    l0, l1, l2 = (sf for sf, _ in SFS)
+    print(f"| query | {l0} | {l1} | {l2} | slope {l0}->{l1} "
+          f"| slope {l1}->{l2} | rows {l0}/{l1}/{l2} |")
     print("|---|---|---|---|---|---|---|")
     for name in probes:
         a, b, c = times[name]
