@@ -639,6 +639,117 @@ def _phash_band_pairs(hashed: DataFrame) -> DataFrame:
     )
 
 
+# The pair-enumeration form above is OUTPUT-quadratic on variant-
+# clique corpora (measured: 83M pair rows on the perturbed sf10p
+# corpus, SCALING.md) — ~K re-encodes of one base emit ~K²/2 pairs.
+# The linear-output report for that shape is canonical ASSIGNMENT:
+# components over the same confirmed-pair graph, one row per doc.
+_PHASH_CLUSTERS_ORACLE = """
+    WITH RECURSIVE pairs AS (
+      {phash_pairs}
+    ),
+    rep_edges AS (
+      -- project the noisy-variant channel back onto its base rep:
+      -- a pair touching doc_id + offset witnesses the SAME payload
+      -- relation for the underlying representative
+      SELECT DISTINCT
+        CASE WHEN doc_a >= {offset} THEN doc_a - {offset} ELSE doc_a END
+          AS src,
+        CASE WHEN doc_b >= {offset} THEN doc_b - {offset} ELSE doc_b END
+          AS dst
+      FROM pairs
+      WHERE CASE WHEN doc_a >= {offset} THEN doc_a - {offset} ELSE doc_a
+            END <>
+            CASE WHEN doc_b >= {offset} THEN doc_b - {offset} ELSE doc_b
+            END
+    ),
+    qualifying AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+      FROM documents
+      WHERE {ascii_docs} AND length(text) >= 60
+    ),
+    edges AS (
+      SELECT src, dst FROM rep_edges
+      UNION ALL SELECT dst AS src, src AS dst FROM rep_edges
+      UNION ALL SELECT doc_id, canon FROM qualifying WHERE doc_id <> canon
+      UNION ALL SELECT canon, doc_id FROM qualifying WHERE doc_id <> canon
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM qualifying
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@register(
+    "mm_phash_clusters",
+    oracle=_PHASH_CLUSTERS_ORACLE.format(
+        phash_pairs=_PHASH_ORACLE.format(
+            ascii_docs=_ASCII_DOCS_SQL, **_PHASH_FMT
+        ),
+        offset=PHASH_VARIANT_OFFSET,
+        ascii_docs=_ASCII_DOCS_SQL,
+    ),
+    doc="Canonical payload-cluster assignment — the LINEAR-OUTPUT "
+        "form of mm_phash_neardup for corpora where pair enumeration "
+        "is the wrong report (measured on the perturbed sf10p corpus: "
+        "~100 re-encoded variants per base emit 83M pair rows, while "
+        "this emits one row per document). The confirmed Hamming<=4 "
+        "pair graph is projected back to base representatives (a pair "
+        "touching a noisy-variant id witnesses the same relation for "
+        "its rep), exact payload copies attach to their canonical rep "
+        "by one edge per copy (linear, the dedup_clusters shape), and "
+        "connected components (iterative min-label propagation, "
+        "operators/graph.py — DISK_ONLY-checkpointed, one join+groupBy "
+        "per round) label every qualifying document with its cluster's "
+        "minimum doc_id — the id a keep-one policy keeps. Dense "
+        "variant cliques converge in ~2 rounds (diameter ~2). Oracle: "
+        "recursive reachability closure + MIN over the same pair SQL, "
+        "exactly as dedup_clusters pairs with dedup_minhash_lsh.",
+    tags=("multimodal", "llm", "dedup", "graph"),
+)
+def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from etl_spark.operators.graph import connected_components
+
+    pairs = mm_phash_neardup(spark, sf_dir)
+
+    def _base(col: str):
+        c = F.col(col)
+        return F.when(
+            c >= PHASH_VARIANT_OFFSET, c - PHASH_VARIANT_OFFSET
+        ).otherwise(c)
+
+    rep_edges = (
+        pairs.select(_base("doc_a").alias("src"), _base("doc_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    qualifying = (
+        load(spark, sf_dir, "documents")
+        .where(_ASCII_DOCS)
+        .where(F.length("text") >= 60)
+        .select(
+            "doc_id",
+            F.min("doc_id")
+            .over(Window.partitionBy(F.md5("text")))
+            .alias("canon"),
+        )
+    )
+    exact_edges = qualifying.filter(F.col("doc_id") != F.col("canon")).select(
+        F.col("doc_id").alias("src"), F.col("canon").alias("dst")
+    )
+    vertices = qualifying.select(F.col("doc_id").alias("id"))
+    return connected_components(
+        vertices, rep_edges.unionByName(exact_edges)
+    ).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Real pixel decode (stdlib BMP) + phash over decoded pixel grids
 # ---------------------------------------------------------------------------

@@ -112,3 +112,40 @@ def test_query_recovers_every_base_variant_pair(spark):
     assert not missing, f"{len(missing)} base<->variant pairs missed"
     for r in res:
         assert r.hamming <= PHASH_HAM_MAX
+
+
+def test_clusters_are_linear_output_and_consistent_with_pairs(spark):
+    """mm_phash_clusters is the linear-output report of the SAME
+    confirmed-pair graph: one row per qualifying document (never a
+    synthetic variant id), cluster_id = the component's minimum
+    doc_id, and every mm_phash_neardup pair lands in one cluster
+    after its endpoints project back to base representatives."""
+    import etl_spark.plans  # noqa: F401 — registration side effects
+    from etl_spark.plans.registry import REGISTRY
+
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in REGISTRY["mm_phash_clusters"].builder(spark, SF_DIR).collect()
+    }
+    qualifying = (
+        load(spark, SF_DIR, "documents")
+        .where(F.col("text").rlike(r"^[\x20-\x7e]*$"))
+        .where(F.length("text") >= 60)
+        .select("doc_id")
+        .collect()
+    )
+    # linear output over exactly the fingerprinted universe
+    assert set(labels) == {r.doc_id for r in qualifying}
+    assert all(d < PHASH_VARIANT_OFFSET for d in labels)
+    # canonical ids are real members and each cluster's minimum
+    by_cluster: dict[int, list[int]] = {}
+    for d, c in labels.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        assert c == min(members)
+    # pair graph refinement: confirmed pairs co-cluster after the
+    # variant->rep projection
+    for r in REGISTRY["mm_phash_neardup"].builder(spark, SF_DIR).collect():
+        a = r.doc_a % PHASH_VARIANT_OFFSET
+        b = r.doc_b % PHASH_VARIANT_OFFSET
+        assert labels[a] == labels[b], (r.doc_a, r.doc_b)

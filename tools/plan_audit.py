@@ -149,6 +149,13 @@ AUDIT = [
      "in ONE Arrow stage (container bytes stop there), then the same "
      "SMJ-pinned band self-join and in-row Hamming confirm as the "
      "byte variant — no cartesian, payloads never shuffle"),
+    ("mm_phash_clusters",
+     "linear-output canonical assignment over the phash pair graph: "
+     "the same SMJ-pinned band join feeds variant->rep projected "
+     "edges plus one exact-dup edge per copy into iterative "
+     "min-label propagation (localCheckpoint per round, one "
+     "join+groupBy per iteration) — output one row per doc, no "
+     "cartesian, payloads never shuffle"),
     ("sim_ivfpq_rerank",
      "IVF-PQ + exact refine: the ADC shortlist pipeline unchanged, "
      "then the config-sized (queries x R) shortlist joins the corpus "
