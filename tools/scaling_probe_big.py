@@ -66,6 +66,7 @@ PROBES = [
     "sim_ivfpq_search",
     "mm_phash_neardup",
     "mm_phash_pixels_neardup",
+    "mm_phash_clusters",
     "mm_phash_history_gate",
     "curation_train_val_split",
 ]
