@@ -59,14 +59,19 @@ def sniff_mime(payload: bytes) -> str:
         return "audio/wav"
     # BMP: 'BM' is a weak magic (any text starting "BM" matches), so
     # require the full header story to hold — declared file size ==
-    # actual, pixel offset past both headers, BITMAPINFOHEADER (40) —
-    # before claiming the payload is an image.
+    # actual, pixel offset past both headers, BITMAPINFOHEADER (40),
+    # AND the shape decode_bmp actually parses (24 bpp, BI_RGB
+    # uncompressed) — before claiming the payload is an image. The
+    # sniff and the decoder must agree: a valid-but-unsupported BMP
+    # (32 bpp, RLE) must fall to the byte-math path, not crash decode.
     if (
         len(payload) >= 54
         and payload[:2] == b"BM"
         and struct.unpack_from("<I", payload, 2)[0] == len(payload)
         and struct.unpack_from("<I", payload, 10)[0] >= 54
         and struct.unpack_from("<I", payload, 14)[0] == 40
+        and struct.unpack_from("<H", payload, 28)[0] == 24
+        and struct.unpack_from("<I", payload, 30)[0] == 0
     ):
         return "image/bmp"
     # zlib has a 2-byte header, not a true magic: CMF low nibble 0x8

@@ -487,7 +487,13 @@ INCREMENTAL_BATCH_MOD = 10
         "affordable (in production the historical posting lists are a "
         "persisted index; here they rebuild per run from the same "
         "cached structure every dedup query shares). vs_existing "
-        "distinguishes collisions with history from intra-batch dups.",
+        "distinguishes collisions with history from intra-batch dups. "
+        "SCOPE (intentional): the batch slice is taken on the exact-"
+        "dup REPRESENTATIVE ids, so an arriving doc that is an exact "
+        "copy of historical text emits no row here — exact re-ingests "
+        "are the cheap hash-equality case handled by dedup_exact / "
+        "dedup_history_gate (which keeps its arriving side per-doc); "
+        "this query is solely the near-dup (shingle) tier.",
     tags=("dedup", "llm", "neardup", "incremental"),
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -121,6 +121,13 @@ def snapshot_latest_stream(runs: DataFrame) -> DataFrame:
                         row.created_at, row.updated_at, row.run_started_at,
                     )
                 ]
+                # If ANY row in the batch lacked `id`, pandas coerced
+                # the whole int column to float64 — so a present id
+                # reaches here as e.g. 123.0, which mis-types at the
+                # Arrow state-serialization boundary (state schema says
+                # bigint). Restore the integer before it touches state.
+                if cand[1] is not None:
+                    cand[1] = int(cand[1])
                 # Fixed-width UTC <ts>: string max == chronological max.
                 if best is None or cand[0] > best[0]:
                     best = cand

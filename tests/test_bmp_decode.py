@@ -137,3 +137,33 @@ def test_pixel_phash_is_serialization_invariant(spark):
             "byte phash SHOULD differ across serializations — if not, "
             "the invariance assertion above is vacuous"
         )
+
+
+def test_unsupported_bmp_falls_back_to_byte_math_not_crash():
+    """A VALID BMP whose shape decode_bmp does not parse (32 bpp, or
+    BI_RLE8 compression) must sniff as octet-stream and decode via
+    fake_features — not crash decode_payload with ValueError. The
+    sniff and the decoder must agree on supported shapes."""
+    import struct
+
+    from etl_spark.operators.media import decode_payload
+
+    def make_header_bmp(bpp: int, compression: int) -> bytes:
+        # 1x1 image, pixel data sized for the declared bpp (decode
+        # never reads it when the sniff rejects the header).
+        row = ((bpp // 8) + 3) & ~3
+        head = struct.pack("<2sIHHI", b"BM", 54 + row, 0, 0, 54)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, 1, 1, 1, bpp, compression, row,
+            2835, 2835, 0, 0,
+        )
+        return head + dib + b"\x00" * row
+
+    for bpp, comp in ((32, 0), (8, 1)):  # 32-bpp BI_RGB; 8-bpp BI_RLE8
+        payload = make_header_bmp(bpp, comp)
+        assert sniff_mime(payload) == "application/octet-stream"
+        out = decode_payload(payload)  # must not raise
+        assert out["mime"] == "application/octet-stream"
+    # And the supported shape still sniffs as BMP.
+    good = make_header_bmp(24, 0)
+    assert sniff_mime(good) == "image/bmp"

@@ -143,3 +143,43 @@ def test_exact_dup_multiplicity_cannot_blank_or_bloat_near_dup(spark, tmp_path):
         assert len(clusters) == 200
     finally:
         evict()
+
+
+def test_arriving_exact_copy_invisible_to_incremental_visible_to_gate(
+    spark, tmp_path
+):
+    """SCOPE fence for dedup_incremental_batch (documented in its
+    register doc): the batch slice is taken on exact-dup REP ids, so
+    an arriving doc (doc_id % MOD == 0) that is an exact copy of
+    historical text whose rep id is NOT in the slice emits no row —
+    exact re-ingests are the hash-equality tier's job. The per-doc
+    gate (dedup_history_gate) and dedup_exact must both still surface
+    it, or the scope split would drop the doc entirely."""
+    from tests.conftest import SF_DIR as _  # noqa: F401  (fixture import path)
+
+    MOD = dd.INCREMENTAL_BATCH_MOD
+    text = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"z{i}" for i in range(12))
+    docs = [
+        (1, text),        # historical original (rep of the exact group)
+        (MOD, text),      # arriving EXACT copy — rep 1 not in slice
+        (MOD + 1, other), # historical filler (unrelated content)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    evict()
+    try:
+        inc = dd.dedup_incremental_batch(spark, sf_dir).collect()
+        assert inc == []  # the exact re-ingest is intentionally absent
+        gate = {
+            r["doc_id"]: (r["containment"], r["likely_dup"])
+            for r in dd.dedup_history_gate(spark, sf_dir).collect()
+        }
+        assert gate[MOD] == (1.0, True)  # per-doc gate DOES see it
+        exact = {r["doc_id"]: r["is_duplicate"] for r in
+                 dd.dedup_exact(spark, sf_dir).collect()}
+        assert exact[MOD] == 1  # and the hash tier flags the re-ingest
+    finally:
+        evict()

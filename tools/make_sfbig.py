@@ -50,6 +50,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from etl_spark.io import load  # noqa: E402
+from etl_spark.operators.media import PHASH_VARIANT_OFFSET  # noqa: E402
 from etl_spark.session import get_spark, tune_session  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
@@ -109,13 +110,18 @@ def main() -> None:
             raise SystemExit(f"unknown flag {f}")
     if only is not None and (unknown := only - set(SHIFTS)):
         raise SystemExit(f"unknown tables: {sorted(unknown)}")
-    # The phash noisy-variant ids live at doc_id + 1e9
-    # (operators/media.py PHASH_VARIANT_OFFSET); shifted real ids must
-    # stay below that or variants collide with genuine documents.
-    if n_copies * OFFSET > 1_000_000_000:
+    # The phash noisy-variant ids live at doc_id + PHASH_VARIANT_OFFSET
+    # (operators/media.py); shifted real ids must stay below that or
+    # variants collide with genuine documents. This pre-check is the
+    # coarse bound (max shifted id < n_copies*OFFSET GIVEN base ids <
+    # OFFSET — the per-table key check below enforces that premise);
+    # the exact per-table check on max(doc_id) runs after maxes are
+    # read.
+    if n_copies * OFFSET > PHASH_VARIANT_OFFSET:
         raise SystemExit(
-            f"{n_copies} copies x OFFSET {OFFSET} crosses the 1e9 "
-            "phash variant-id band; lower copies or rescale both."
+            f"{n_copies} copies x OFFSET {OFFSET} crosses the "
+            f"{PHASH_VARIANT_OFFSET} phash variant-id band; lower "
+            "copies or rescale both."
         )
     spark = tune_session(get_spark("make-sfbig"))
     spark.sparkContext.setLogLevel("ERROR")
@@ -138,6 +144,17 @@ def main() -> None:
                         f"{table}.{k} max={maxes[k]} >= OFFSET={OFFSET}: "
                         "key-shifted copies would collide. Raise OFFSET "
                         "above the largest source key."
+                    )
+            # Exact phash-band check: the largest SHIFTED doc_id must
+            # stay below the variant band, not just the coarse
+            # n_copies*OFFSET bound from the pre-check.
+            if table == "documents" and maxes["doc_id"] is not None:
+                top = maxes["doc_id"] + (table_copies - 1) * OFFSET
+                if top >= PHASH_VARIANT_OFFSET:
+                    raise SystemExit(
+                        f"documents.doc_id max shifted id {top} >= "
+                        f"PHASH_VARIANT_OFFSET={PHASH_VARIANT_OFFSET}: "
+                        "variants would collide with real documents."
                     )
             # One explode per source row instead of a union chain:
             # n_copies stays a plan constant, not a plan depth.
