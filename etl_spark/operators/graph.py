@@ -3,19 +3,39 @@
 Deduplication pipelines need this step: near-dup PAIRS (from LSH or
 Jaccard) must become canonical GROUPS (every doc labeled with its
 cluster's minimum id) before a keep-one policy can run. Components are
-computed by minimum-label propagation:
+computed by alternating large-star / small-star contraction (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14 — the
+same public algorithm GraphFrames ships):
 
-    label(v) ← min(label(v), min over neighbors label(u))
+    large-star(u): connect every neighbor LARGER than u to
+                   m = min(N(u) ∪ {u})
+    small-star(u): connect u and every smaller neighbor to
+                   m = min of that set
 
-iterated to fixpoint. Convergence takes O(diameter) rounds — near-dup
-graphs are unions of small cliques, so 2-4 rounds in practice.
+Each operation preserves connectivity, and the alternation converges
+in O(log n) rounds to a forest of stars: every non-minimum vertex
+holds exactly one edge to its component's minimum.
+
+Why not minimum-label propagation (the previous implementation): on
+clique-dense graphs — exactly the near-dup shape — label propagation
+pays a full |E|-row join + groupBy EVERY round (measured: 558 s for
+mm_phash_clusters on the perturbed-decade corpus's ~25M-edge clique
+field). Star contraction collapses a k-clique to a k-edge star in the
+FIRST round, so every later round is node-proportional, not
+edge-proportional — the per-round volume argument is in SCALING.md.
 
 Scale notes:
-* Each round is one join + one groupBy — fully distributed; the
-  driver-side loop only checks the (scalar) convergence count.
-* ``localCheckpoint`` after every round truncates the lineage;
-  without it the plan doubles per iteration and Catalyst analysis
-  time explodes — the classic iterative-algorithm trap on Spark.
+* Every step is a key groupBy (map-side-combinable MIN) + an
+  equi-join on the same key — fully distributed, no broadcast of
+  data-sized sides, hot star-roots are single-row on the build side.
+* ``localCheckpoint`` (eager, DISK_ONLY) after every round truncates
+  the lineage — without it the plan doubles per iteration — and keeps
+  checkpoint blocks out of the heap the sort tasks need (the sf1
+  plain-driver OOM lesson from triangle_count).
+* Convergence = edge-set fixpoint (count equal + anti-join empty),
+  then a structural star-forest check (no vertex both parent and
+  child) so any non-star fixpoint fails LOUDLY instead of silently
+  mislabeling.
 """
 
 from __future__ import annotations
@@ -27,61 +47,121 @@ from pyspark.storagelevel import StorageLevel
 MAX_ITERATIONS = 20
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round. ``e``: distinct (child, parent) edges,
+    child > parent. For each vertex u (over the UNDIRECTED
+    neighborhood), every neighbor v > u re-points to
+    m = min(N(u) ∪ {u}). Output keeps the child > parent invariant:
+    v > u >= m."""
+    # Both directions from ONE scan (explode, not a self-union: a
+    # generator row-doubles in place, and self-union constraint
+    # rewriting is a known Catalyst soft spot on checkpointed inputs).
+    both = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("child").alias("c"), F.col("parent").alias("p")),
+                F.struct(F.col("parent").alias("c"), F.col("child").alias("p")),
+            )
+        ).alias("d")
+    ).select(F.col("d.c").alias("child"), F.col("d.p").alias("parent"))
+    mins = (
+        both.groupBy("child")
+        .agg(F.min("parent").alias("mn"))
+        .select("child", F.least("mn", "child").alias("m"))
+    )
+    return (
+        both.join(mins, "child")
+        .where(F.col("parent") > F.col("child"))
+        .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
+        .where(F.col("child") != F.col("parent"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round. ``e``: distinct (child, parent) edges,
+    child > parent — so the rows grouped by ``child`` ARE u's
+    smaller-neighbor list. u and every smaller neighbor re-point to
+    m = min of the list; both output shapes keep child > parent."""
+    mins = e.groupBy("child").agg(F.min("parent").alias("m"))
+    # Emit (smaller-neighbor → m) and (u → m) from the SAME joined
+    # scan via a generator (no union — see _large_star). The (u, m)
+    # row repeats per neighbor and the m-itself row degenerates to a
+    # self-loop; distinct + the self-loop filter absorb both.
+    return (
+        e.join(mins, "child")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("parent").alias("c"), F.col("m").alias("p")),
+                    F.struct(F.col("child").alias("c"), F.col("m").alias("p")),
+                )
+            ).alias("d")
+        )
+        .select(F.col("d.c").alias("child"), F.col("d.p").alias("parent"))
+        .where(F.col("child") != F.col("parent"))
+        .distinct()
+    )
+
+
 def connected_components(
     vertices: DataFrame, edges: DataFrame, max_iterations: int = MAX_ITERATIONS
 ) -> DataFrame:
     """Label every vertex with its component's minimum vertex id.
 
     vertices: one column ``id``; edges: columns ``src``, ``dst``
-    (undirected — both directions are derived internally).
+    (undirected — orientation, duplicates and self-loops are all
+    normalized internally; endpoints must be ⊆ vertices).
     Returns (id, component).
     """
     if max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
-    both_ways = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("child"),
+            F.least("src", "dst").alias("parent"),
+        )
+        .where(F.col("child") != F.col("parent"))
+        .distinct()
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
-    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint()
+    n_edges = e.count()
 
     for _ in range(max_iterations):
-        neighbor_min = (
-            both_ways.join(labels, both_ways.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("neighbor_component"))
+        nxt = _small_star(_large_star(e)).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
         )
-        # Checkpoint ONCE with both columns, then derive the changed
-        # count and the next labels from the checkpointed result —
-        # counting first and checkpointing after would execute the
-        # join+groupBy twice per round.
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neighbor_component"), F.col("component")),
-                ).alias("new_component"),
-                "component",
-            )
-            .localCheckpoint()
-        )
-        changed = updated.filter(
-            F.col("new_component") != F.col("component")
-        ).count()
-        labels = updated.select("id", F.col("new_component").alias("component"))
-        if changed == 0:
+        n_nxt = nxt.count()
+        # Fixpoint test on DISTINCT sets: equal cardinality plus
+        # no-new-edge (one anti-join) ⇔ set equality.
+        converged = n_nxt == n_edges and nxt.join(
+            e, ["child", "parent"], "left_anti"
+        ).isEmpty()
+        e, n_edges = nxt, n_nxt
+        if converged:
             break
     else:
-        # The loop exhausted max_iterations with labels still moving:
-        # returning would silently mislabel components (a vertex on a
-        # long chain keeps a non-minimum id). Fail loudly — the caller
-        # should raise max_iterations (diameter bound) instead.
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            f"iterations ({changed} labels still changing); the graph "
-            "diameter exceeds max_iterations — raise it"
+            f"rounds ({n_edges} edges still moving); the alternation "
+            "bound is O(log n) — raise max_iterations"
         )
-    return labels
+    # Structural guarantee before labeling: a fixpoint that is not a
+    # star forest (a vertex appearing as BOTH parent and child) would
+    # silently mislabel — fail loudly instead. One anti-join over the
+    # final (collapsed) edge set.
+    if not e.join(
+        e.select(F.col("child").alias("parent")), "parent", "semi"
+    ).isEmpty():
+        raise RuntimeError(
+            "connected_components fixpoint is not a star forest — "
+            "this is a bug in the star contraction, not the input"
+        )
+    labels = e.select(F.col("child").alias("id"), F.col("parent").alias("component"))
+    roots = vertices.join(labels, "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return labels.union(roots)
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:

@@ -313,6 +313,75 @@ def events_latest_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The batch-MERGE twin of the query above: maintain the latest-per-key
+# view INCREMENTALLY (materialized history ⊕ new batch) instead of
+# recomputing it. The slice constant matches the dedup family's ingest
+# slice for consistency.
+SNAPSHOT_BATCH_MOD = 10
+
+
+@register(
+    "events_snapshot_merge",
+    oracle=f"""
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '{{TS_FMT_DUCK}}') AS event_ts, value,
+           event_id % {SNAPSHOT_BATCH_MOD} = 0 AS via_batch
+    FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """.format(TS_FMT_DUCK=TS_FMT_DUCK),
+    doc="Incremental snapshot maintenance as a batch MERGE (the middle "
+        "ground between run_pipeline's full recompute, reference "
+        "main.py:182, and the streaming twin): the materialized "
+        "latest-per-(user_id, event_type) table built from the "
+        f"historical slice (event_id % {SNAPSHOT_BATCH_MOD} != 0) is "
+        "MERGED with the arriving batch via etl/merge.py's "
+        "latest_wins_merge — upsert on the key, greatest (ts, "
+        "event_id) wins. The ORACLE is the full-recompute window over "
+        "ALL events: green means merged-view == full recompute, the "
+        "exact invariant incremental maintenance must hold. Cost "
+        "shape: O(|snapshot| + |batch|) one-key-window, and the "
+        "table-maintenance form (etl/merge.py bucket partitioning) "
+        "touches only the bucket partitions the batch lands in.",
+    tags=("events", "dedup", "merge", "incremental"),
+)
+def events_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.etl.merge import latest_wins_merge
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    arriving = F.col("event_id") % SNAPSHOT_BATCH_MOD == 0
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snapshot = (  # the materialized table state before the batch lands
+        ev.filter(~arriving)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    merged = latest_wins_merge(
+        snapshot,
+        ev.filter(arriving),
+        keys=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("event_ts"),
+        "value",
+        (F.col("event_id") % SNAPSHOT_BATCH_MOD == 0).alias("via_batch"),
+    )
+
+
 @register(
     "events_hourly_gapfill",
     oracle=f"""
