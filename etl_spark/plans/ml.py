@@ -686,6 +686,290 @@ def sim_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.unpersist()
 
 
+# --------------------------------------------------------------------------
+# Large x large k-NN join: top-k neighbors for EVERY left-corpus vector
+# from a second large corpus, via co-partitioned IVF cells.
+# --------------------------------------------------------------------------
+
+# Cell count for the kNN join's coarse quantizer: k = floor(sqrt(n)).
+# This is the knob that makes a large x large join subquadratic —
+# cells of ~sqrt(n) vectors give total candidate volume
+# |A| * nprobe * sqrt(n_B) = O(n^1.5) instead of the brute-force n^2.
+# Floored at 4 so tiny fixtures still exercise multi-cell plans.
+KNN_MIN_CELLS = 4
+
+
+def _knn_cells(n: int) -> int:
+    import math
+
+    # isqrt == floor(sqrt) exactly; the SQL twin's floor(sqrt(n)) is
+    # float-rounded but exact for n < ~2^52 (and bit-safe below 2^26,
+    # far above any corpus this runs on per-partition).
+    return max(KNN_MIN_CELLS, math.isqrt(n))
+
+
+def _assign_topn(emb: DataFrame, centroids: list[list[float]], n_probe: int) -> DataFrame:
+    """Multi-probe assignment: each vector's ``n_probe`` nearest
+    centroids (ties to the lowest cluster id — stable argsort over the
+    ascending cluster axis, same order as the oracle's
+    ``ORDER BY d2, cluster``). Same exact-integer d2 arithmetic as
+    ``_assign``; one matmul per Arrow batch."""
+    cvecs = [list(c) for c in centroids]
+
+    def score(it):
+        import numpy as np
+        import pandas as pd
+
+        S = np.array(cvecs, dtype=np.float64)
+        s_norms = (S * S).sum(axis=1)
+        npb = min(n_probe, len(cvecs))
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["q"].tolist(), dtype=np.float64)
+            d2 = (C * C).sum(axis=1)[:, None] + s_norms[None, :] - 2.0 * (C @ S.T)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :npb]
+            for r in range(npb):
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].values,
+                        "q": pdf["q"],
+                        "cluster": order[:, r].astype("int32"),
+                    }
+                )
+
+    return emb.mapInPandas(
+        score, schema="vec_id bigint, q array<bigint>, cluster int"
+    )
+
+
+_KNN_JOIN_ORACLE = f"""
+    WITH vec AS MATERIALIZED ({{vec_cte}}),
+    rvec AS MATERIALIZED (
+      SELECT vec_id, q, norm FROM vec WHERE vec_id % 2 = 1 AND norm > 0),
+    lvec AS MATERIALIZED (
+      SELECT vec_id, q, norm FROM vec WHERE vec_id % 2 = 0 AND norm > 0),
+    kv AS (SELECT GREATEST({KNN_MIN_CELLS},
+             CAST(floor(sqrt(COUNT(*))) AS INTEGER)) AS k FROM rvec),
+    c0 AS MATERIALIZED (
+      SELECT CAST(rn - 1 AS INTEGER) AS cluster, q AS cq FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, q FROM rvec)
+      WHERE rn <= (SELECT k FROM kv)),
+    d1 AS (
+      SELECT v.vec_id, c.cluster,
+             v.norm + CAST(list_dot_product(c.cq, c.cq) AS BIGINT)
+                    - 2 * CAST(list_dot_product(v.q, c.cq) AS BIGINT) AS d2
+      FROM rvec v CROSS JOIN c0 c),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM d1) WHERE rn = 1),
+    u1 AS (
+      SELECT a.cluster, p.pos, SUM(v.q[p.pos]) AS sx, COUNT(*) AS n
+      FROM a1 a JOIN rvec v USING (vec_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, {{dim}})) AS pos) p
+      GROUP BY a.cluster, p.pos),
+    r1 AS (
+      SELECT cluster,
+             list(CASE WHEN sx >= 0 THEN (2 * sx + n) // (2 * n)
+                       ELSE -(((-2 * sx) + n) // (2 * n)) END
+                  ORDER BY pos) AS cq
+      FROM u1 GROUP BY cluster),
+    cent AS MATERIALIZED (
+      SELECT prev.cluster, COALESCE(r.cq, prev.cq) AS cq,
+             CAST(list_dot_product(COALESCE(r.cq, prev.cq),
+                                   COALESCE(r.cq, prev.cq)) AS BIGINT) AS cnorm
+      FROM c0 prev LEFT JOIN r1 r USING (cluster)),
+    db AS (
+      SELECT v.vec_id, c.cluster,
+             v.norm + c.cnorm - 2 * CAST(list_dot_product(v.q, c.cq) AS BIGINT) AS d2
+      FROM rvec v CROSS JOIN cent c),
+    bassign AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM db) WHERE rn = 1),
+    da AS (
+      SELECT v.vec_id, c.cluster,
+             v.norm + c.cnorm - 2 * CAST(list_dot_product(v.q, c.cq) AS BIGINT) AS d2
+      FROM lvec v CROSS JOIN cent c),
+    aprobe AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM da) WHERE rn <= {{n_probe}}),
+    cand AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.q, n.q) AS DOUBLE)
+               / sqrt(CAST(q.norm AS DOUBLE) * CAST(n.norm AS DOUBLE)) AS cos_sim
+      FROM aprobe a JOIN bassign b USING (cluster)
+      JOIN lvec q ON q.vec_id = a.vec_id
+      JOIN rvec n ON n.vec_id = b.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM cand)
+    WHERE rnk <= {{top_k}}
+    """
+
+
+@register(
+    "sim_knn_join",
+    oracle=_KNN_JOIN_ORACLE.format(
+        vec_cte=_vec_cte(), dim=DIM, n_probe=N_PROBE, top_k=TOP_K
+    ),
+    doc=f"Large x large k-NN join: exact top-{TOP_K} cosine neighbors "
+        "for EVERY vector of corpus A (even vec_ids) from corpus B "
+        "(odd vec_ids) within the probed IVF cells — the canonical "
+        "embedding-enrichment shape (nearest references for every "
+        "training example) that sim_topk_cosine's config-sized query "
+        "broadcast cannot express. Both sides are assigned to a "
+        "LEARNED quantizer's cells (k = floor(sqrt(|B|)) centroids, "
+        "one exact Lloyd step from B's first-k seeds; k grows with "
+        "the corpus so cells stay ~sqrt-sized), the left side probes "
+        f"its {N_PROBE} nearest cells, and candidates meet in an "
+        "equi-join on the cell key — co-partitioned, no cross-cell "
+        "explosion, total candidate volume O(|A| * nprobe * sqrt(|B|))"
+        " = n^1.5 vs the brute-force n^2. Scoring is a chunked Arrow "
+        "matmul per (cell, chunk) emitting LOCAL top-k, then one "
+        "associative global top-k window (bit-exact merge: float64 "
+        "cos values are identical across chunks and the tiebreak is "
+        "total). The oracle replays the identical quantizer training, "
+        "assignment, probe set and scoring in exact integer "
+        "arithmetic.",
+    tags=("similarity", "llm", "ann", "ivf", "knn-join", "pandas-udf"),
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_spark.plans import llm_similarity as _sim
+
+    emb = (
+        _quantized(spark, sf_dir)
+        .withColumn("norm", dot(F.col("q"), F.col("q")))
+        .filter(F.col("norm") > 0)
+        .select("vec_id", "q")
+    )
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right.persist()
+    try:
+        # sqrt-bounded driver state: k seed vectors and k x dim sums
+        # (inside _one_step_centroids) — grows as sqrt(corpus), i.e.
+        # ~30k rows at a billion vectors, never data-sized.
+        k = _knn_cells(right.count())
+        seed_rows = right.orderBy("vec_id").limit(k).collect()
+        seeds = [[float(x) for x in r["q"]] for r in seed_rows]
+        cents = _one_step_centroids(right, seeds=seeds)
+
+        b_assigned = _assign(right, cents).select("vec_id", "q", "cluster")
+        a_probes = _assign_topn(left, cents, N_PROBE)
+
+        # Per-cell chunking bounds task memory exactly as
+        # sim_nn_within_label: candidate chunks of <= NN_CELL_CHUNK
+        # vectors, queries replicated per chunk. The cell-count table
+        # is k rows (sqrt-bounded) — a legitimate broadcast.
+        chunk_size = _sim.NN_CELL_CHUNK
+        cells = (
+            b_assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("cell_n"))
+            .withColumn(
+                "n_chunks",
+                F.greatest(
+                    F.lit(1), F.ceil(F.col("cell_n") / chunk_size)
+                ).cast("int"),
+            )
+            .select("cluster", "n_chunks")
+        )
+        corpus = b_assigned.join(F.broadcast(cells), "cluster").select(
+            F.col("cluster").alias("c_cluster"),
+            F.pmod(F.xxhash64("vec_id"), F.col("n_chunks"))
+            .cast("int")
+            .alias("c_chunk_id"),
+            F.col("vec_id").alias("c_vec_id"),
+            F.col("q").alias("c_q"),
+        )
+        queries = a_probes.join(F.broadcast(cells), "cluster").select(
+            "cluster",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+                "chunk_id"
+            ),
+            "vec_id",
+            "q",
+        )
+
+        top_k = TOP_K
+
+        def topk_per_chunk(qpdf, cpdf):
+            import numpy as np
+            import pandas as pd
+
+            empty = pd.DataFrame(
+                columns=["query_id", "neighbor_id", "cos_sim"]
+            ).astype(
+                {
+                    "query_id": "int64",
+                    "neighbor_id": "int64",
+                    "cos_sim": "float64",
+                }
+            )
+            if len(qpdf) == 0 or len(cpdf) == 0:
+                return empty
+            # Candidates sorted by vec_id: a stable argsort of -cos
+            # then implements the neighbor_id-ascending tiebreak.
+            cpdf = cpdf.sort_values("c_vec_id").reset_index(drop=True)
+            C = np.vstack(cpdf["c_q"].to_numpy()).astype(np.float64)
+            c_ids = cpdf["c_vec_id"].to_numpy()
+            c_norm = np.einsum("ij,ij->i", C, C)
+            kk = min(top_k, len(cpdf))
+            out = []
+            BLOCK = 2048
+            for lo in range(0, len(qpdf), BLOCK):
+                blk = qpdf.iloc[lo : lo + BLOCK]
+                Q = np.vstack(blk["q"].to_numpy()).astype(np.float64)
+                q_ids = blk["vec_id"].to_numpy()
+                G = Q @ C.T  # exact integer-valued float64 products
+                cos = G / np.sqrt(
+                    np.outer(np.einsum("ij,ij->i", Q, Q), c_norm)
+                )
+                idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(q_ids, kk),
+                            "neighbor_id": c_ids[idx].ravel(),
+                            "cos_sim": np.take_along_axis(
+                                cos, idx, axis=1
+                            ).ravel(),
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+        local = (
+            queries.groupBy("cluster", "chunk_id")
+            .cogroup(corpus.groupBy("c_cluster", "c_chunk_id"))
+            .applyInPandas(
+                topk_per_chunk,
+                schema="query_id bigint, neighbor_id bigint, cos_sim double",
+            )
+        )
+        # Associative top-k merge: every chunk's local top-k is a
+        # superset of the global top-k members from that chunk under
+        # the SAME total order, so the global window is exact.
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            local.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= top_k)
+        )
+    finally:
+        right.unpersist()
+
+
 @register(
     "dedup_semantic_cluster",
     oracle=f"""{_trained_ctes()}
