@@ -148,6 +148,51 @@ def snapshot_latest_stream(runs: DataFrame) -> DataFrame:
     )
 
 
+def run_snapshot_stream_to_table(
+    spark: SparkSession,
+    workflows_dir: pathlib.Path,
+    checkpoint_dir: pathlib.Path,
+    table_path: pathlib.Path,
+    max_files_per_trigger: int = 4,
+) -> None:
+    """PRODUCTION sink: drain the raw zone and maintain the snapshot
+    as a bucket-partitioned parquet table — each micro-batch's
+    update-mode emissions are MERGED into the table inside
+    foreachBatch (etl/merge.py: upsert on (repo_dir, file_id), newest
+    extract_ts wins, touching only the bucket partitions the batch
+    lands in). Nothing is ever collected to the driver; per-batch
+    sink cost is O(|batch| + |touched buckets|).
+
+    Exactly-once table state from foreachBatch's at-least-once
+    contract: emissions are deterministic and ``latest_wins_merge``
+    replays are no-ops, so a batch re-delivered after a crash-between-
+    write-and-commit merges to the identical table (fenced by the
+    redelivery test). Read the result with merge.read_snapshot_table.
+    """
+    from etl_spark.etl.merge import (
+        init_snapshot_table,
+        merge_into_snapshot_table,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if (pathlib.Path(table_path) / "_SUCCESS").exists():
+            merge_into_snapshot_table(spark, table_path, batch_df)
+        else:
+            init_snapshot_table(batch_df, table_path)
+
+    q = (
+        snapshot_latest_stream(
+            stream_workflow_runs(spark, workflows_dir, max_files_per_trigger)
+        )
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_snapshot_stream(
     spark: SparkSession,
     workflows_dir: pathlib.Path,
@@ -158,7 +203,12 @@ def run_snapshot_stream(
     final snapshot: {(repo_dir, file_id): record}. foreachBatch
     collects update-mode emissions in batch order, so the last
     emission per key is the winner — the same row the batch
-    snapshot_records computes from a full re-read."""
+    snapshot_records computes from a full re-read.
+
+    TEST HARNESS ONLY: the driver-side collect is fine for the
+    handful-of-rows parity fixtures but is exactly the shape that
+    dies at scale — production uses run_snapshot_stream_to_table's
+    keyed parquet upsert instead."""
     emissions: list[tuple[int, list[dict]]] = []
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

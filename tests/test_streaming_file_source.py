@@ -92,3 +92,73 @@ def test_stream_is_incremental_across_restarts(spark, tmp_path):
         for r in snapshot_records(spark, zone).collect()
     }
     assert merged == want
+
+
+# --------------------------------------------------------------------------
+# Production sink: the snapshot maintained as a parquet TABLE by a
+# keyed upsert in foreachBatch — parity asserted against the FILES,
+# not driver state.
+# --------------------------------------------------------------------------
+
+
+def _read_table(spark, table):
+    from etl_spark.etl.merge import read_snapshot_table
+
+    return {
+        (r["repo_dir"], r["file_id"]): r.asDict()
+        for r in read_snapshot_table(spark, table).collect()
+    }
+
+
+def test_table_sink_matches_batch_on_overlap_golden(spark, tmp_path):
+    from etl_spark.streaming.file_source import run_snapshot_stream_to_table
+
+    zone = tmp_path / "zone"
+    table = tmp_path / "snapshot_table"
+    _golden_zone(zone)
+    # maxFilesPerTrigger=1 -> multiple micro-batches, so later batches
+    # genuinely MERGE over earlier batches' table writes.
+    run_snapshot_stream_to_table(
+        spark, zone, tmp_path / "ckpt", table, max_files_per_trigger=1
+    )
+    got = _read_table(spark, table)
+    want = {
+        (r["repo_dir"], r["file_id"]): r.asDict()
+        for r in snapshot_records(spark, zone).collect()
+    }
+    assert {k: {c: v for c, v in r.items()} for k, r in got.items()} == {
+        k: {c: v for c, v in r.items()} for k, r in want.items()
+    }
+    assert got[("repo_1", "2")]["status"] == "completed"
+    assert got[("repo_1", "2")]["extract_ts"] == "20250102-000000Z"
+
+
+def test_table_sink_incremental_restart_and_full_replay(spark, tmp_path):
+    from etl_spark.streaming.file_source import run_snapshot_stream_to_table
+
+    zone = tmp_path / "zone"
+    ckpt = tmp_path / "ckpt"
+    table = tmp_path / "snapshot_table"
+    old = "20250101-000000Z"
+    write_run(zone, "repo_1", old, make_run(1, "repo_1", status="running"))
+    run_snapshot_stream_to_table(spark, zone, ckpt, table)
+    assert _read_table(spark, table)[("repo_1", "1")]["status"] == "running"
+
+    # Restart with new data: only new files processed, table converges.
+    new = "20250103-000000Z"
+    write_run(zone, "repo_1", new, make_run(1, "repo_1"))
+    run_snapshot_stream_to_table(spark, zone, ckpt, table)
+    after = _read_table(spark, table)
+    assert after[("repo_1", "1")]["status"] == "completed"
+    assert after[("repo_1", "1")]["extract_ts"] == new
+    want = {
+        (r["repo_dir"], r["file_id"]): r.asDict()
+        for r in snapshot_records(spark, zone).collect()
+    }
+    assert after == want
+
+    # Redelivery fence: a FRESH checkpoint replays every file from
+    # scratch against the already-maintained table — at-least-once
+    # delivery into the idempotent upsert must leave it unchanged.
+    run_snapshot_stream_to_table(spark, zone, tmp_path / "ckpt2", table)
+    assert _read_table(spark, table) == after
