@@ -81,6 +81,18 @@ def sniff_mime(payload: bytes) -> str:
     # 31. Heuristic — the decode branch therefore verifies by
     # actually inflating and falls back on zlib.error rather than
     # trusting the sniff.
+    # PNG: 8-byte signature is a true magic; additionally require the
+    # shape decode_png parses (IHDR first chunk, 8-bit grayscale,
+    # deflate, filter method 0, non-interlaced) — sniff and decoder
+    # must agree on supported shapes (the BMP lesson): a valid-but-
+    # unsupported PNG (16-bit, RGBA, Adam7) falls to byte-math.
+    if (
+        len(payload) >= 33
+        and payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and payload[8:16] == b"\x00\x00\x00\x0dIHDR"
+        and payload[24:29] == bytes((8, 0, 0, 0, 0))
+    ):
+        return "image/png"
     if len(payload) >= 2 and (payload[0] & 0x0F) == 0x08 and (
         payload[0] >> 4
     ) <= 7 and ((payload[0] << 8 | payload[1]) % 31 == 0):
@@ -135,6 +147,8 @@ def decode_payload(payload: bytes) -> dict:
             }
     if mime == "image/bmp":
         return decode_bmp(payload)
+    if mime == "image/png":
+        return decode_png(payload)
     if mime == "application/zlib":
         try:
             raw = zlib.decompress(payload)
@@ -625,6 +639,162 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick the neighbor (left,
+    up, up-left) closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def build_png(gray: bytes, width: int = BMP_WIDTH) -> bytes:
+    """Encode a grayscale byte grid as a REAL PNG (signature, IHDR,
+    one zlib IDAT, IEND, all CRCs) — 8-bit grayscale, top-down rows,
+    trailing partial row dropped (the BMP fixture contract). Row y is
+    filtered with type y % 5, so every decoder filter branch (None/
+    Sub/Up/Average/Paeth) is load-bearing on every image taller than
+    4 rows — a filter-reconstruction bug cannot hide."""
+    height = len(gray) // width
+    if height == 0:
+        raise ValueError(
+            f"need at least {width} gray bytes for one row, got {len(gray)}"
+        )
+    gray = gray[: width * height]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        row = gray[y * width : (y + 1) * width]
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[x] - (row[x - 1] if x else 0)) & 0xFF
+                for x in range(width)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(width))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[x] - ((row[x - 1] if x else 0) + prev[x]) // 2) & 0xFF
+                for x in range(width)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[x]
+                    - _paeth(
+                        row[x - 1] if x else 0,
+                        prev[x],
+                        prev[x - 1] if x else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(width)
+            )
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Chunk walk + zlib inflate + per-row filter reconstruction for
+    an 8-bit grayscale non-interlaced PNG: (width, height, top-down
+    row-major gray bytes). CRCs are verified — a corrupt payload that
+    carries the true PNG magic fails LOUDLY, like the WAV branch."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = b""
+    w = h = None
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if crc != zlib.crc32(tag + data):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, fm, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, fm, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={ctype} "
+                    f"interlace={interlace}"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    if len(raw) != stride * h:
+        raise ValueError("PNG scanline data size mismatch")
+    gray = bytearray(w * h)
+    prev = bytes(w)
+    for y in range(h):
+        ft = raw[y * stride]
+        line = raw[y * stride + 1 : (y + 1) * stride]
+        rec = bytearray(w)
+        for x in range(w):
+            a = rec[x - 1] if x else 0
+            b = prev[x]
+            if ft == 0:
+                v = line[x]
+            elif ft == 1:
+                v = line[x] + a
+            elif ft == 2:
+                v = line[x] + b
+            elif ft == 3:
+                v = line[x] + (a + b) // 2
+            elif ft == 4:
+                v = line[x] + _paeth(a, b, prev[x - 1] if x else 0)
+            else:
+                raise ValueError(f"bad PNG filter type {ft}")
+            rec[x] = v & 0xFF
+        gray[y * w : (y + 1) * w] = rec
+        prev = bytes(rec)
+    return w, h, bytes(gray)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode summary for an 8-bit grayscale PNG — the compressed-
+    raster sibling of decode_bmp: the gray samples ARE the luminance,
+    so the summary matches decode_bmp's for the same pixel grid."""
+    w, h, gray = png_gray(payload)
+    return {
+        "mime": "image/png",
+        "width": w,
+        "height": h,
+        "bpp": 8,
+        "n_pixels": w * h,
+        "luma_sum": sum(gray),
+        "luma_md5": hashlib.md5(gray).hexdigest(),
+    }
+
+
 def with_bmp_payload(docs: DataFrame, src: str = "text") -> DataFrame:
     """Fixture builder: attach a REAL 24-bit BMP whose gray pixel grid
     is the document's utf-8 bytes, BMP_WIDTH pixels per row (trailing
@@ -675,22 +845,166 @@ def with_bmp_payload(docs: DataFrame, src: str = "text") -> DataFrame:
     )
 
 
+def with_png_payload(docs: DataFrame, src: str = "text") -> DataFrame:
+    """Fixture builder: attach a REAL 8-bit grayscale PNG whose pixel
+    grid is the document's utf-8 bytes, BMP_WIDTH pixels per row
+    (same grid contract as with_bmp_payload, so the two containers
+    hold the SAME image). Narrow Arrow map; requires
+    ``length(src) >= BMP_WIDTH`` upstream."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        _W = BMP_WIDTH
+
+        def _png(gray: bytes) -> bytes:
+            # Self-contained twin of build_png (workers can't import
+            # etl_spark); tests pin driver-vs-worker byte parity.
+            h = len(gray) // _W
+            gray = gray[: _W * h]
+
+            def _ck(tag, data):
+                return (
+                    _struct.pack(">I", len(data)) + tag + data
+                    + _struct.pack(">I", _zlib.crc32(tag + data))
+                )
+
+            def _pth(a, b, c):
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+            raw = bytearray()
+            prev = bytes(_W)
+            for y in range(h):
+                row = gray[y * _W : (y + 1) * _W]
+                ft = y % 5
+                raw.append(ft)
+                for x in range(_W):
+                    left = row[x - 1] if x else 0
+                    if ft == 0:
+                        v = row[x]
+                    elif ft == 1:
+                        v = row[x] - left
+                    elif ft == 2:
+                        v = row[x] - prev[x]
+                    elif ft == 3:
+                        v = row[x] - (left + prev[x]) // 2
+                    else:
+                        v = row[x] - _pth(left, prev[x], prev[x - 1] if x else 0)
+                    raw.append(v & 0xFF)
+                prev = row
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _ck(b"IHDR", _struct.pack(">IIBBBBB", _W, h, 8, 0, 0, 0, 0))
+                + _ck(b"IDAT", _zlib.compress(bytes(raw)))
+                + _ck(b"IEND", b"")
+            )
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        _png(t.encode("utf-8")) for t in pdf[src]
+                    ],
+                }
+            )
+
+    return (
+        docs.select("doc_id", src)
+        .where(F.col(src).isNotNull())
+        .mapInPandas(batches, schema="doc_id bigint, payload binary")
+    )
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """REAL image decode stage: payloads are genuine BMP containers
-    (see ``build_bmp``), parsed on the workers by a pure-struct
-    header walk — bottom-up row un-flip, padding strip, integer luma.
+    """REAL image decode stage: payloads are genuine raster containers
+    — uncompressed 24-bit BMP (``build_bmp``) or 8-bit grayscale PNG
+    (``build_png``) — dispatched on magic bytes and parsed on the
+    workers: struct header walk + un-flip + integer luma for BMP;
+    chunk walk + zlib inflate + per-row filter reconstruction for PNG.
     Narrow map, Arrow batch in/out; the exact stage shape a
-    PIL-backed pipeline has, with the one raster codec the stdlib
+    PIL-backed pipeline has, with the two raster codecs the stdlib
     can express in the decode slot."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
         import struct as _struct
+        import zlib as _zlib
 
         import numpy as _np
         import pandas as _pd
 
+        def _png_gray(payload: bytes) -> tuple:
+            # Self-contained twin of png_gray (workers can't import
+            # etl_spark): chunk walk, inflate, unfilter. Filter
+            # reconstruction is sequential within a row by definition
+            # (Sub/Average/Paeth read the just-reconstructed left
+            # neighbor), so this is a per-pixel loop — rows are
+            # BMP_WIDTH wide, bounded per doc.
+            pos = 8
+            idat = b""
+            w = h = None
+            while pos + 8 <= len(payload):
+                ln, tag = _struct.unpack_from(">I4s", payload, pos)
+                data = payload[pos + 8 : pos + 8 + ln]
+                if tag == b"IHDR":
+                    w, h = _struct.unpack(">II", data[:8])
+                elif tag == b"IDAT":
+                    idat += data
+                elif tag == b"IEND":
+                    break
+                pos += 12 + ln
+            raw = _zlib.decompress(idat)
+            stride = w + 1
+            gray = bytearray(w * h)
+            prev = bytes(w)
+            for y in range(h):
+                ft = raw[y * stride]
+                line = raw[y * stride + 1 : (y + 1) * stride]
+                rec = bytearray(w)
+                for x in range(w):
+                    a = rec[x - 1] if x else 0
+                    b = prev[x]
+                    if ft == 0:
+                        v = line[x]
+                    elif ft == 1:
+                        v = line[x] + a
+                    elif ft == 2:
+                        v = line[x] + b
+                    elif ft == 3:
+                        v = line[x] + (a + b) // 2
+                    else:
+                        c = prev[x - 1] if x else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        v = line[x] + (
+                            a
+                            if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else c)
+                        )
+                    rec[x] = v & 0xFF
+                gray[y * w : (y + 1) * w] = rec
+                prev = bytes(rec)
+            return w, h, bytes(gray)
+
         def _decode(payload: bytes) -> tuple:
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                w, h, gray = _png_gray(payload)
+                arr = _np.frombuffer(gray, dtype=_np.uint8)
+                return (
+                    "image/png",
+                    w,
+                    h,
+                    8,
+                    w * h,
+                    int(arr.astype(_np.int64).sum()),
+                    _hashlib.md5(gray).hexdigest(),
+                )
             # Self-contained twin of decode_bmp, vectorized with
             # numpy (rows decode as a (h, row_size) uint8 matrix; the
             # BGR->luma dot product and the bottom-up flip are array
@@ -715,6 +1029,7 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             ) // 1000
             luma_bytes = luma.astype(_np.uint8).tobytes()
             return (
+                "image/bmp",
                 w,
                 h,
                 bpp,
@@ -726,8 +1041,8 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                w, h, bpp, npx, lsum, lmd5 = _decode(bytes(payload))
-                rows.append((doc_id, "image/bmp", w, h, bpp, npx, lsum, lmd5))
+                mime, w, h, bpp, npx, lsum, lmd5 = _decode(bytes(payload))
+                rows.append((doc_id, mime, w, h, bpp, npx, lsum, lmd5))
             yield _pd.DataFrame(
                 rows,
                 columns=[
@@ -813,6 +1128,7 @@ def perceptual_hash(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
+        import zlib as _zlib
 
         import numpy as _np
         import pandas as _pd
@@ -820,9 +1136,60 @@ def perceptual_hash(
         _BITS = 1 << _np.arange(_SEG, dtype=_np.int64)
 
         def _luma(payload: bytes) -> "_np.ndarray":
-            # Inline BMP parse (decode_image's twin; closures stay
+            # Inline raster parse (decode_image's twin; closures stay
             # self-contained for workers): top-down luminance grid,
             # flattened row-major — the array the fingerprint sees.
+            # Dispatch on magic: PNG (chunk walk + inflate + per-row
+            # unfilter; gray IS luma) or BMP (header walk + un-flip +
+            # integer luma) — so the fingerprint is container-blind.
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                pos, idat, w, h = 8, b"", None, None
+                while pos + 8 <= len(payload):
+                    ln, tag = _struct.unpack_from(">I4s", payload, pos)
+                    data = payload[pos + 8 : pos + 8 + ln]
+                    if tag == b"IHDR":
+                        w, h = _struct.unpack(">II", data[:8])
+                    elif tag == b"IDAT":
+                        idat += data
+                    elif tag == b"IEND":
+                        break
+                    pos += 12 + ln
+                raw = _zlib.decompress(idat)
+                stride = w + 1
+                gray = bytearray(w * h)
+                prev = bytes(w)
+                for y in range(h):
+                    ft = raw[y * stride]
+                    line = raw[y * stride + 1 : (y + 1) * stride]
+                    rec = bytearray(w)
+                    for x in range(w):
+                        a = rec[x - 1] if x else 0
+                        b = prev[x]
+                        if ft == 0:
+                            v = line[x]
+                        elif ft == 1:
+                            v = line[x] + a
+                        elif ft == 2:
+                            v = line[x] + b
+                        elif ft == 3:
+                            v = line[x] + (a + b) // 2
+                        else:
+                            c = prev[x - 1] if x else 0
+                            p = a + b - c
+                            pa, pb, pc = (
+                                abs(p - a), abs(p - b), abs(p - c),
+                            )
+                            v = line[x] + (
+                                a
+                                if (pa <= pb and pa <= pc)
+                                else (b if pb <= pc else c)
+                            )
+                        rec[x] = v & 0xFF
+                    gray[y * w : (y + 1) * w] = rec
+                    prev = bytes(rec)
+                return _np.frombuffer(bytes(gray), dtype=_np.uint8).astype(
+                    _np.int64
+                )
             offset = _struct.unpack_from("<I", payload, 10)[0]
             (_ds, w, h, _p, _bpp, _c) = _struct.unpack_from(
                 "<IiiHHI", payload, 14

@@ -877,6 +877,95 @@ def mm_phash_pixels_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phash_band_pairs(hashed)
 
 
+# PNG decode summary: same pixel grid contract as BMP (text bytes,
+# BMP_WIDTH per row, trailing partial row dropped), different
+# container — compressed (zlib IDAT) + per-row filtered instead of
+# uncompressed bottom-up BGR. Gray samples ARE the luminance, so only
+# mime and bpp differ from the BMP oracle.
+_PNG_DECODE_ORACLE = _BMP_DECODE_ORACLE.replace(
+    "'image/bmp' AS mime", "'image/png' AS mime"
+).replace("24 AS bpp", "8 AS bpp")
+assert _PNG_DECODE_ORACLE != _BMP_DECODE_ORACLE  # replace anchored
+
+
+@register(
+    "mm_decode_png",
+    oracle=_PNG_DECODE_ORACLE.format(ascii_docs=_ASCII_DOCS_SQL),
+    doc="REAL compressed-raster decode round-trip, stdlib-only — the "
+        "PNG sibling of mm_decode_bmp: each document's bytes are "
+        "encoded as a genuine 8-bit grayscale PNG (signature, IHDR, "
+        "zlib IDAT, IEND, verified CRCs; row y filtered with type "
+        "y % 5 so every filter branch None/Sub/Up/Average/Paeth is "
+        "load-bearing — operators/media.py build_png; any viewer "
+        "opens it) and decoded back on the workers by a chunk walk + "
+        "zlib inflate + per-row filter reconstruction (decode_image "
+        "dispatches on magic bytes). Where BMP exercised the raster "
+        "half of a real image pipeline (header geometry, row order, "
+        "padding), PNG exercises the compressed half (entropy coding "
+        "+ predictive filters). The oracle replays the decode from "
+        "text alone because 8-bit gray samples make luma the "
+        "identity — an unfilter bug in ANY of the five branches "
+        "hash-mismatches, because every branch reconstructs rows of "
+        "every image taller than 4 rows. Narrow Arrow map; payload "
+        "bytes never shuffle. (The reference ships no media surface; "
+        "SURVEY.md north-star multimodal family.)",
+    tags=("multimodal", "llm", "decode", "pandas-udf"),
+)
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.media import decode_image, with_png_payload
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(_ASCII_DOCS)
+        .where(F.length("text") >= BMP_WIDTH)
+    )
+    return decode_image(with_png_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "mm_phash_png_pixels_neardup",
+    oracle=_PHASH_PIXELS_ORACLE.format(
+        ascii_docs=_ASCII_DOCS_SQL, **_PHASH_FMT
+    ),
+    doc="Perceptual-hash near-dup over pixel grids decoded from PNG "
+        "containers — mm_phash_pixels_neardup with the payload swapped "
+        "from uncompressed BMP to zlib-compressed, per-row-filtered "
+        "PNG. The fingerprint stage dispatches on magic bytes and "
+        "reconstructs the SAME top-down luminance grid from either "
+        "container, so this query's oracle is BYTE-IDENTICAL to the "
+        "BMP variant's — container-blindness is the contract: the "
+        "same image re-containerized must band, pair and Hamming-"
+        "confirm identically (tests/test_png_decode.py asserts "
+        "fingerprint equality row-by-row across the two containers). "
+        "Exact-dup collapse keys on the pixel grid before encoding; "
+        "banding, SMJ pair join and Hamming confirm reuse "
+        "_phash_band_pairs unchanged.",
+    tags=("multimodal", "llm", "dedup", "neardup", "decode",
+          "pandas-udf"),
+)
+def mm_phash_png_pixels_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_spark.operators.media import perceptual_hash, with_png_payload
+
+    px = F.expr(
+        f"substring(text, 1, "
+        f"CAST((length(text) div {BMP_WIDTH}) * {BMP_WIDTH} AS INT))"
+    )
+    reps = (
+        load(spark, sf_dir, "documents")
+        .where(_ASCII_DOCS)
+        .where(F.length("text") >= _PIXEL_PHASH_MIN_LEN)
+        .select("doc_id", px.alias("text"))
+        .groupBy(F.md5("text").alias("pixel_md5"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+    )
+    hashed = perceptual_hash(
+        with_png_payload(reps), noisy_variant=True, pixel_decode=True
+    )
+    return _phash_band_pairs(hashed)
+
+
 _PHASH_GATE_ORACLE = """
     WITH side AS (
       -- arriving slice: every doc individually (each needs a verdict);
