@@ -545,6 +545,98 @@ def with_wav_payload(docs: DataFrame, pcm_from: str = "text") -> DataFrame:
     )
 
 
+# Analysis frame length for audio feature extraction: 160 samples =
+# 20 ms at the 8 kHz fixture rate — the standard speech frame. The
+# trailing partial frame is KEPT (real feature extractors emit it
+# with its true length; energy normalizes by frame_n, not FRAME).
+AUDIO_FRAME = 160
+
+
+def frame_audio_energy(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Frame-level audio feature extraction: decode each WAV payload
+    (stdlib ``wave``), split the 8-bit PCM into AUDIO_FRAME-sample
+    analysis frames, and emit per-frame energy features — the stage a
+    torchaudio/librosa pipeline runs between decode and model:
+
+      frame_n   samples in the frame (trailing frame may be short)
+      frame_sum sum of centered samples  (s - 128; 8-bit midpoint)
+      frame_sq  sum of squared centered samples
+      rms       sqrt(frame_sq / frame_n)
+
+    frame_sum / frame_sq are EXACT integers so downstream thresholds
+    (the voice-activity flag in mm_audio_frame_energy) can be integer
+    cross-multiplies instead of float comparisons; rms is a single
+    correctly-rounded divide + sqrt of those integers, bit-identical
+    across engines. Narrow Arrow map; the payload never shuffles —
+    only the 5-column feature rows continue. Per-frame math is a
+    numpy reshape + einsum over the whole clip, not a Python loop
+    per frame."""
+    _FRAME = AUDIO_FRAME  # captured by value; workers can't import us
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+        import pandas as _pd
+
+        cols = ["doc_id", "frame_idx", "frame_n", "frame_sum", "frame_sq"]
+
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                with _wave.open(_io.BytesIO(bytes(payload)), "rb") as w:
+                    pcm = w.readframes(w.getnframes())
+                n = len(pcm)
+                if n == 0:
+                    continue
+                s = _np.frombuffer(pcm, dtype=_np.uint8).astype(_np.int64) - 128
+                n_frames = -(-n // _FRAME)
+                padded = _np.zeros(n_frames * _FRAME, dtype=_np.int64)
+                padded[:n] = s  # zero-pad: pads add 0 to sum and sq
+                grid = padded.reshape(n_frames, _FRAME)
+                fsum = grid.sum(axis=1)
+                fsq = _np.einsum("ij,ij->i", grid, grid)
+                fn = _np.full(n_frames, _FRAME, dtype=_np.int64)
+                fn[-1] = n - (n_frames - 1) * _FRAME
+                out.append(
+                    _pd.DataFrame(
+                        {
+                            "doc_id": _np.full(n_frames, doc_id, dtype=_np.int64),
+                            "frame_idx": _np.arange(n_frames, dtype=_np.int32),
+                            "frame_n": fn.astype(_np.int32),
+                            "frame_sum": fsum,
+                            "frame_sq": fsq,
+                        }
+                    )
+                )
+            yield (
+                _pd.concat(out, ignore_index=True)
+                if out
+                else _pd.DataFrame(columns=cols).astype(
+                    {
+                        "doc_id": "int64",
+                        "frame_idx": "int32",
+                        "frame_n": "int32",
+                        "frame_sum": "int64",
+                        "frame_sq": "int64",
+                    }
+                )
+            )
+
+    frames = df.mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, frame_idx int, frame_n int, "
+            "frame_sum bigint, frame_sq bigint"
+        ),
+    )
+    return frames.withColumn(
+        "rms",
+        F.sqrt(F.col("frame_sq").cast("double") / F.col("frame_n")),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BMP: REAL uncompressed 24-bit bitmap encode/parse, stdlib-only
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from etl_spark.io import load, register_views
 from etl_spark.operators.media import (
+    AUDIO_FRAME,
     BMP_WIDTH,
     FRAME_BYTES,
     FRAME_SAMPLE_EVERY,
@@ -443,6 +444,103 @@ def mm_decode_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return decode_deflate(with_deflate_payload(docs))
 
+
+# Frame-level audio features. The oracle replays the whole stage from
+# text because the WAV PCM IS the utf-8 bytes: centered samples are
+# ord(ch) - 128, frames are 1-based substring windows, and the
+# activity threshold is an exact integer cross-multiply — no float
+# aggregation ever crosses engines (frame rms is a unary
+# divide + sqrt of exact integers, bit-identical in IEEE double).
+_AUDIO_FRAME_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE {ascii_docs} AND length(text) > 0
+    ),
+    fr AS (
+      SELECT doc_id, n, f.f AS frame_idx,
+             CASE WHEN (f.f + 1) * {frame} <= n THEN {frame}
+                  ELSE n - f.f * {frame} END AS frame_n,
+             list_transform(
+               generate_series(f.f * {frame} + 1,
+                               LEAST((f.f + 1) * {frame}, n)),
+               i -> ord(text[i]) - 128) AS vals
+      FROM d, UNNEST(generate_series(0, (n + {frame} - 1) // {frame} - 1))
+               AS f(f)
+    ),
+    agg AS (
+      SELECT doc_id, frame_idx, frame_n,
+             CAST(list_sum(vals) AS BIGINT) AS frame_sum,
+             CAST(list_sum(list_transform(vals, v -> v * v)) AS BIGINT)
+               AS frame_sq
+      FROM fr
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(frame_sq) AS BIGINT) AS tot_sq,
+             CAST(SUM(frame_n) AS BIGINT) AS tot_n
+      FROM agg GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(a.frame_idx AS INTEGER) AS frame_idx,
+           CAST(a.frame_n AS INTEGER) AS frame_n,
+           a.frame_sum, a.frame_sq,
+           sqrt(CAST(a.frame_sq AS DOUBLE) / a.frame_n) AS rms,
+           a.frame_sq * t.tot_n > t.tot_sq * a.frame_n AS active
+    FROM agg a JOIN tot t USING (doc_id)
+    ORDER BY a.doc_id, a.frame_idx
+"""
+
+
+@register(
+    "mm_audio_frame_energy",
+    oracle=_AUDIO_FRAME_ORACLE.format(
+        ascii_docs=_ASCII_DOCS_SQL, frame=AUDIO_FRAME
+    ),
+    doc="Frame-level audio feature extraction + energy-based activity "
+        "detection — the stage between decode and model in a real "
+        "speech pipeline (librosa.feature / torchaudio transforms): "
+        "each genuine WAV payload is decoded by the stdlib wave codec "
+        "on the workers, its 8-bit PCM split into 160-sample (20 ms "
+        "at 8 kHz) analysis frames (trailing partial frame kept with "
+        "its true length), and per-frame centered energy computed as "
+        "a numpy reshape+einsum (operators/media.py "
+        "frame_audio_energy). A frame is ACTIVE when its mean square "
+        "exceeds the whole clip's mean square — the classic energy "
+        "VAD gate — decided by an exact integer cross-multiply "
+        "(frame_sq * tot_n > tot_sq * frame_n), never a float "
+        "compare, so the verdict is bit-stable across engines. Spark "
+        "shape: narrow Arrow decode map (payload never shuffles), "
+        "then ONE shuffle — the per-doc window that sums exact "
+        "integer energies. The oracle replays frames, energies and "
+        "the VAD verdict from text because the PCM is the utf-8 "
+        "bytes by construction.",
+    tags=("multimodal", "llm", "audio", "pandas-udf", "window"),
+)
+def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_spark.operators.media import frame_audio_energy, with_wav_payload
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(_ASCII_DOCS)
+        .where(F.length("text") > 0)
+    )
+    frames = frame_audio_energy(with_wav_payload(docs))
+    w = Window.partitionBy("doc_id")
+    return (
+        frames.withColumn("tot_sq", F.sum("frame_sq").over(w))
+        .withColumn("tot_n", F.sum(F.col("frame_n").cast("bigint")).over(w))
+        .withColumn(
+            "active",
+            F.col("frame_sq") * F.col("tot_n")
+            > F.col("tot_sq") * F.col("frame_n"),
+        )
+        .select(
+            "doc_id", "frame_idx", "frame_n", "frame_sum", "frame_sq",
+            "rms", "active",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
 
 
 # ---------------------------------------------------------------------------
