@@ -796,7 +796,7 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
-    # Min-label propagation to fixpoint labels each vertex with the
+    # Star contraction to fixpoint labels each vertex with the
     # MINIMUM id reachable from it — exactly MIN over the recursive
     # transitive closure, which DuckDB's WITH RECURSIVE (set-semantics
     # UNION, so it terminates) expresses directly over the same LSH
@@ -829,8 +829,8 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
     """.format(lsh_pairs=REGISTRY["dedup_minhash_lsh"].oracle),
-    doc="Dup clusters: connected components (iterative min-label "
-        "propagation, operators/graph.py) over the union of the "
+    doc="Dup clusters: connected components (alternating large-star/"
+        "small-star contraction, operators/graph.py) over the union of the "
         "MinHash-LSH candidate pairs (near-dup edges between exact-dup "
         "REPRESENTATIVES) and the exact-dup doc→canonical edges — the "
         "step that turns pairwise matches into canonical groups a "

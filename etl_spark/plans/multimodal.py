@@ -799,11 +799,13 @@ _PHASH_CLUSTERS_ORACLE = """
         "touching a noisy-variant id witnesses the same relation for "
         "its rep), exact payload copies attach to their canonical rep "
         "by one edge per copy (linear, the dedup_clusters shape), and "
-        "connected components (iterative min-label propagation, "
-        "operators/graph.py — DISK_ONLY-checkpointed, one join+groupBy "
-        "per round) label every qualifying document with its cluster's "
-        "minimum doc_id — the id a keep-one policy keeps. Dense "
-        "variant cliques converge in ~2 rounds (diameter ~2). Oracle: "
+        "connected components (alternating large-star/small-star "
+        "contraction, operators/graph.py — DISK_ONLY-checkpointed, "
+        "edge-set fixpoint + star-forest check) label every "
+        "qualifying document with its cluster's minimum doc_id — the "
+        "id a keep-one policy keeps. Large-star collapses a k-clique "
+        "to a star in round 1, so later rounds shuffle the CONTRACTED "
+        "edge set (2.8x measured on the sf10p clique field). Oracle: "
         "recursive reachability closure + MIN over the same pair SQL, "
         "exactly as dedup_clusters pairs with dedup_minhash_lsh.",
     tags=("multimodal", "llm", "dedup", "graph"),

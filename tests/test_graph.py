@@ -75,7 +75,7 @@ _vertex = st.integers(min_value=0, max_value=25)
 def test_connected_components_matches_union_find_on_random_graphs(
     spark, edge_list
 ):
-    """Min-label propagation must agree with a sequential union-find on
+    """Star-contraction CC must agree with a sequential union-find on
     arbitrary graphs — self-loops, duplicate and reversed edges, chains
     whose diameter approaches the iteration cap, isolated vertices."""
     vertex_ids = sorted({v for e in edge_list for v in e} | {77})  # 77 isolated

@@ -152,10 +152,35 @@ AUDIT = [
     ("mm_phash_clusters",
      "linear-output canonical assignment over the phash pair graph: "
      "the same SMJ-pinned band join feeds variant->rep projected "
-     "edges plus one exact-dup edge per copy into iterative "
-     "min-label propagation (localCheckpoint per round, one "
-     "join+groupBy per iteration) — output one row per doc, no "
-     "cartesian, payloads never shuffle"),
+     "edges plus one exact-dup edge per copy into large-star/"
+     "small-star contraction (localCheckpoint per round; round 1 "
+     "collapses each clique to a star, later rounds shuffle the "
+     "CONTRACTED edge set) — output one row per doc, no cartesian, "
+     "payloads never shuffle"),
+    ("sim_knn_join",
+     "large x large k-NN join: both corpora cell-assigned by "
+     "MapInPandas scans (centroids ride the closure), candidates "
+     "meet in a cogrouped (cell, chunk) equi-join scored by a "
+     "blocked Arrow matmul emitting LOCAL top-k; the only broadcast "
+     "is the sqrt-sized cell-count table; final top-k window "
+     "partitioned by query_id — no cartesian, raw corpus never "
+     "broadcast"),
+    ("events_snapshot_merge",
+     "incremental snapshot MERGE: snapshot and batch each reduced by "
+     "a key-PARTITIONED window, merged by one more keyed window — "
+     "every Window carries (user_id, event_type); no unpartitioned "
+     "window, no join of snapshot against batch (union + window is "
+     "the upsert)"),
+    ("mm_decode_png",
+     "compressed-raster decode (chunk walk + zlib inflate + per-row "
+     "unfilter): encode fixture and decode are two chained Arrow "
+     "mapInPandas stages; payload bytes NEVER cross an Exchange"),
+    ("mm_audio_frame_energy",
+     "frame-level audio features: WAV decode + framing + exact "
+     "integer energies in ONE Arrow stage (payloads stop there); "
+     "the single Exchange feeds the per-doc window that sums "
+     "integer energies for the VAD cross-multiply — no float "
+     "aggregate, no unpartitioned window"),
     ("sim_ivfpq_rerank",
      "IVF-PQ + exact refine: the ADC shortlist pipeline unchanged, "
      "then the config-sized (queries x R) shortlist joins the corpus "
