@@ -72,6 +72,10 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "k x dim centroid table, config-sized",
     ("plans/ml.py", "sim_ivf_kmeans_probe", "probes"):
         "IVF probe list: N_QUERIES x N_PROBE rows, config-sized",
+    ("plans/ml.py", "sim_knn_join", "cells"):
+        "per-cell chunk counts: k = floor(sqrt(|B|)) rows of two ints "
+        "— sqrt-bounded (~30k rows at a billion vectors), never "
+        "data-sized",
     ("plans/relational.py", "join_broadcast_geo_rollup", "region"):
         "region: constant 5 rows",
     ("plans/relational.py", "join_broadcast_geo_rollup", "nation"):
