@@ -1155,6 +1155,141 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def thumbnail_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL image transform stage: decode each raster payload (BMP or
+    PNG, dispatched on magic bytes) and 2x2 box-downsample the
+    luminance grid — the thumbnailing/resolution-bucketing step every
+    multimodal training pipeline runs before feature extraction. Odd
+    trailing row/column are cropped (floor semantics); each output
+    pixel is the FLOOR of the mean of its 2x2 block, computed in
+    exact integer arithmetic so the result replays byte-for-byte in
+    SQL. Emits per doc:
+
+      out_w, out_h   downsampled geometry
+      luma_sum       sum of downsampled pixels (exact)
+      luma_wsum      position-weighted sum((i+1) * v[i]) over the
+                     row-major downsampled grid — order-SENSITIVE, so
+                     a transposed / flipped / mis-strided downsample
+                     cannot hash-collide with the correct one
+
+    Narrow Arrow map: payloads never shuffle; the downsample is a
+    strided numpy add (four shifted views), no Python per pixel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _gray(payload: bytes) -> "_np.ndarray":
+            # Self-contained raster decode twin (decode_image /
+            # perceptual_hash share the pattern; workers can't import
+            # etl_spark): returns the top-down (h, w) luminance grid.
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                pos, idat, w, h = 8, b"", None, None
+                while pos + 8 <= len(payload):
+                    ln, tag = _struct.unpack_from(">I4s", payload, pos)
+                    data = payload[pos + 8 : pos + 8 + ln]
+                    if tag == b"IHDR":
+                        w, h = _struct.unpack(">II", data[:8])
+                    elif tag == b"IDAT":
+                        idat += data
+                    elif tag == b"IEND":
+                        break
+                    pos += 12 + ln
+                raw = _zlib.decompress(idat)
+                stride = w + 1
+                gray = _np.zeros((h, w), dtype=_np.int64)
+                prev = _np.zeros(w, dtype=_np.int64)
+                for y in range(h):
+                    ft = raw[y * stride]
+                    line = raw[y * stride + 1 : (y + 1) * stride]
+                    rec = bytearray(w)
+                    for x in range(w):
+                        a = rec[x - 1] if x else 0
+                        b = int(prev[x])
+                        if ft == 0:
+                            v = line[x]
+                        elif ft == 1:
+                            v = line[x] + a
+                        elif ft == 2:
+                            v = line[x] + b
+                        elif ft == 3:
+                            v = line[x] + (a + b) // 2
+                        else:
+                            c = int(prev[x - 1]) if x else 0
+                            p = a + b - c
+                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                            v = line[x] + (
+                                a
+                                if (pa <= pb and pa <= pc)
+                                else (b if pb <= pc else c)
+                            )
+                        rec[x] = v & 0xFF
+                    gray[y] = _np.frombuffer(bytes(rec), dtype=_np.uint8)
+                    prev = gray[y]
+                return gray
+            # BMP: header walk, bottom-up un-flip, padding strip,
+            # integer ITU-R 601 luma (exact /1000 floor).
+            offset = _struct.unpack_from("<I", payload, 10)[0]
+            (_ds, w, h, _p, _bpp, _c) = _struct.unpack_from(
+                "<IiiHHI", payload, 14
+            )
+            row_size = (w * 3 + 3) & ~3
+            mat = _np.frombuffer(
+                payload, dtype=_np.uint8, count=row_size * h, offset=offset
+            ).reshape(h, row_size)[::-1, : w * 3]
+            px = mat.reshape(h, w, 3).astype(_np.int64)
+            return (
+                px[:, :, 2] * 299 + px[:, :, 1] * 587 + px[:, :, 0] * 114
+            ) // 1000
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                g = _gray(bytes(payload))
+                h2, w2 = g.shape[0] // 2, g.shape[1] // 2
+                if h2 == 0 or w2 == 0:
+                    continue
+                g = g[: h2 * 2, : w2 * 2]
+                ds = (
+                    g[0::2, 0::2] + g[0::2, 1::2]
+                    + g[1::2, 0::2] + g[1::2, 1::2]
+                ) // 4
+                flat = ds.ravel()
+                weights = _np.arange(1, flat.size + 1, dtype=_np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        w2,
+                        h2,
+                        int(flat.sum()),
+                        int((weights * flat).sum()),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "out_w", "out_h", "luma_sum", "luma_wsum"],
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "out_w": "int32",
+                    "out_h": "int32",
+                    "luma_sum": "int64",
+                    "luma_wsum": "int64",
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, out_w int, out_h int, "
+            "luma_sum bigint, luma_wsum bigint"
+        ),
+    )
+
+
 PHASH_SEGMENTS = 60
 PHASH_SCHEMA = "doc_id bigint, phash bigint"
 # Deterministic "re-encode" noise model: +1 on every 17th byte — the

@@ -1022,6 +1022,83 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(with_png_payload(docs)).orderBy("doc_id")
 
 
+# 2x2 box-downsample replay: output pixel (r, c) is the floor-mean of
+# the 2x2 input block; input pixel (y, x) is the 1-based text char at
+# y*W + x + 1. Flattened output index i has r = i // W2, c = i % W2.
+_THUMBNAIL_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             (length(text) // {BMP_WIDTH}) // 2 AS h2
+      FROM documents
+      WHERE {{ascii_docs}} AND length(text) >= {2 * BMP_WIDTH}
+    ),
+    g AS (
+      SELECT doc_id, h2,
+             list_transform(
+               generate_series(0, h2 * {BMP_WIDTH // 2} - 1),
+               i -> (  ord(text[(i // {BMP_WIDTH // 2}) * {2 * BMP_WIDTH}
+                             + (i % {BMP_WIDTH // 2}) * 2 + 1])
+                     + ord(text[(i // {BMP_WIDTH // 2}) * {2 * BMP_WIDTH}
+                             + (i % {BMP_WIDTH // 2}) * 2 + 2])
+                     + ord(text[(i // {BMP_WIDTH // 2}) * {2 * BMP_WIDTH}
+                             + {BMP_WIDTH} + (i % {BMP_WIDTH // 2}) * 2 + 1])
+                     + ord(text[(i // {BMP_WIDTH // 2}) * {2 * BMP_WIDTH}
+                             + {BMP_WIDTH} + (i % {BMP_WIDTH // 2}) * 2 + 2])
+                    ) // 4) AS vals
+      FROM d
+    )
+    SELECT doc_id,
+           CAST({BMP_WIDTH // 2} AS INTEGER) AS out_w,
+           CAST(h2 AS INTEGER) AS out_h,
+           CAST(list_sum(vals) AS BIGINT) AS luma_sum,
+           CAST(list_sum(list_transform(generate_series(1, len(vals)),
+                                        j -> j * vals[j])) AS BIGINT)
+             AS luma_wsum
+    FROM g
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "mm_thumbnail_box",
+    oracle=_THUMBNAIL_ORACLE.format(ascii_docs=_ASCII_DOCS_SQL),
+    doc="REAL image transform: 2x2 box-downsample (thumbnailing) over "
+        "DECODED pixel grids — the resize step every multimodal "
+        "training pipeline runs before feature extraction, here in "
+        "exact integer arithmetic (each output pixel is the floor-"
+        "mean of its 2x2 block; odd trailing row/column cropped). "
+        "Container-blindness is part of the contract: even doc_ids "
+        "carry their image as an uncompressed 24-bit BMP, odd ones as "
+        "a filtered+zlib 8-bit PNG, and the SAME downsample math must "
+        "come out of both decoders (operators/media.py "
+        "thumbnail_features dispatches on magic bytes). The position-"
+        "weighted checksum (sum (i+1)*v[i] over the row-major output) "
+        "is order-sensitive, so a transposed, flipped or mis-strided "
+        "downsample cannot collide with the correct grid. Narrow "
+        "Arrow map; payloads never shuffle; the downsample is four "
+        "strided numpy views added, no Python per pixel. The oracle "
+        "replays the block means from text because gray pixels make "
+        "luma the identity.",
+    tags=("multimodal", "llm", "transform", "decode", "pandas-udf"),
+)
+def mm_thumbnail_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.media import (
+        thumbnail_features,
+        with_bmp_payload,
+        with_png_payload,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(_ASCII_DOCS)
+        .where(F.length("text") >= 2 * BMP_WIDTH)
+    )
+    payloads = with_bmp_payload(docs.where(F.col("doc_id") % 2 == 0)).unionAll(
+        with_png_payload(docs.where(F.col("doc_id") % 2 == 1))
+    )
+    return thumbnail_features(payloads).orderBy("doc_id")
+
+
 @register(
     "mm_phash_png_pixels_neardup",
     oracle=_PHASH_PIXELS_ORACLE.format(
