@@ -91,3 +91,33 @@ def test_knn_join_chunk_size_invariant(spark, monkeypatch):
     base = _run(spark)
     monkeypatch.setattr(sim, "NN_CELL_CHUNK", 7)  # force multi-chunk cells
     assert _run(spark) == base
+
+
+def test_knn_join_recall_sweeps_monotonically_with_nprobe(spark, monkeypatch):
+    """The nprobe knob must buy recall monotonically (more cells
+    scanned -> never fewer true neighbors found) and reach 1.0 when
+    every cell is probed — the absolute recall-vs-cost curve for the
+    join, mirroring tests/test_ivfpq.py's contract for the search
+    path. Uses recall@TOP_K vs the brute-force join."""
+    exact = _brute_force_topk(spark, ml.TOP_K)
+
+    def recall_at(nprobe: int) -> float:
+        monkeypatch.setattr(ml, "N_PROBE", nprobe)
+        got = _run(spark)
+        by_query: dict[int, set] = {}
+        for (qid, _rnk), (nid, _cos) in got.items():
+            by_query.setdefault(qid, set()).add(nid)
+        hits = sum(
+            len({nid for nid, _ in exact[qid]} & by_query.get(qid, set()))
+            for qid in exact
+        )
+        total = sum(len(v) for v in exact.values())
+        return hits / total
+
+    curve = [(p, recall_at(p)) for p in (1, 2, 4, 8, 10_000)]
+    for (_, lo), (_, hi) in zip(curve, curve[1:]):
+        assert hi >= lo, curve
+    assert curve[-1][1] == 1.0, curve  # all cells probed = exact
+    # The shipped point must clear the registered query's floor.
+    shipped = dict(curve)[2]
+    assert shipped >= 0.25, curve
