@@ -540,3 +540,139 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("hour_value").isNull(), 0).otherwise(1).alias("observed"),
         F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "events_hourly_interp",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type
+      FROM events
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ),
+    grid AS (
+      SELECT s.hour_start, t.event_type
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+    ),
+    agg AS (
+      SELECT h AS hour_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY ALL
+    ),
+    joined AS (
+      SELECT g.hour_start, g.event_type, a.cnt,
+             CAST(date_part('epoch', g.hour_start) AS BIGINT) // 3600 AS hh,
+             CASE WHEN a.cnt IS NULL THEN NULL
+                  ELSE CAST(date_part('epoch', g.hour_start) AS BIGINT) // 3600
+             END AS obs_hh
+      FROM grid g
+      LEFT JOIN agg a
+        ON a.hour_start = g.hour_start AND a.event_type = g.event_type
+    ),
+    neighbored AS (
+      SELECT *,
+             last_value(cnt IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+             last_value(obs_hh IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+             first_value(cnt IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_start
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+             first_value(obs_hh IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_start
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+      FROM joined
+    )
+    SELECT strftime(hour_start, '{TS_FMT_DUCK}') AS hour_start,
+           event_type,
+           CASE WHEN cnt IS NULL THEN 0 ELSE 1 END AS observed,
+           CASE
+             WHEN cnt IS NOT NULL THEN cnt
+             WHEN prev_h IS NULL OR next_h IS NULL THEN NULL
+             ELSE (prev_c * (next_h - hh) + next_c * (hh - prev_h))
+                  // (next_h - prev_h)
+           END AS interp_cnt
+    FROM neighbored
+    """,
+    doc="Linear interpolation over the hourly spine — the third "
+        "imputation policy next to events_hourly_gapfill (zeros) and "
+        "events_hourly_locf (carry-forward): a silent hour inside a "
+        "type's observed range takes the straight line between its "
+        "nearest observed neighbors. The interpolated value is "
+        "computed ENTIRELY in integers — floor((prev*(next_h - h) + "
+        "next*(h - prev_h)) / (next_h - prev_h)) on epoch-hour "
+        "bigints — so no float division ever crosses engines; hours "
+        "before a type's first observation or after its last stay "
+        "NULL (extrapolation is a lie, and both engines agree it is). "
+        "Neighbor discovery is two O(1)-state running windows "
+        "(last_value/first_value IGNORE NULLS over opposite "
+        "unbounded frames), never a self-join or a range join. Scale "
+        "shape: identical to the gapfill family — calendar-bounded "
+        "broadcast grid, one data shuffle for the hourly agg, "
+        "partition-local windows per event_type.",
+    tags=("events", "window", "gapfill", "timeseries"),
+)
+def events_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    )
+    spine = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour_start"
+        )
+    )
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    agg = ev.groupBy("h", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    hh = (F.unix_timestamp("hs") / 3600).cast("bigint")
+    joined = grid.join(
+        F.broadcast(agg),
+        (grid["hour_start"] == agg["h"])
+        & (grid["event_type"] == agg["event_type"]),
+        "left",
+    ).select(
+        grid["hour_start"].alias("hs"),
+        grid["event_type"],
+        F.col("cnt"),
+    )
+    joined = joined.withColumn("hh", hh).withColumn(
+        "obs_hh", F.when(F.col("cnt").isNotNull(), F.col("hh"))
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hs")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nb = (
+        joined.withColumn("prev_c", F.last("cnt", ignorenulls=True).over(back))
+        .withColumn("prev_h", F.last("obs_hh", ignorenulls=True).over(back))
+        .withColumn("next_c", F.first("cnt", ignorenulls=True).over(fwd))
+        .withColumn("next_h", F.first("obs_hh", ignorenulls=True).over(fwd))
+    )
+    interp = F.when(F.col("cnt").isNotNull(), F.col("cnt")).otherwise(
+        F.when(
+            F.col("prev_h").isNotNull() & F.col("next_h").isNotNull(),
+            F.expr(
+                "(prev_c * (next_h - hh) + next_c * (hh - prev_h)) "
+                "div (next_h - prev_h)"
+            ),
+        )
+    )
+    return nb.select(
+        F.date_format("hs", TS_FMT_SPARK).alias("hour_start"),
+        "event_type",
+        F.when(F.col("cnt").isNull(), 0).otherwise(1).alias("observed"),
+        interp.cast("bigint").alias("interp_cnt"),
+    )

@@ -1022,6 +1022,100 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(with_png_payload(docs)).orderBy("doc_id")
 
 
+# Multimodal curation gate constants. MIN_PIXELS drops images smaller
+# than 10 full rows (tiny payloads carry no trainable signal — the
+# "resolution floor" every vision-data pipeline applies); the luma
+# band is the blank/overexposed filter expressed as an exact integer
+# cross-multiply (mean in [LO, HI] <=> LO*n <= sum <= HI*n).
+MM_CURATE_MIN_PIXELS = BMP_WIDTH * 10
+MM_CURATE_LUMA_LO = 32
+MM_CURATE_LUMA_HI = 126
+
+_MM_CURATE_ORACLE = f"""
+    WITH decoded AS (
+      SELECT doc_id,
+             (length(text) // {BMP_WIDTH}) * {BMP_WIDTH} AS n_pixels,
+             CAST(list_sum(list_transform(
+               generate_series(1, (length(text) // {BMP_WIDTH}) * {BMP_WIDTH}),
+               i -> ord(text[i]))) AS BIGINT) AS luma_sum,
+             md5(substr(text, 1, (length(text) // {BMP_WIDTH}) * {BMP_WIDTH}))
+               AS image_md5
+      FROM documents
+      WHERE {{ascii_docs}} AND length(text) >= {BMP_WIDTH}
+    ),
+    kept AS (
+      SELECT * FROM decoded
+      WHERE n_pixels >= {MM_CURATE_MIN_PIXELS}
+        AND luma_sum >= {MM_CURATE_LUMA_LO} * n_pixels
+        AND luma_sum <= {MM_CURATE_LUMA_HI} * n_pixels
+    )
+    SELECT image_md5,
+           CAST(MIN(doc_id) AS BIGINT)   AS canonical_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_copies,
+           CAST(MIN(n_pixels) AS BIGINT) AS n_pixels,
+           CAST(MIN(luma_sum) AS BIGINT) AS luma_sum
+    FROM kept
+    GROUP BY image_md5
+    ORDER BY image_md5
+"""
+
+
+@register(
+    "pipeline_curate_multimodal",
+    oracle=_MM_CURATE_ORACLE.format(ascii_docs=_ASCII_DOCS_SQL),
+    doc="END-TO-END multimodal curation — the image sibling of "
+        "pipeline_curate_corpus: decode every payload (REAL codecs: "
+        "even doc_ids arrive as 24-bit BMP, odd as filtered+zlib PNG "
+        "— decode_image dispatches on magic bytes), gate on decoded "
+        "image quality (resolution floor of "
+        f"{MM_CURATE_MIN_PIXELS} pixels + blank/overexposed mean-luma "
+        "band, both exact integer comparisons), then collapse exact "
+        "image duplicates ON THE DECODED PIXEL GRID (md5 of the "
+        "luminance bytes) to one canonical row with its copy count — "
+        "so the same image stored in two different containers dedups "
+        "together, which payload-byte hashing (mm_payload_dedup) "
+        "cannot do. Spark shape: narrow Arrow decode map (payloads "
+        "never shuffle), in-row gate, then ONE data shuffle — the "
+        "groupBy on the 32-char image hash. This is the manifest a "
+        "multimodal training run reads: one row per distinct "
+        "qualifying image. Oracle replays decode, gate and collapse "
+        "from text because gray pixels make luma the identity.",
+    tags=("multimodal", "llm", "curation", "dedup", "pipeline",
+          "pandas-udf"),
+)
+def pipeline_curate_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.media import (
+        decode_image,
+        with_bmp_payload,
+        with_png_payload,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(_ASCII_DOCS)
+        .where(F.length("text") >= BMP_WIDTH)
+    )
+    payloads = with_bmp_payload(docs.where(F.col("doc_id") % 2 == 0)).unionAll(
+        with_png_payload(docs.where(F.col("doc_id") % 2 == 1))
+    )
+    decoded = decode_image(payloads)
+    kept = decoded.where(
+        (F.col("n_pixels") >= MM_CURATE_MIN_PIXELS)
+        & (F.col("luma_sum") >= MM_CURATE_LUMA_LO * F.col("n_pixels"))
+        & (F.col("luma_sum") <= MM_CURATE_LUMA_HI * F.col("n_pixels"))
+    )
+    return (
+        kept.groupBy(F.col("luma_md5").alias("image_md5"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_pixels").alias("n_pixels"),
+            F.min("luma_sum").alias("luma_sum"),
+        )
+        .orderBy("image_md5")
+    )
+
+
 # 2x2 box-downsample replay: output pixel (r, c) is the floor-mean of
 # the 2x2 input block; input pixel (y, x) is the 1-based text char at
 # y*W + x + 1. Flattened output index i has r = i // W2, c = i % W2.

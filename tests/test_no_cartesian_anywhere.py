@@ -17,6 +17,7 @@ BNLJ_ALLOWED = {
     "range_join_value_buckets":          "broadcast band dim (fixed bucket list)",
     "events_hourly_gapfill":             "hour x type spine (calendar-bounded)",
     "events_hourly_locf":                "hour x type spine (calendar-bounded)",
+    "events_hourly_interp":              "hour x type spine (calendar-bounded)",
     "events_rolling_7d_active_users":    "broadcast day dim (calendar-bounded)",
     "events_rolling_7d_active_users_approx": "broadcast day dim (calendar-bounded)",
     "q11_part_value_share":              "1-row global-threshold scalar",

@@ -175,6 +175,16 @@ AUDIT = [
      "compressed-raster decode (chunk walk + zlib inflate + per-row "
      "unfilter): encode fixture and decode are two chained Arrow "
      "mapInPandas stages; payload bytes NEVER cross an Exchange"),
+    ("events_hourly_interp",
+     "linear interpolation over the hourly spine: calendar-bounded "
+     "broadcast grid, one data shuffle for the hourly agg, neighbor "
+     "discovery via two O(1)-state running windows per event_type — "
+     "no self-join, no range join, integer-only interpolation"),
+    ("pipeline_curate_multimodal",
+     "end-to-end multimodal curation: mixed BMP/PNG decode in one "
+     "Arrow stage (payloads stop there), in-row quality gates, then "
+     "ONE data shuffle — the groupBy on the decoded-pixel hash; "
+     "cross-container exact-dup collapse happens at that hash"),
     ("mm_audio_frame_energy",
      "frame-level audio features: WAV decode + framing + exact "
      "integer energies in ONE Arrow stage (payloads stop there); "
@@ -226,7 +236,11 @@ def main() -> None:
     ]
     # Same allowance as tests/test_no_cartesian_anywhere.py: a
     # crossJoin of two single-row aggregates is constant-sized.
-    ONE_ROW_CROSS_OK = {"graph_dup_triangles"}
+    # Bounded cross allowances (mirrors tests/test_no_cartesian_anywhere
+    # BNLJ_ALLOWED): graph_dup_triangles crosses two 1-row aggregates;
+    # events_hourly_interp crosses the calendar-bounded hour spine with
+    # the distinct event_type list (same contract as gapfill/locf).
+    ONE_ROW_CROSS_OK = {"graph_dup_triangles", "events_hourly_interp"}
     for name, claim in AUDIT:
         df = REGISTRY[name].builder(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
