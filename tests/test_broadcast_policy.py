@@ -47,6 +47,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "hourly per-type aggregate: rows = hours x 5 types, grid-bounded",
     ("plans/events.py", "events_hourly_locf", "agg"):
         "hourly per-type aggregate: rows = hours x 5 types, grid-bounded",
+    ("plans/events.py", "events_hourly_interp", "agg"):
+        "hourly per-type aggregate: rows = hours x 5 types, grid-bounded",
     ("plans/frames.py", "range_join_value_buckets", "buckets"):
         "config-defined bucket edge table",
     ("plans/llm_dedup.py", "drop_stop_shingles", "hot"):
