@@ -586,6 +586,15 @@ def frame_audio_energy(df: DataFrame, payload_col: str = "payload") -> DataFrame
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 with _wave.open(_io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getsampwidth() != 1:
+                        # Loud, not wrong: treating 16/24/32-bit PCM
+                        # bytes as samples would frame interleaved
+                        # half-words into garbage energies (the BMP
+                        # sniff/decode-agreement lesson applied here).
+                        raise ValueError(
+                            "frame_audio_energy expects 8-bit PCM, got "
+                            f"sample width {w.getsampwidth()}"
+                        )
                     pcm = w.readframes(w.getnframes())
                 n = len(pcm)
                 if n == 0:
@@ -1231,7 +1240,14 @@ def thumbnail_features(df: DataFrame, payload_col: str = "payload") -> DataFrame
                     prev = gray[y]
                 return gray
             # BMP: header walk, bottom-up un-flip, padding strip,
-            # integer ITU-R 601 luma (exact /1000 floor).
+            # integer ITU-R 601 luma (exact /1000 floor). Anything
+            # else fails LOUDLY — blindly struct-parsing a non-raster
+            # payload as a BMP would produce garbage geometry, not an
+            # error.
+            if payload[:2] != b"BM":
+                raise ValueError(
+                    "thumbnail_features expects a BMP or PNG payload"
+                )
             offset = _struct.unpack_from("<I", payload, 10)[0]
             (_ds, w, h, _p, _bpp, _c) = _struct.unpack_from(
                 "<IiiHHI", payload, 14

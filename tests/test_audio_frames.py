@@ -73,3 +73,25 @@ def test_vad_strict_inequality_on_uniform_energy(spark):
     tot_n = sum(f[0] for f in ref)
     tot_sq = sum(f[2] for f in ref)
     assert all(fq * tot_n == tot_sq * fn for fn, _, fq in ref)
+
+
+def test_non_8bit_wav_fails_loudly(spark):
+    # A genuine 16-bit WAV must raise, not silently frame interleaved
+    # half-words into garbage energies (sniff/decode-agreement lesson).
+    import io
+    import wave
+
+    import pytest
+    from pyspark.errors import PythonException
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 400)
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(PythonException, match="expects 8-bit PCM"):
+        frame_audio_energy(df).collect()

@@ -70,3 +70,16 @@ def test_single_row_image_emits_nothing(spark):
     )
     got = {r["doc_id"] for r in thumbnail_features(df).collect()}
     assert got == {2}
+
+
+def test_non_raster_payload_fails_loudly(spark):
+    # thumbnail_features must not blindly struct-parse arbitrary bytes
+    # as a BMP header — unknown magic raises, garbage never decodes.
+    import pytest
+    from pyspark.errors import PythonException
+
+    df = spark.createDataFrame(
+        [(1, b"\x00" * 200)], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(PythonException, match="expects a BMP or PNG"):
+        thumbnail_features(df).collect()
