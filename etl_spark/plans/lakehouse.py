@@ -1,0 +1,236 @@
+"""Lakehouse table-maintenance queries: CDC changelog apply and SCD
+Type 2 history construction.
+
+These extend the incremental-snapshot family (`events_snapshot_merge`,
+`etl/merge.py`) with the two other canonical maintenance shapes a
+warehouse team runs daily:
+
+* **CDC apply** — a change-data-capture log carries INSERT/UPDATE rows
+  AND DELETE tombstones; applying it to a snapshot must let deletes
+  remove keys and later inserts resurrect them. The reference's S14
+  latest-wins dedup (main.py:149-157) is the upsert-only special case;
+  this is the delete-aware general form (the shape Debezium/Delta CDF
+  consumers run).
+* **SCD Type 2** — a dimension's attribute history as validity
+  intervals [valid_from, valid_to) with an is_current flag: the
+  gaps-and-islands construction every dimensional model needs when
+  "what was the value AT THE TIME" questions must be answerable.
+
+Scale notes: every shuffle in this module is keyed by the entity key
+(user_id / o_custkey) — cardinality grows with the data, so the
+partitioning holds at any scale; no global sort, no data-sized
+broadcast, no driver collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark.etl.merge import latest_wins_merge
+from etl_spark.io import load
+from etl_spark.plans.registry import register
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+# The synthetic CDC op mapping over the events table: an 'error' event
+# retracts the user's record (DELETE tombstone); every other event
+# upserts it. Deterministic and documented so the oracle states the
+# identical rule.
+CDC_DELETE_TYPE = "error"
+# Arriving-batch slice, consistent with events_snapshot_merge /
+# the dedup family's ingest slice.
+CDC_BATCH_MOD = 10
+
+
+def cdc_apply_log(log: DataFrame) -> DataFrame:
+    """Incremental delete-aware apply over a changelog DataFrame with
+    columns (user_id, event_id, ts, value, op) — the engine behind
+    ``cdc_apply_events``, reusable on any log (tests drive it with
+    synthetic resurrection/tombstone shapes the fixtures may lack).
+    Returns the merged state INCLUDING tombstone rows; callers filter
+    ``op == 'U'`` to get the served view.
+    """
+    arriving = F.col("event_id") % CDC_BATCH_MOD == 0
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    # Snapshot state BEFORE the batch lands: latest row per key over
+    # history, tombstones kept — a snapshot that drops deletes early
+    # cannot tell "deleted" from "never seen" at merge time.
+    snapshot = (
+        log.filter(~arriving)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = (
+        log.filter(arriving)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return latest_wins_merge(
+        snapshot, batch, keys=["user_id"], order_cols=["ts", "event_id"]
+    )
+
+
+@register(
+    "cdc_apply_events",
+    oracle=f"""
+    WITH log AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = '{CDC_DELETE_TYPE}' THEN 'D'
+                  ELSE 'U' END AS op
+      FROM events
+    ),
+    latest AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '{TS_FMT_DUCK}') AS event_ts, value,
+           event_id % {CDC_BATCH_MOD} = 0 AS via_batch
+    FROM latest
+    WHERE rn = 1 AND op = 'U'
+    """,
+    doc="Delete-aware CDC apply (the general form of S14's upsert-only "
+        "latest-wins, reference main.py:149-157): the events stream is "
+        f"read as a changelog — '{CDC_DELETE_TYPE}' events are DELETE "
+        "tombstones, everything else upserts — and applied "
+        "INCREMENTALLY: the materialized per-user snapshot built from "
+        f"the historical slice (event_id % {CDC_BATCH_MOD} != 0) "
+        "RETAINS tombstone rows (so a later batch can both delete a "
+        "live key and resurrect a deleted one), the arriving batch is "
+        "merged latest-(ts, event_id)-wins, and only then are "
+        "tombstoned keys dropped from the served view. The ORACLE is "
+        "the full changelog replay — green means incremental apply == "
+        "replay, the invariant every CDC consumer (Debezium sink, "
+        "Delta CDF reader) must hold. Cost: one key-partitioned window "
+        "over snapshot ∪ batch; tombstone retention is O(deleted "
+        "keys), compacted in real tables once all consumers pass the "
+        "horizon.",
+    tags=("lakehouse", "cdc", "merge", "incremental", "events"),
+)
+def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == CDC_DELETE_TYPE, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    merged = cdc_apply_log(log)
+    # Serving view: tombstoned keys disappear only AFTER the merge.
+    return merged.filter(F.col("op") == "U").select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("event_ts"),
+        "value",
+        (F.col("event_id") % CDC_BATCH_MOD == 0).alias("via_batch"),
+    )
+
+
+DATE_FMT_SPARK = "yyyy-MM-dd"
+DATE_FMT_DUCK = "%Y-%m-%d"
+
+
+@register(
+    "scd2_priority_history",
+    oracle=f"""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             LAG(o_orderpriority) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev_prio
+      FROM orders
+    ),
+    runs AS (
+      SELECT *,
+             SUM(CASE WHEN prev_prio IS NULL
+                        OR prev_prio <> o_orderpriority
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS version
+      FROM seq
+    ),
+    intervals AS (
+      SELECT o_custkey, CAST(version AS INTEGER) AS version,
+             o_orderpriority,
+             MIN(o_orderdate) AS vf,
+             COUNT(*) AS n_orders
+      FROM runs
+      GROUP BY o_custkey, version, o_orderpriority
+    )
+    SELECT o_custkey, version, o_orderpriority,
+           strftime(vf, '{DATE_FMT_DUCK}') AS valid_from,
+           strftime(LEAD(vf) OVER (
+             PARTITION BY o_custkey ORDER BY version
+           ), '{DATE_FMT_DUCK}') AS valid_to,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           LEAD(vf) OVER (
+             PARTITION BY o_custkey ORDER BY version
+           ) IS NULL AS is_current
+    FROM intervals
+    """,
+    doc="SCD Type 2 dimension history (gaps-and-islands): each "
+        "customer's order-priority timeline — ordered by (o_orderdate, "
+        "o_orderkey) — is collapsed into consecutive runs of equal "
+        "priority, emitted as versioned validity intervals "
+        "[valid_from, valid_to) with valid_to = the NEXT run's start "
+        "(NULL ⇒ is_current). This is the construction every "
+        "dimensional model runs to answer 'what was the attribute AT "
+        "the time of the fact'. Plan: lag → running-sum run ids → "
+        "per-run aggregate → lead, ALL partitioned by o_custkey — the "
+        "three windows and the groupBy share one key whose cardinality "
+        "scales with the data, so one Exchange serves the whole chain "
+        "and no partition outgrows its key's own history.",
+    tags=("lakehouse", "scd2", "window", "orders"),
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.withColumn(
+        "prev_prio", F.lag("o_orderpriority").over(w_seq)
+    )
+    runs = seq.withColumn(
+        "version",
+        F.sum(
+            F.when(
+                F.col("prev_prio").isNull()
+                | (F.col("prev_prio") != F.col("o_orderpriority")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .over(w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    intervals = runs.groupBy(
+        "o_custkey", "version", "o_orderpriority"
+    ).agg(
+        F.min("o_orderdate").alias("vf"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w_ver = Window.partitionBy("o_custkey").orderBy("version")
+    nxt = F.lead("vf").over(w_ver)
+    return intervals.select(
+        "o_custkey",
+        "version",
+        "o_orderpriority",
+        F.date_format("vf", DATE_FMT_SPARK).alias("valid_from"),
+        F.date_format(nxt, DATE_FMT_SPARK).alias("valid_to"),
+        "n_orders",
+        nxt.isNull().alias("is_current"),
+    )
