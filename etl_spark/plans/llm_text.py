@@ -1014,3 +1014,150 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# BM25 constants (the Robertson/Sparck-Jones defaults) and a fixed
+# retrieval query — config, like every ANN query set in this repo.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("scan", "join", "vector")
+BM25_TOP_N = 20
+# Pre-folded constants (k1+1, 1-b) as EXPLICIT double casts: a bare
+# SQL literal like 2.2 parses as DECIMAL(2,1) in both engines, which
+# silently makes tf*2.2 exact-decimal math before the double convert —
+# deterministic, but a trap for anyone replaying the formula in
+# doubles. CAST(... AS DOUBLE) pins every op to plain IEEE arithmetic.
+_BM25_K1P1 = "CAST(2.2 AS DOUBLE)"
+_BM25_1MB = "CAST(0.25 AS DOUBLE)"
+_BM25_K1_D = "CAST(1.2 AS DOUBLE)"
+_BM25_B_D = "CAST(0.75 AS DOUBLE)"
+
+
+def _bm25_score_sql(tf: str, df: str) -> str:
+    """The BM25 term score as ONE shared SQL expression string —
+    rendered into the DuckDB oracle verbatim and parsed by Spark via
+    F.expr, so both engines evaluate the identical IEEE expression
+    tree. idf is the RATIONAL core (N - df + 0.5)/(df + 0.5): ln() of
+    it is the textbook idf, but ln's last ulp differs across runtimes
+    and a monotone transform cannot change any per-term comparison —
+    summed scores differ from textbook BM25, the top-N ORDER does not
+    for single-term dominance; we document score as 'rational-idf
+    BM25', the engine-exact variant (same trade as tf/df in
+    text_tfidf_top_terms)."""
+    idf = f"((CAST(n_docs AS DOUBLE) - {df} + 0.5) / ({df} + 0.5))"
+    norm = f"((CAST(dl AS DOUBLE) * n_docs) / total_dl)"
+    denom = f"({tf} + {_BM25_K1_D} * ({_BM25_1MB} + {_BM25_B_D} * {norm}))"
+    return f"({idf} * ({tf} * {_BM25_K1P1}) / {denom})"
+
+
+def _bm25_oracle() -> str:
+    per_term = ", ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN s END), 0.0) AS s_{t}"
+        for t in BM25_TERMS
+    )
+    term_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    total = " + ".join(f"s_{t}" for t in BM25_TERMS)
+    return f"""
+    WITH stats AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS total_dl
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term IN ({term_list})
+      GROUP BY doc_id, dl, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.dl,
+             {_bm25_score_sql('tf.tf', 'df.df')} AS s
+      FROM tf JOIN df USING (term) CROSS JOIN stats
+    ),
+    pivoted AS (
+      SELECT doc_id, dl, {per_term}
+      FROM (SELECT tf.doc_id, tf.dl, tf.term,
+                   {_bm25_score_sql('tf.tf', 'df.df')} AS s
+            FROM tf JOIN df USING (term) CROSS JOIN stats)
+      GROUP BY doc_id, dl
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           (({total.split(' + ')[0]} + {total.split(' + ')[1]})
+             + {total.split(' + ')[2]}) AS score,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY
+               (({total.split(' + ')[0]} + {total.split(' + ')[1]})
+                 + {total.split(' + ')[2]}) DESC, doc_id ASC) AS rnk
+      FROM pivoted
+    )
+    WHERE rnk <= {BM25_TOP_N}
+    """
+
+
+@register(
+    "text_bm25_rank",
+    oracle=_bm25_oracle(),
+    doc=f"BM25 document ranking for a fixed {len(BM25_TERMS)}-term "
+        f"query {BM25_TERMS}: per-(doc, term) tf with document length "
+        "dl, per-term df, corpus (N, total_dl) from one 1-row "
+        "aggregate, scored with rational-idf BM25 (k1="
+        f"{BM25_K1}, b={BM25_B}) — idf kept as (N-df+0.5)/(df+0.5) "
+        "WITHOUT the ln(): a monotone transform of textbook idf, so "
+        "per-term ordering is preserved while every operation stays "
+        "an exact IEEE expression both engines evaluate identically "
+        "(the repo-wide no-libm rule; same trade as "
+        "text_tfidf_top_terms). Per-doc total adds the per-term "
+        "scores in one FIXED parenthesized order (float addition is "
+        "not associative). Plan: token explode filtered to the query "
+        "terms BEFORE the tf groupBy (the explode output is "
+        f"|terms∩doc| rows, not |tokens|), df ({len(BM25_TERMS)} "
+        "rows) and corpus stats (1 row) ride back as broadcast "
+        "literals, ranking is TakeOrdered top-{BM25_TOP_N} — never a "
+        "global sort.",
+    tags=("text", "llm", "retrieval", "bm25"),
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col()).alias("dl"),
+        F.explode(tokens_col()).alias("term"),
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    tf = docs.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        load(spark, sf_dir, "documents")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens_col())).alias("total_dl"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", F.expr(_bm25_score_sql("tf", "df")))
+    )
+    pivoted = scored.groupBy("doc_id", "dl").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+            ).alias(f"s_{t}")
+            for t in BM25_TERMS
+        ]
+    )
+    t0, t1, t2 = (F.col(f"s_{t}") for t in BM25_TERMS)
+    total = (t0 + t1) + t2
+    top = (
+        pivoted.withColumn("score", total)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_N)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", F.col("dl").cast("bigint").alias("dl"), "score",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )

@@ -421,3 +421,83 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@register(
+    "stats_winsorized_value",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, {WINSOR_LO}) AS p_lo,
+             quantile_cont(value, {WINSOR_HI}) AS p_hi
+      FROM events GROUP BY event_type
+    ),
+    clamped AS (
+      SELECT e.event_type, c.p_lo, c.p_hi,
+             LEAST(GREATEST(e.value, c.p_lo), c.p_hi) AS wv,
+             CASE WHEN e.value < c.p_lo THEN 1 ELSE 0 END AS lo,
+             CASE WHEN e.value > c.p_hi THEN 1 ELSE 0 END AS hi
+      FROM events e JOIN cuts c ON e.event_type = c.event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n,
+           ANY_VALUE(p_lo)           AS p_lo,
+           ANY_VALUE(p_hi)           AS p_hi,
+           CAST(SUM(lo) AS BIGINT)   AS n_clamped_lo,
+           CAST(SUM(hi) AS BIGINT)   AS n_clamped_hi,
+           CAST(SUM(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                                     AS winsorized_mean
+    FROM clamped
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc=f"Winsorized robust mean per event type: values below the "
+        f"exact p{int(WINSOR_LO*100):02d} / above the exact "
+        f"p{int(WINSOR_HI*100)} are CLAMPED to the cut (not dropped — "
+        "winsorizing keeps n and downweights tails, the standard "
+        "robust-mean for metrics with fat-tailed junk, e.g. bot "
+        "traffic in 'value'). Cuts are interpolated percentiles — "
+        "engine-identical doubles (proven by agg_percentiles / the MAD "
+        "query) — joined back BROADCAST (5 event types); the clamp is "
+        "pure comparisons, and the mean is a decimal-exact SUM over "
+        "clamped values divided by n (double→DECIMAL(18,6) nearest-"
+        "rounding is unambiguous: no double sits exactly on a "
+        "6-decimal midpoint, those midpoints are not binary-"
+        "representable). Two map-combinable groupBys on a 5-value key "
+        "+ one broadcast join: shuffle is k rows/partition at any "
+        "scale. Skew note: exact per-group percentile() is a "
+        "per-group sort — at 100 TB swap the cuts CTE for "
+        "approx_percentile and keep the clamp/mean pass unchanged.",
+    tags=("aggregation", "statistics", "robust"),
+)
+def stats_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("p_lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("p_hi"),
+    )
+    wv = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.any_value("p_lo").alias("p_lo"),
+            F.any_value("p_hi").alias("p_hi"),
+            F.sum(
+                F.when(F.col("value") < F.col("p_lo"), 1).otherwise(0)
+            ).alias("n_clamped_lo"),
+            F.sum(
+                F.when(F.col("value") > F.col("p_hi"), 1).otherwise(0)
+            ).alias("n_clamped_hi"),
+            (
+                F.sum(wv.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )

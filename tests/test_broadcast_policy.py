@@ -29,6 +29,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "per-event_type median: 5 event types, constant",
     ("plans/analytics.py", "events_value_outliers_mad", "mad"):
         "per-event_type MAD: 5 event types, constant",
+    ("plans/stats.py", "stats_winsorized_value", "cuts"):
+        "per-event_type winsor cut points: 5 event types, constant",
     ("plans/analytics.py", "events_rolling_7d_active_users", "days"):
         "generated day spine: bounded by the calendar span",
     ("plans/analytics.py", "events_rolling_7d_active_users_approx", "days"):
@@ -68,6 +70,11 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "count-min sketch: K x W cells, config-sized",
     ("plans/llm_text.py", "text_vocab_growth", "bounds"):
         "single-row corpus bounds",
+    ("plans/llm_text.py", "text_bm25_rank", "df"):
+        "per-query-term document frequencies: |BM25_TERMS| rows, "
+        "config-sized",
+    ("plans/llm_text.py", "text_bm25_rank", "stats"):
+        "single-row corpus (N, total_dl) aggregate",
     ("plans/llm_text.py", "text_oov_rate", "vocab"):
         "vocabulary capped by .limit(VOCAB_SIZE)",
     ("plans/ml.py", "ml_cluster_separation", "cent"):

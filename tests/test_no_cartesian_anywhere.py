@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     "ml_cluster_separation":             "broadcast k-row centroid table",
     "graph_dup_triangles":               "crossJoin of two 1-row aggregates",
     "text_vocab_growth":                 "1-row corpus-bounds scalar",
+    "text_bm25_rank":                    "1-row corpus-stats scalar",
 }
 
 
@@ -59,6 +60,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "text_zipf_fit":                 "top-100 terms (fixed K) ranked globally",
     "text_vocab_growth":             "10 corpus-fraction buckets (fixed)",
     "orders_monthly_revenue_growth": "one row per month (calendar-bounded)",
+    "text_bm25_rank":                "rank over the TakeOrdered top-20 only",
 }
 
 _WINDOW_NODE_CLASSES = {
