@@ -1,0 +1,92 @@
+"""Streaming delete-aware CDC apply: the streaming twin of
+``plans/lakehouse.py::cdc_apply_events``.
+
+``latest_wins.py`` maintains each key's newest observation (S14,
+reference main.py:149-157) but cannot REMOVE a key: real changelogs
+(Debezium, Delta CDF) carry DELETE tombstones, and a consumer must
+keep tombstones in state — dropping a key on delete would let a
+late/redelivered stale upsert resurrect it incorrectly. This operator
+keeps (newest row, is-tombstone) per key and emits every touched key's
+current (row, op) so a downstream sink can upsert op='U' rows and
+delete op='D' keys.
+
+Tiebreak contract matches the batch form exactly: later ts wins, equal
+ts → higher event_id wins; redelivery of an already-applied row is a
+no-op (state compare is deterministic, not arrival-order).
+State is O(1) per key; tombstones stay in state (compaction/TTL is a
+separate retention policy, as in the batch twin's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, event_id bigint, event_ts string, value double,"
+    " op string"
+)
+STATE_SCHEMA = "ts_us bigint, event_id bigint, value double, deleted boolean"
+
+
+def cdc_apply_stream(changelog: DataFrame) -> DataFrame:
+    """Maintain per-user latest (row, op) over a changelog stream with
+    columns (user_id, event_id, ts, value, op) where op ∈ {'U','D'}."""
+
+    def update(key, pdf_iter, state):
+        # Self-contained closure (workers may lack repo on PYTHONPATH).
+        import pandas as pd
+
+        if state.exists:
+            best_us, best_id, best_val, deleted = state.get
+        else:
+            best_us, best_id, best_val, deleted = -1, -1, None, False
+        touched = False
+        for pdf in pdf_iter:
+            for ts, eid, val, op in zip(
+                pdf["ts"], pdf["event_id"], pdf["value"], pdf["op"]
+            ):
+                touched = True
+                us = ts.value // 1000
+                if us > best_us or (us == best_us and eid > best_id):
+                    best_us, best_id = int(us), int(eid)
+                    best_val = None if val != val else float(val)
+                    deleted = op == "D"
+        if not touched:
+            return
+        state.update((best_us, best_id, best_val, bool(deleted)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_id": [best_id],
+                "event_ts": [
+                    pd.Timestamp(best_us * 1000).strftime("%Y-%m-%d %H:%M:%S")
+                ],
+                "value": [best_val],
+                "op": ["D" if deleted else "U"],
+            }
+        )
+
+    return changelog.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def events_as_changelog(events: DataFrame, delete_type: str) -> DataFrame:
+    """Map the event stream to the generic changelog shape the operator
+    consumes (same rule as the batch query: ``delete_type`` events are
+    tombstones, everything else upserts)."""
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == delete_type, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )

@@ -1,0 +1,89 @@
+"""Streaming CDC apply must converge to the batch full-replay — the
+same invariant the batch query's oracle states — including delete
+visibility and redelivery of stale rows after a delete."""
+
+from __future__ import annotations
+
+import json
+
+from etl_spark.plans.lakehouse import CDC_DELETE_TYPE
+from etl_spark.streaming.cdc import cdc_apply_stream, events_as_changelog
+from etl_spark.streaming.windows import read_event_stream
+from tests.conftest import SF_DIR
+
+
+def test_streaming_cdc_matches_batch_replay(spark, duck, tmp_path):
+    from etl_spark.io import load
+
+    events = load(spark, SF_DIR, "events")
+    pdf = events.toPandas()
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate(range(0, len(pdf), 150)):
+        rows = pdf.iloc[chunk : chunk + 150]
+        with open(src / f"b{i:04d}.json", "w") as f:
+            for _, r in rows.iterrows():
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": int(r.event_id),
+                            "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                            "user_id": int(r.user_id),
+                            "event_type": r.event_type,
+                            "value": float(r.value),
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+    # Redeliver the FIRST batch at the end: stale rows — including
+    # upserts for keys deleted SINCE — must not change any key's state.
+    (src / "b9999.json").write_text((src / "b0000.json").read_text())
+
+    changelog = events_as_changelog(
+        read_event_stream(spark, str(src)), CDC_DELETE_TYPE
+    )
+    q = (
+        cdc_apply_stream(changelog)
+        .writeStream.format("memory")
+        .queryName("cdc_apply")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        # Update-mode: the final state per key is its newest emission;
+        # collect() order isn't guaranteed, so pick by (ts, event_id)
+        # version rather than row order.
+        rows = spark.sql("SELECT * FROM cdc_apply").collect()
+        best: dict[int, tuple] = {}
+        for r in rows:
+            cur = best.get(r["user_id"])
+            key = (r["event_ts"], r["event_id"])
+            if cur is None or key >= cur[0]:
+                best[r["user_id"]] = (key, r["op"], r["value"], r["event_id"])
+        final = {u: (v[3], v[1], v[2]) for u, v in best.items()}
+    finally:
+        q.stop()
+
+    want = {
+        u: (eid, op, val)
+        for u, eid, op, val in duck.execute(
+            f"""
+            SELECT user_id, event_id,
+                   CASE WHEN event_type = '{CDC_DELETE_TYPE}'
+                        THEN 'D' ELSE 'U' END AS op,
+                   value
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+              FROM events
+            ) WHERE rn = 1
+            """
+        ).fetchall()
+    }
+    assert final == want
+    assert any(op == "D" for _, op, _ in want.values()), (
+        "fixture must exercise the tombstone path"
+    )
