@@ -289,3 +289,80 @@ def dq_quality_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# Order-independent table checksum: the reconciliation primitive for
+# engine/system migrations — two systems agree on a table iff every
+# group's (n, xor, modsum) triple agrees, with NO sorting and NO row
+# transfer. The 60-bit hash keeps SUM within bigint at any real row
+# count (modsum term is < 2^31, so 2^32 rows fit with headroom).
+_CK_HEX = "0123456789abcdef"
+_CK_MOD = 2147483647  # 2^31 - 1 (Mersenne), like the MinHash mix
+_CK_H60_DUCK = " + ".join(
+    f"(strpos('{_CK_HEX}', substr(rh, {c}, 1)) - 1) * {16 ** (15 - c)}"
+    for c in range(1, 16)
+)
+# Canonical row rendering: every column cast to VARCHAR with an
+# engine-agreed format (decimal keeps its scale: '123.40' in both;
+# timestamps via the shared strftime pattern), joined with '|'.
+_CK_ROW_DUCK = (
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+    " || '|' || o_orderstatus || '|' ||"
+    " CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) || '|' ||"
+    " strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority"
+)
+
+
+@register(
+    "dq_table_checksum",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT)      AS n_rows,
+           CAST(bit_xor(h) AS BIGINT)    AS xor_checksum,
+           CAST(SUM(h % {_CK_MOD}) AS BIGINT) AS modsum_checksum
+    FROM (
+      SELECT o_orderstatus, ({_CK_H60_DUCK}) AS h
+      FROM (SELECT o_orderstatus,
+                   md5({_CK_ROW_DUCK}) AS rh
+            FROM orders)
+    )
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Order-independent per-group table checksum for cross-system "
+        "reconciliation (the first thing a team migrating engines "
+        "runs): each row renders to a canonical '|'-joined string "
+        "(decimals keep scale, dates via the shared strftime), hashes "
+        "to a 60-bit md5-prefix integer — bit-identical in both "
+        "engines — and each o_orderstatus group aggregates (COUNT, "
+        "BIT_XOR, SUM of h mod 2^31-1). XOR catches any single-row "
+        "difference but cancels on even multiplicities; the modular "
+        "sum breaks that cancellation; the count pins cardinality. "
+        "All three are commutative — NO sort, NO row movement beyond "
+        "one map-combinable groupBy on a 3-value key: the shuffle is "
+        "three rows per partition at 100 TB, and two systems compare "
+        "tables by exchanging a handful of integers.",
+    tags=("quality", "checksum", "aggregation"),
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(14,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderstatus", h.alias("h"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("xor_checksum"),
+            F.sum(F.col("h") % _CK_MOD).alias("modsum_checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )
