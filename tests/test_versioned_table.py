@@ -1,0 +1,135 @@
+"""Versioned snapshot table: every commit must equal the full recompute
+at that extraction horizon (time travel), data files must be immutable
+(copy-on-write), untouched buckets must be SHARED between versions (the
+O(touched) commit), and vacuum must keep exactly what retained
+manifests reference."""
+
+from __future__ import annotations
+
+import pathlib
+
+from etl_spark.etl.merge import N_MERGE_BUCKETS
+from etl_spark.etl.pipeline import snapshot_records
+from etl_spark.etl.versioned import (
+    init_versioned_table,
+    latest_version,
+    merge_versioned_table,
+    read_versioned_table,
+    vacuum_versioned_table,
+    _read_manifest,
+)
+from etl_spark.etl.merge import load_extraction
+from tests.test_etl_pipeline import make_run, write_run
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+
+def _snapshot_of(spark, tmp_path, *extractions):
+    """Full recompute over a fresh zone holding only ``extractions`` —
+    the ground truth for what each version must contain."""
+    zone = tmp_path / ("truth_" + "_".join(ts for ts, _ in extractions))
+    for ts, runs in extractions:
+        for run in runs:
+            write_run(zone, run["_repo"], ts, run["_run"])
+    return snapshot_records(spark, zone)
+
+
+def _mk(i, repo, status="completed"):
+    return {"_repo": repo, "_run": make_run(i, repo, status=status)}
+
+
+def test_every_version_equals_its_horizon_recompute(spark, tmp_path):
+    zone = tmp_path / "zone"
+    table = tmp_path / "vtable"
+    t1, t2, t3 = "20250101-000000Z", "20250102-000000Z", "20250103-000000Z"
+
+    e1 = [_mk(1, "repo_1", "running"), _mk(2, "repo_2", "queued")]
+    e2 = [_mk(1, "repo_1", "completed"), _mk(3, "repo_1", "running")]
+    e3 = [_mk(2, "repo_2", "completed")]
+    for ts, runs in [(t1, e1), (t2, e2), (t3, e3)]:
+        for r in runs:
+            write_run(zone, r["_repo"], ts, r["_run"])
+
+    assert init_versioned_table(load_extraction(spark, zone, t1), table) == 0
+    assert merge_versioned_table(spark, table, load_extraction(spark, zone, t2)) == 1
+    assert merge_versioned_table(spark, table, load_extraction(spark, zone, t3)) == 2
+
+    assert latest_version(table) == 2
+    horizons = [
+        (0, [(t1, e1)]),
+        (1, [(t1, e1), (t2, e2)]),
+        (2, [(t1, e1), (t2, e2), (t3, e3)]),
+    ]
+    for v, exts in horizons:
+        got = read_versioned_table(spark, table, version=v)
+        want = _snapshot_of(spark, tmp_path, *exts)
+        assert _sorted_rows(got) == _sorted_rows(want), f"version {v}"
+    # default read = latest
+    assert _sorted_rows(read_versioned_table(spark, table)) == _sorted_rows(
+        read_versioned_table(spark, table, version=2)
+    )
+
+
+def test_commits_are_copy_on_write_and_share_untouched_buckets(spark, tmp_path):
+    zone = tmp_path / "zone"
+    table = tmp_path / "vtable"
+    t1, t2 = "20250101-000000Z", "20250102-000000Z"
+    for i in range(40):  # spread keys over several buckets
+        write_run(zone, "r", t1, make_run(i, "r", status="running"))
+    init_versioned_table(load_extraction(spark, zone, t1), table)
+
+    v0_files = {
+        str(p): p.stat().st_mtime_ns
+        for p in pathlib.Path(table, "data", "v0").rglob("*.parquet")
+    }
+    m0 = _read_manifest(pathlib.Path(table), 0)
+    assert len(set(m0.values())) > 2  # layout actually spread out
+
+    write_run(zone, "r", t2, make_run(7, "r", status="completed"))
+    merge_versioned_table(spark, table, load_extraction(spark, zone, t2))
+
+    # v0's data files are bit-untouched after the commit
+    after = {
+        str(p): p.stat().st_mtime_ns
+        for p in pathlib.Path(table, "data", "v0").rglob("*.parquet")
+    }
+    assert after == v0_files
+    # exactly the touched bucket's pointer moved; the rest are shared
+    m1 = _read_manifest(pathlib.Path(table), 1)
+    moved = {b for b in m0 if m1[b] != m0[b]}
+    assert len(moved) == 1
+    assert all(m1[b] == m0[b] for b in m0 if b not in moved)
+    # and v0 still reads correctly (history intact)
+    v0 = read_versioned_table(spark, table, version=0)
+    assert {r["status"] for r in v0.collect()} == {"running"}
+
+
+def test_vacuum_keeps_exactly_what_retained_manifests_reference(spark, tmp_path):
+    zone = tmp_path / "zone"
+    table = tmp_path / "vtable"
+    t1, t2, t3 = "20250101-000000Z", "20250102-000000Z", "20250103-000000Z"
+    for i in range(40):
+        write_run(zone, "r", t1, make_run(i, "r", status="running"))
+    init_versioned_table(load_extraction(spark, zone, t1), table)
+    write_run(zone, "r", t2, make_run(7, "r", status="completed"))
+    merge_versioned_table(spark, table, load_extraction(spark, zone, t2))
+    write_run(zone, "r", t3, make_run(8, "r", status="completed"))
+    merge_versioned_table(spark, table, load_extraction(spark, zone, t3))
+
+    before = _sorted_rows(read_versioned_table(spark, table))
+    removed = vacuum_versioned_table(table, keep_versions=1)
+    assert removed  # v0/v1-only bucket dirs and old manifests went away
+    # latest still reads identically: carried-over v0 dirs referenced
+    # by the latest manifest survived the vacuum
+    assert _sorted_rows(read_versioned_table(spark, table)) == before
+    live = set(_read_manifest(pathlib.Path(table), latest_version(table)).values())
+    assert any(rel.startswith("data/v0") for rel in live)  # sharing is real
+    on_disk = {
+        str(d.relative_to(table))
+        for d in pathlib.Path(table, "data").glob("v*/kb=*")
+    }
+    assert on_disk == live
+    # sanity: bucket count still config-bounded
+    assert len(live) <= N_MERGE_BUCKETS
