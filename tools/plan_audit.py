@@ -198,6 +198,33 @@ AUDIT = [
      "aggregate, no Python in the refine); query vectors enter via "
      "an allowlisted config-sized broadcast; final top-k window "
      "partitioned by query_id"),
+    ("dedup_prefix_filter_pairs",
+     "prefix-filtered exact similarity join: candidate pairs emit "
+     "map-side from rarest-first prefix posting lists (flatten/"
+     "transform over collect_list, no index self-join); df join and "
+     "both full-array verification joins are SortMergeJoin — "
+     "corpus-derived sides never broadcast; no cartesian"),
+    ("cdc_apply_events",
+     "delete-aware CDC apply: snapshot, batch and merge windows all "
+     "carry the user_id partition key (no empty-partitionSpec "
+     "WindowExec); tombstone filter applied after the merge"),
+    ("scd2_priority_history",
+     "SCD2 gaps-and-islands: lag, running-sum and lead windows plus "
+     "the per-run aggregate all keyed by o_custkey — one Exchange "
+     "serves the chain; no global sort"),
+    ("text_bm25_rank",
+     "BM25: token explode filtered to the query terms before the tf "
+     "aggregate; df and corpus stats ride back as allowlisted "
+     "broadcasts; ranking is TakeOrdered top-20, the only "
+     "unpartitioned window runs over those 20 rows"),
+    ("dq_table_checksum",
+     "reconciliation checksum: one map-combinable groupBy on the "
+     "3-value status key — partial aggregates below the Exchange, "
+     "three rows per partition shuffle at any scale"),
+    ("stats_winsorized_value",
+     "winsorized mean: per-type cut aggregate broadcast back "
+     "(5 rows), clamp evaluated map-side, final map-combinable "
+     "groupBy on event_type"),
 ]
 
 INTERESTING = re.compile(
@@ -240,7 +267,8 @@ def main() -> None:
     # BNLJ_ALLOWED): graph_dup_triangles crosses two 1-row aggregates;
     # events_hourly_interp crosses the calendar-bounded hour spine with
     # the distinct event_type list (same contract as gapfill/locf).
-    ONE_ROW_CROSS_OK = {"graph_dup_triangles", "events_hourly_interp"}
+    ONE_ROW_CROSS_OK = {"graph_dup_triangles", "events_hourly_interp",
+                        "text_bm25_rank"}
     for name, claim in AUDIT:
         df = REGISTRY[name].builder(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
