@@ -141,6 +141,43 @@ DATE_FMT_SPARK = "yyyy-MM-dd"
 DATE_FMT_DUCK = "%Y-%m-%d"
 
 
+def _priority_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 interval frame both queries share: one row per
+    (o_custkey, version) run of equal priority with columns
+    (o_custkey, version, o_orderpriority, vf, vt, n_orders) — vt is
+    the next run's start timestamp, NULL for the current run. All
+    three windows and the groupBy key on o_custkey."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.withColumn(
+        "prev_prio", F.lag("o_orderpriority").over(w_seq)
+    )
+    runs = seq.withColumn(
+        "version",
+        F.sum(
+            F.when(
+                F.col("prev_prio").isNull()
+                | (F.col("prev_prio") != F.col("o_orderpriority")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .over(w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    intervals = runs.groupBy(
+        "o_custkey", "version", "o_orderpriority"
+    ).agg(
+        F.min("o_orderdate").alias("vf"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w_ver = Window.partitionBy("o_custkey").orderBy("version")
+    return intervals.withColumn("vt", F.lead("vf").over(w_ver))
+
+
 @register(
     "scd2_priority_history",
     oracle=f"""
@@ -196,36 +233,8 @@ DATE_FMT_DUCK = "%Y-%m-%d"
     tags=("lakehouse", "scd2", "window", "orders"),
 )
 def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    w_seq = Window.partitionBy("o_custkey").orderBy(
-        "o_orderdate", "o_orderkey"
-    )
-    seq = orders.withColumn(
-        "prev_prio", F.lag("o_orderpriority").over(w_seq)
-    )
-    runs = seq.withColumn(
-        "version",
-        F.sum(
-            F.when(
-                F.col("prev_prio").isNull()
-                | (F.col("prev_prio") != F.col("o_orderpriority")),
-                F.lit(1),
-            ).otherwise(F.lit(0))
-        )
-        .over(w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("int"),
-    )
-    intervals = runs.groupBy(
-        "o_custkey", "version", "o_orderpriority"
-    ).agg(
-        F.min("o_orderdate").alias("vf"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-    w_ver = Window.partitionBy("o_custkey").orderBy("version")
-    nxt = F.lead("vf").over(w_ver)
-    return intervals.select(
+    nxt = F.col("vt")
+    return _priority_intervals(spark, sf_dir).select(
         "o_custkey",
         "version",
         "o_orderpriority",
@@ -233,4 +242,112 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, DATE_FMT_SPARK).alias("valid_to"),
         "n_orders",
         nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "scd2_asof_lookup",
+    oracle=f"""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             LAG(o_orderpriority) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev_prio
+      FROM orders
+    ),
+    runs AS (
+      SELECT *,
+             SUM(CASE WHEN prev_prio IS NULL
+                        OR prev_prio <> o_orderpriority
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS version
+      FROM seq
+    ),
+    iv AS (
+      SELECT o_custkey, version, o_orderpriority AS prio,
+             MIN(o_orderdate) AS vf
+      FROM runs GROUP BY o_custkey, version, o_orderpriority
+    ),
+    iv2 AS (
+      -- ORDER BY version, not vf: same-date priority flips give two
+      -- runs an EQUAL vf, and a vf-ordered LEAD is then tie-ambiguous
+      -- (the earlier run must get the empty [d, d) interval)
+      SELECT o_custkey, prio, vf, version,
+             LEAD(vf) OVER (PARTITION BY o_custkey ORDER BY version) AS vt
+      FROM iv
+    )
+    SELECT o.o_orderpriority        AS prio_at_order,
+           i.prio                   AS prio_at_ship,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (CAST(1 AS DECIMAL(4,2))
+                       - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                                    AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN iv2 i
+      ON i.o_custkey = o.o_custkey
+     AND (i.version = 1 OR l.l_shipdate >= i.vf)
+     AND (i.vt IS NULL OR l.l_shipdate < i.vt)
+    GROUP BY prio_at_order, prio_at_ship
+    ORDER BY prio_at_order, prio_at_ship
+    """,
+    doc="Point-in-time (as-of) lookup against the SCD2 dimension — the "
+        "query SCD2 tables exist to answer: each lineitem joins the "
+        "priority interval IN FORCE AT ITS SHIP DATE (customer-equi "
+        "join + half-open range containment; version 1 is effective "
+        "from the beginning of time — the SCD2 backfill convention — "
+        "so intervals tile the whole timeline and fact cardinality is "
+        "preserved exactly, fenced in tests), then revenue rolls up by "
+        "(priority at order, priority at ship). Lines shipping after "
+        "the customer's regime changed land off the diagonal — the "
+        "at-the-time attribution a current-state join silently gets "
+        "wrong (~73% of lines drift in this corpus). Plan: the "
+        "interval build reuses _priority_intervals (all windows "
+        "o_custkey-keyed); the fact side joins orders on o_orderkey "
+        "(SMJ fact-fact), then the dimension on o_custkey with the "
+        "range predicate as a join filter — per-customer interval "
+        "counts are bounded by that customer's own order history, so "
+        "the non-equi filter multiplies within a key, never across "
+        "keys; final aggregate is map-combinable on a ≤25-cell key.",
+    tags=("lakehouse", "scd2", "asof", "join", "lineitem"),
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.functions.money import dec, dsum, one_minus
+
+    iv = _priority_intervals(spark, sf_dir).select(
+        "o_custkey", F.col("o_orderpriority").alias("prio_at_ship"),
+        "version", "vf", "vt",
+    )
+    facts = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey",
+                F.col("o_orderpriority").alias("prio_at_order"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    joined = facts.join(
+        iv,
+        (facts["o_custkey"] == iv["o_custkey"])
+        # version 1 is effective from the beginning of time (the
+        # standard SCD2 backfill convention), so intervals tile
+        # (-inf, +inf) and EVERY fact matches exactly one — this
+        # corpus ships some lines before their order date
+        & ((F.col("version") == 1) | (F.col("l_shipdate") >= F.col("vf")))
+        & (F.col("vt").isNull() | (F.col("l_shipdate") < F.col("vt"))),
+    )
+    return (
+        joined.groupBy("prio_at_order", "prio_at_ship")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(dec("l_extendedprice") * one_minus("l_discount"), "revenue"),
+        )
+        .orderBy("prio_at_order", "prio_at_ship")
     )

@@ -186,3 +186,22 @@ def test_scd2_order_counts_partition_the_facts(spark, duck):
         ).fetchall()
     )
     assert {k[0]: v for k, v in got.items()} == want
+
+
+def test_asof_lookup_partitions_every_lineitem_exactly_once(spark, duck):
+    """The interval set tiles each customer's timeline, so the as-of
+    join must preserve fact cardinality: total n_lines == |lineitem|
+    (no line lost before its first interval, none double-matched on a
+    same-date regime flip)."""
+    from etl_spark.plans.lakehouse import scd2_asof_lookup
+
+    got = scd2_asof_lookup(spark, SF_DIR).collect()
+    total = sum(r["n_lines"] for r in got)
+    want = duck.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    assert total == want
+    # the reason the query exists: lines shipping under a LATER regime
+    drifted = sum(
+        r["n_lines"] for r in got
+        if r["prio_at_order"] != r["prio_at_ship"]
+    )
+    assert drifted > 0
