@@ -57,20 +57,31 @@ def latest_wins_merge(
     batch: DataFrame,
     keys: list[str],
     order_cols: list[str],
+    allow_schema_drift: bool = False,
 ) -> DataFrame:
     """Generic MERGE: one row per ``keys`` from ``current`` ∪ ``batch``,
     the row with the greatest ``order_cols`` (then batch-over-current
     for exact replays, making re-delivery of an already-merged row a
-    byte-identical no-op) wins. Column sets must match.
+    byte-identical no-op) wins. Column sets must match unless
+    ``allow_schema_drift`` — then the union is by name with missing
+    columns null-filled on either side (ADD-COLUMN schema evolution:
+    rows last written before the column existed read as NULL, the
+    Delta/Iceberg additive-evolution contract; the versioned table
+    passes this, the in-place table keeps the strict check).
 
     This is the upsert primitive: batch rows with unseen keys INSERT,
     newer rows UPDATE, stale rows are dropped — in one window over the
     union, no per-row driver logic.
     """
-    cols = current.columns
-    tagged = current.select(*cols).withColumn(
-        "_src", F.lit(0)
-    ).unionByName(batch.select(*cols).withColumn("_src", F.lit(1)))
+    if allow_schema_drift:
+        tagged = current.withColumn("_src", F.lit(0)).unionByName(
+            batch.withColumn("_src", F.lit(1)), allowMissingColumns=True
+        )
+    else:
+        cols = current.columns
+        tagged = current.select(*cols).withColumn(
+            "_src", F.lit(0)
+        ).unionByName(batch.select(*cols).withColumn("_src", F.lit(1)))
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(c).desc() for c in order_cols], F.col("_src").desc()
     )

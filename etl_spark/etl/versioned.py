@@ -101,7 +101,9 @@ def read_versioned_table(
     table = pathlib.Path(table_path)
     v = latest_version(table) if version is None else version
     dirs = [str(table / rel) for rel in _read_manifest(table, v).values()]
-    return spark.read.parquet(*dirs)
+    # mergeSchema: a manifest may reference dirs written before an
+    # ADD-COLUMN evolution — their rows read with the column NULL.
+    return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
 
 def merge_versioned_table(
@@ -128,14 +130,20 @@ def merge_versioned_table(
         str(table / current[b]) for b in touched if b in current
     ]
     if existing_dirs:
-        cur_rows = spark.read.parquet(*existing_dirs)
+        cur_rows = spark.read.option("mergeSchema", "true").parquet(
+            *existing_dirs
+        )
         # partition-dir reads drop the bucket column; batch carries it,
         # so align columns and re-derive kb after the merge.
+        # allow_schema_drift: a batch may carry columns the stored
+        # version predates (and vice versa at read-repair time) —
+        # additive evolution is part of this table's contract.
         merged = latest_wins_merge(
             _bucketed(cur_rows),
             batch.filter(batch[_BUCKET_COL].isin([int(b) for b in touched])),
             keys=["repo_dir", "file_id"],
             order_cols=["extract_ts"],
+            allow_schema_drift=True,
         )
     else:
         merged = batch

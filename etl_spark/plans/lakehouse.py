@@ -351,3 +351,68 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio_at_order", "prio_at_ship")
     )
+
+
+@register(
+    "events_agg_merge",
+    oracle=f"""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CASE WHEN event_id % {CDC_BATCH_MOD} = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_from_batch
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    doc="Incremental maintenance of an AGGREGATE materialized view — "
+        "the third IVM shape next to latest-wins upsert "
+        "(events_snapshot_merge) and delete-aware CDC "
+        "(cdc_apply_events): per-(user, type) COUNT and decimal-exact "
+        "SUM are DISTRIBUTIVE, so the materialized table stores the "
+        "partials and a batch merges by aggregating the UNION of "
+        "(stored partials ⊕ batch partials) with the same combine — "
+        "no history replay, no per-key ordering state, O(|batch| + "
+        "|touched keys|) per refresh. The oracle is the full groupBy "
+        "over all events: green means partial-merge == recompute, the "
+        "self-maintainability property that makes count/sum/min/max "
+        "views refreshable from deltas alone (AVG rides as SUM/COUNT; "
+        "MEDIAN/DISTINCT do NOT decompose this way — they need "
+        "sketches or recompute, which is why the approx family "
+        "exists). Plan: two partial aggregates and one merge "
+        "aggregate, ALL keyed on (user_id, event_type) — partial "
+        "aggregation below every Exchange, shuffle rows bounded by "
+        "distinct keys per partition at any scale.",
+    tags=("lakehouse", "merge", "incremental", "aggregation", "events"),
+)
+def events_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    arriving = F.col("event_id") % CDC_BATCH_MOD == 0
+
+    def partials(df: DataFrame, from_batch: bool) -> DataFrame:
+        # the stored shape of the materialized view: one partial row
+        # per key with mergeable (count, exact-decimal sum) state
+        n = F.count(F.lit(1))
+        return df.groupBy("user_id", "event_type").agg(
+            n.alias("n_events"),
+            F.sum("v").alias("sum_v"),
+            (n if from_batch else F.lit(0).cast("bigint")).alias(
+                "n_from_batch"
+            ),
+        )
+
+    stored = partials(ev.filter(~arriving), False)  # table before the batch
+    batch = partials(ev.filter(arriving), True)
+    return (
+        stored.unionByName(batch)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_v").cast("double").alias("sum_value"),
+            F.sum("n_from_batch").alias("n_from_batch"),
+        )
+        .select("user_id", "event_type", "n_events", "sum_value",
+                "n_from_batch")
+    )

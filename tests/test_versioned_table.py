@@ -133,3 +133,38 @@ def test_vacuum_keeps_exactly_what_retained_manifests_reference(spark, tmp_path)
     assert on_disk == live
     # sanity: bucket count still config-bounded
     assert len(live) <= N_MERGE_BUCKETS
+
+
+def test_add_column_schema_evolution_across_commits(spark, tmp_path):
+    """Additive schema evolution: a later commit's batch carries a NEW
+    column. Rows last written before the column existed read as NULL
+    under the evolved schema; the pre-evolution version still reads
+    with its own (old) schema; latest-wins still works across the
+    schema boundary."""
+    from pyspark.sql import functions as F
+
+    zone = tmp_path / "zone"
+    table = tmp_path / "vtable"
+    t1, t2 = "20250101-000000Z", "20250102-000000Z"
+    for i in range(10):
+        write_run(zone, "r", t1, make_run(i, "r", status="running"))
+    init_versioned_table(load_extraction(spark, zone, t1), table)
+
+    # Extraction 2 re-extracts run 3 and arrives with a new column.
+    write_run(zone, "r", t2, make_run(3, "r", status="completed"))
+    evolved_batch = load_extraction(spark, zone, t2).withColumn(
+        "ingest_source", F.lit("api-v2")
+    )
+    merge_versioned_table(spark, table, evolved_batch)
+
+    latest = read_versioned_table(spark, table)
+    assert "ingest_source" in latest.columns
+    by_id = {r["id"]: r for r in latest.collect()}
+    assert by_id[3]["status"] == "completed"
+    assert by_id[3]["ingest_source"] == "api-v2"
+    # pre-evolution rows read as NULL in the new column
+    assert by_id[1]["ingest_source"] is None
+    assert len(by_id) == 10
+    # the pre-evolution version keeps its own schema
+    v0 = read_versioned_table(spark, table, version=0)
+    assert "ingest_source" not in v0.columns
