@@ -16,7 +16,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_spark.functions.money import dec
@@ -933,3 +933,67 @@ def events_stickiness_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("month", "mau", "active_days", "dau_day_sum", "stickiness")
         .orderBy("month")
     )
+
+
+@register(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type,
+           CAST(n AS BIGINT) AS n_transitions,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY prev_type) AS p_next
+    FROM trans
+    ORDER BY prev_type, next_type
+    """,
+    doc="First-order event-type transition matrix (the Markov-chain "
+        "view of user journeys): consecutive event pairs per user via "
+        "one lag window ordered by (ts, event_id), counted per "
+        "(prev, next) cell, with the row-conditional probability "
+        "p(next | prev) = n / row-total — the matrix behind "
+        "next-action prediction, journey anomaly detection and funnel "
+        "design (a high error→error cell is a stuck-retry loop). "
+        "Engine-exact: counts are integers and each probability is ONE "
+        "division of the cell count by its row sum (the row-total "
+        "window is over the ≤25-cell matrix, not the events). Plan: "
+        "the lag window shuffles once on user_id (key cardinality "
+        "scales with data), the transition aggregate is map-combinable "
+        "on a ≤k² key, and the probability window runs over the tiny "
+        "matrix — at 100 TB the only data-sized stage is the one "
+        "user-keyed window.",
+    tags=("events", "analytics", "window", "markov"),
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    trans = seq.groupBy(
+        F.col("prev_type"), F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    w_row = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_row)
+        ).alias("p_next"),
+    ).orderBy("prev_type", "next_type")
