@@ -1,20 +1,27 @@
-"""Lakehouse table-maintenance queries: CDC changelog apply and SCD
-Type 2 history construction.
+"""Lakehouse table-maintenance queries: CDC changelog apply, SCD
+Type 2 history construction + point-in-time lookup, and aggregate-view
+delta maintenance.
 
 These extend the incremental-snapshot family (`events_snapshot_merge`,
-`etl/merge.py`) with the two other canonical maintenance shapes a
-warehouse team runs daily:
+`etl/merge.py`, `etl/versioned.py`) with the other canonical
+maintenance shapes a warehouse team runs daily:
 
 * **CDC apply** — a change-data-capture log carries INSERT/UPDATE rows
   AND DELETE tombstones; applying it to a snapshot must let deletes
   remove keys and later inserts resurrect them. The reference's S14
   latest-wins dedup (main.py:149-157) is the upsert-only special case;
   this is the delete-aware general form (the shape Debezium/Delta CDF
-  consumers run).
+  consumers run). Streaming twin: `streaming/cdc.py`.
 * **SCD Type 2** — a dimension's attribute history as validity
   intervals [valid_from, valid_to) with an is_current flag: the
   gaps-and-islands construction every dimensional model needs when
-  "what was the value AT THE TIME" questions must be answerable.
+  "what was the value AT THE TIME" questions must be answerable —
+  plus the AS-OF lookup join that answers them (facts joined to the
+  interval in force at fact time).
+* **Aggregate-view delta maintenance** — distributive aggregates
+  (count/sum) refresh from stored partials ⊕ batch partials under the
+  same combine, no history replay: the third IVM shape next to
+  latest-wins upsert and delete-aware CDC.
 
 Scale notes: every shuffle in this module is keyed by the entity key
 (user_id / o_custkey) — cardinality grows with the data, so the
