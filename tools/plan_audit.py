@@ -225,6 +225,20 @@ AUDIT = [
      "winsorized mean: per-type cut aggregate broadcast back "
      "(5 rows), clamp evaluated map-side, final map-combinable "
      "groupBy on event_type"),
+    ("scd2_asof_lookup",
+     "point-in-time SCD2 lookup: interval build windows all keyed by "
+     "o_custkey; fact-fact orderkey join and the custkey interval "
+     "join are shuffle joins with the range containment as a join "
+     "filter — no cartesian, final aggregate map-combinable on the "
+     "25-cell priority grid"),
+    ("events_agg_merge",
+     "aggregate-view delta maintenance: partial aggregation below "
+     "every Exchange; stored and batch partials union and re-combine "
+     "on the same (user_id, event_type) key"),
+    ("events_type_transitions",
+     "Markov transition matrix: one user-keyed lag window is the only "
+     "data-sized stage; the probability window runs over the <=25-row "
+     "matrix with a prev_type partition key"),
 ]
 
 INTERESTING = re.compile(
