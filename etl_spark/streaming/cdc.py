@@ -90,3 +90,59 @@ def events_as_changelog(events: DataFrame, delete_type: str) -> DataFrame:
         .otherwise(F.lit("U"))
         .alias("op"),
     )
+
+
+def run_cdc_stream_to_table(
+    spark,
+    changelog: DataFrame,
+    checkpoint_dir,
+    table_path,
+) -> None:
+    """PRODUCTION sink for the CDC stream: maintain a keyed parquet
+    table from the update-mode emissions inside foreachBatch — upsert
+    on user_id, greatest (event_ts, event_id) wins, TOMBSTONES KEPT in
+    the table (the serving filter lives in ``read_cdc_table``, so a
+    later batch can still resurrect or re-delete any key). Nothing is
+    collected to the driver.
+
+    Exactly-once table state from at-least-once foreachBatch:
+    emissions are deterministic and latest-wins replays are no-ops.
+    This twin rewrites the whole (key-cardinality-sized) table per
+    batch for simplicity; the bucket-partitioned touched-files-only
+    form is etl/merge.py's — at scale the sink merges into that table
+    instead, same upsert contract.
+    """
+    import pathlib
+
+    from etl_spark.etl.merge import latest_wins_merge
+
+    table = pathlib.Path(table_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if (table / "_SUCCESS").exists():
+            current = batch_df.sparkSession.read.parquet(str(table))
+            merged = latest_wins_merge(
+                current,
+                batch_df,
+                keys=["user_id"],
+                order_cols=["event_ts", "event_id"],
+            ).localCheckpoint(eager=True)  # write target IS the source
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(str(table))
+
+    q = (
+        cdc_apply_stream(changelog)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cdc_table(spark, table_path) -> DataFrame:
+    """The served view: tombstoned keys hidden, exactly like the batch
+    query's final filter."""
+    return spark.read.parquet(str(table_path)).filter(F.col("op") == "U")

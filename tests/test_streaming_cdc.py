@@ -87,3 +87,59 @@ def test_streaming_cdc_matches_batch_replay(spark, duck, tmp_path):
     assert any(op == "D" for _, op, _ in want.values()), (
         "fixture must exercise the tombstone path"
     )
+
+
+def test_cdc_table_sink_matches_batch_query(spark, duck, tmp_path):
+    """The production table sink: drained stream -> parquet table; the
+    served view must equal the batch query, and the raw table must
+    RETAIN tombstones (the resurrection precondition)."""
+    import json as _json
+
+    from etl_spark.io import load
+    from etl_spark.plans.lakehouse import cdc_apply_events
+    from etl_spark.streaming.cdc import (
+        read_cdc_table,
+        run_cdc_stream_to_table,
+    )
+
+    events = load(spark, SF_DIR, "events")
+    pdf = events.toPandas()
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate(range(0, len(pdf), 200)):
+        rows = pdf.iloc[chunk : chunk + 200]
+        with open(src / f"b{i:04d}.json", "w") as f:
+            for _, r in rows.iterrows():
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": int(r.event_id),
+                            "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                            "user_id": int(r.user_id),
+                            "event_type": r.event_type,
+                            "value": float(r.value),
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+
+    changelog = events_as_changelog(
+        read_event_stream(spark, str(src)), CDC_DELETE_TYPE
+    )
+    table = tmp_path / "cdc_table"
+    run_cdc_stream_to_table(spark, changelog, tmp_path / "ckpt", table)
+
+    served = {
+        (r["user_id"], r["event_id"], r["value"])
+        for r in read_cdc_table(spark, table).collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"], r["value"])
+        for r in cdc_apply_events(spark, SF_DIR).collect()
+    }
+    assert served == want
+    raw_ops = {
+        r["op"] for r in spark.read.parquet(str(table)).collect()
+    }
+    assert raw_ops == {"U", "D"}  # tombstones live in the table
