@@ -997,3 +997,106 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(w_row)
         ).alias("p_next"),
     ).orderBy("prev_type", "next_type")
+
+
+@register(
+    "orders_open_backlog_daily",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS opened,
+             GREATEST(CAST(o.o_orderdate AS DATE),
+                      CAST(MAX(l.l_shipdate) AS DATE)) AS closed
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT opened AS day, COUNT(*) AS n_opened,
+             CAST(0 AS BIGINT) AS n_closed
+      FROM spans GROUP BY opened
+      UNION ALL
+      SELECT closed AS day, CAST(0 AS BIGINT), COUNT(*)
+      FROM spans GROUP BY closed
+    ),
+    daily AS (
+      SELECT day, SUM(n_opened) AS n_opened, SUM(n_closed) AS n_closed
+      FROM deltas GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_closed AS BIGINT) AS n_closed,
+           CAST(SUM(n_opened - n_closed) OVER (
+             ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS open_backlog
+    FROM daily
+    ORDER BY day
+    """,
+    doc="Daily end-of-day open-order backlog via sweep line (interval "
+        "stabbing): each order is an interval [order date, "
+        "last ship date] (orders with no lineitems have no interval "
+        "and are out of scope); instead of joining every day against "
+        "every "
+        "interval (days × orders), emit a +1 delta at open and a -1 "
+        "at close, aggregate deltas per day (map-combinable), and run "
+        "ONE cumulative sum — backlog(d) = opened≤d − closed≤d. The "
+        "close is clamped to GREATEST(opened, last ship): ~20% of "
+        "this corpus's orders have every line shipped BEFORE the "
+        "order date, and an unclamped close would open them forever "
+        "(they count as open for zero full days instead). Scale "
+        "shape: the only data-sized stages are the orderkey fact-fact "
+        "join and the per-day delta aggregates; the cumsum window "
+        "runs over the calendar-bounded daily frame (thousands of "
+        "rows at ANY corpus size — same allowance class as "
+        "orders_monthly_revenue_growth).",
+    tags=("analytics", "orders", "sweepline", "window"),
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .join(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("closed_ts"))
+        .select(
+            F.to_date("o_orderdate").alias("opened"),
+            # clamp: all-lines-shipped-early orders close the day they
+            # open instead of staying in the backlog forever
+            F.greatest(
+                F.to_date("o_orderdate"), F.to_date("closed_ts")
+            ).alias("closed"),
+        )
+    )
+    opens = spans.groupBy(F.col("opened").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_opened"),
+        F.lit(0).cast("bigint").alias("n_closed"),
+    )
+    closes = (
+        spans.groupBy(F.col("closed").alias("day"))
+        .agg(
+            F.lit(0).cast("bigint").alias("n_opened"),
+            F.count(F.lit(1)).alias("n_closed"),
+        )
+    )
+    daily = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(
+            F.sum("n_opened").alias("n_opened"),
+            F.sum("n_closed").alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).alias(
+            "open_backlog"
+        ),
+    ).orderBy("day")

@@ -205,3 +205,26 @@ def test_asof_lookup_partitions_every_lineitem_exactly_once(spark, duck):
         if r["prio_at_order"] != r["prio_at_ship"]
     )
     assert drifted > 0
+
+
+def test_backlog_sweep_is_conservative(spark, duck):
+    """Sweep-line invariants: the backlog never goes negative, and it
+    returns to ZERO on the last day — every interval that opens also
+    closes (the clamp guarantees this even for the ~20% of orders
+    whose lines all shipped early)."""
+    from etl_spark.plans.analytics import orders_open_backlog_daily
+
+    rows = sorted(
+        orders_open_backlog_daily(spark, SF_DIR).collect(),
+        key=lambda r: r["day"],
+    )
+    assert all(r["open_backlog"] >= 0 for r in rows)
+    assert rows[-1]["open_backlog"] == 0
+    # orders with no lineitems have no interval (inner join): the
+    # sweep covers exactly the orders with line activity
+    n_spanned = duck.execute(
+        "SELECT COUNT(DISTINCT o_orderkey) FROM orders "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)"
+    ).fetchone()[0]
+    assert sum(r["n_opened"] for r in rows) == n_spanned
+    assert sum(r["n_closed"] for r in rows) == n_spanned

@@ -61,6 +61,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "text_vocab_growth":             "10 corpus-fraction buckets (fixed)",
     "orders_monthly_revenue_growth": "one row per month (calendar-bounded)",
     "text_bm25_rank":                "rank over the TakeOrdered top-20 only",
+    "orders_open_backlog_daily":     "cumsum over the day-grain deltas (calendar-bounded)",
 }
 
 _WINDOW_NODE_CLASSES = {
