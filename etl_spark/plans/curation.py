@@ -1083,3 +1083,133 @@ def curation_context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("ctx_len")
     )
+
+
+LIFT_DECILES = 10
+# The lift signal: membership in a Jaccard >= this near-dup pair
+# (same bar as dedup_prefix_filter_pairs).
+LIFT_NEARDUP_T = 0.5
+
+
+@register(
+    "curation_quality_lift",
+    oracle=f"""
+    WITH sh AS ({{SHINGLES_SQL}}),
+    sized AS (
+      SELECT doc_id, shingle,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+      FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_common,
+             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+      FROM sized a JOIN sized b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dup_docs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
+              >= {{T}}
+        UNION ALL
+        SELECT doc_b FROM pairs
+        WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
+              >= {{T}}
+      )
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+               / len(string_split(d.text, ' ')) AS score,
+             d.doc_id IN (SELECT doc_id FROM dup_docs) AS is_dup
+      FROM documents d
+    ),
+    tiled AS (
+      SELECT score, is_dup,
+             NTILE({{K}}) OVER (ORDER BY score, doc_id) AS decile
+      FROM scored
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dups,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_rate,
+           MIN(score) AS score_lo,
+           MAX(score) AS score_hi
+    FROM tiled
+    GROUP BY decile
+    ORDER BY decile
+    """.format(SHINGLES_SQL=SHINGLES_SQL, T=LIFT_NEARDUP_T,
+               K=LIFT_DECILES),
+    doc="Quality-signal lift table — the calibration check run before "
+        "trusting a heuristic score as a curation gate: docs are "
+        f"ranked by distinct-token ratio into {LIFT_DECILES} exact "
+        "deciles and each decile reports its NEAR-DUP rate (membership "
+        f"in a Jaccard ≥ {LIFT_NEARDUP_T} pair, the "
+        "dedup_prefix_filter_pairs bar — the corpus has no exact dups "
+        "at test scales, near-dup structure is the live signal). A "
+        "flat dup_rate across deciles means the score carries no "
+        "dedup information; concentrated lift justifies score-gated "
+        "sampling. All stats are integers or single exact divisions; "
+        "per-decile score bounds are MIN/MAX (order-independent), "
+        "never a float mean. Plan: the global decile uses the "
+        "two-phase prefix-rank (operators/ranking.py, same as "
+        "customer_rfm_segments) — NO single-partition window however "
+        "big the corpus; the dup-doc set reuses the prefix-filtered "
+        "pair machinery and joins back as a LEFT semi-style flag.",
+    tags=("curation", "llm", "quality", "lift"),
+)
+def curation_quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.ranking import (
+        global_rank_cumsum,
+        ntile_from_rank,
+    )
+    from etl_spark.plans.llm_dedup import dedup_prefix_filter_pairs
+
+    pairs = dedup_prefix_filter_pairs(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    toks = F.split(F.col("text"), " ")
+    scored = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks)
+            ).alias("score"),
+        )
+        .join(dup_docs, "doc_id", "left")
+        .select(
+            "doc_id", "score",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+    ranked, totals = global_rank_cumsum(scored, key="score", tie="doc_id")
+    tiled = ranked.select(
+        "score", "is_dup",
+        ntile_from_rank(F.col("rn"), totals["n"], LIFT_DECILES).alias(
+            "decile"
+        ),
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dups"),
+            (
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_rate"),
+            F.min("score").alias("score_lo"),
+            F.max("score").alias("score_hi"),
+        )
+        .orderBy("decile")
+    )

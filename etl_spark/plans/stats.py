@@ -430,11 +430,21 @@ WINSOR_HI = 0.95
 @register(
     "stats_winsorized_value",
     oracle=f"""
-    WITH cuts AS (
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    cuts AS (
       SELECT event_type,
-             quantile_cont(value, {WINSOR_LO}) AS p_lo,
-             quantile_cont(value, {WINSOR_HI}) AS p_hi
-      FROM events GROUP BY event_type
+             MIN(CASE WHEN rn = CAST(ceil({WINSOR_LO} * n) AS BIGINT)
+                      THEN value END) AS p_lo,
+             MIN(CASE WHEN rn = CAST(ceil({WINSOR_HI} * n) AS BIGINT)
+                      THEN value END) AS p_hi
+      FROM ranked
+      GROUP BY event_type
     ),
     clamped AS (
       SELECT e.event_type, c.p_lo, c.p_hi,
@@ -456,29 +466,42 @@ WINSOR_HI = 0.95
     ORDER BY event_type
     """,
     doc=f"Winsorized robust mean per event type: values below the "
-        f"exact p{int(WINSOR_LO*100):02d} / above the exact "
+        f"DISCRETE p{int(WINSOR_LO*100):02d} / above the discrete "
         f"p{int(WINSOR_HI*100)} are CLAMPED to the cut (not dropped — "
         "winsorizing keeps n and downweights tails, the standard "
         "robust-mean for metrics with fat-tailed junk, e.g. bot "
-        "traffic in 'value'). Cuts are interpolated percentiles — "
-        "engine-identical doubles (proven by agg_percentiles / the MAD "
-        "query) — joined back BROADCAST (5 event types); the clamp is "
-        "pure comparisons, and the mean is a decimal-exact SUM over "
-        "clamped values divided by n (double→DECIMAL(18,6) nearest-"
-        "rounding is unambiguous: no double sits exactly on a "
-        "6-decimal midpoint, those midpoints are not binary-"
-        "representable). Two map-combinable groupBys on a 5-value key "
-        "+ one broadcast join: shuffle is k rows/partition at any "
-        "scale. Skew note: exact per-group percentile() is a "
-        "per-group sort — at 100 TB swap the cuts CTE for "
-        "approx_percentile and keep the clamp/mean pass unchanged.",
+        "traffic in 'value'). Cuts are PERCENTILE_DISC-style actual "
+        "data values via the explicit rank formula (value at row "
+        "ceil(p*n) of the (value, event_id)-sorted group, same "
+        "contract as agg_percentile_disc) — interpolated percentiles "
+        "were measured 1 ulp apart between the engines at sf1 "
+        "(different but mathematically-equal interpolation "
+        "expressions), which flipped boundary rows' clamp side; a "
+        "data value cannot diverge. Cuts ride back BROADCAST (5 "
+        "event types); the clamp is pure comparisons, and the mean "
+        "is a decimal-exact SUM over clamped values divided by n. "
+        "Skew note: the exact per-group rank is a per-group sort — "
+        "at 100 TB swap the cuts CTE for approx_percentile and keep "
+        "the clamp/mean pass unchanged.",
     tags=("aggregation", "statistics", "robust"),
 )
 def stats_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    cuts = ev.groupBy("event_type").agg(
-        F.expr(f"percentile(value, {WINSOR_LO})").alias("p_lo"),
-        F.expr(f"percentile(value, {WINSOR_HI})").alias("p_hi"),
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def disc(p: float):
+        at = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        return F.min(F.when(F.col("rn") == at, F.col("value")))
+
+    cuts = ranked.groupBy("event_type").agg(
+        disc(WINSOR_LO).alias("p_lo"),
+        disc(WINSOR_HI).alias("p_hi"),
     )
     wv = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
     return (

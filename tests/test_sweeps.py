@@ -56,3 +56,34 @@ def test_dedup_threshold_sweep_monotone_and_consistent(spark):
     base = next(r for r in rows if r["t_pct"] == 5)
     n_base_pairs = REGISTRY["dedup_jaccard_pairs"].builder(spark, SF_DIR).count()
     assert base["n_pairs"] == n_base_pairs
+
+
+def test_quality_lift_deciles_follow_ntile_rule(spark, duck):
+    """Lift-table fences: decile sizes follow the exact NTILE split,
+    every doc lands in exactly one decile, and total flagged dups
+    equal the corpus's near-dup pair membership count."""
+    from etl_spark.plans.curation import LIFT_DECILES, curation_quality_lift
+
+    rows = sorted(
+        curation_quality_lift(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, LIFT_DECILES + 1))
+    n = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    q, r = divmod(n, LIFT_DECILES)
+    assert [x["n_docs"] for x in rows] == [
+        q + 1 if i < r else q for i in range(LIFT_DECILES)
+    ]
+    from etl_spark.plans.llm_dedup import dedup_prefix_filter_pairs
+
+    pairs = dedup_prefix_filter_pairs(spark, "/root/testdata/sf0.001").collect()
+    n_dup_docs = len(
+        {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    )
+    assert sum(x["n_dups"] for x in rows) == n_dup_docs
+    assert n_dup_docs > 0  # fixture exercises the signal
+    # score bounds are non-decreasing across deciles (rank order real)
+    for a, b in zip(rows, rows[1:]):
+        assert a["score_hi"] <= b["score_lo"] or abs(
+            a["score_hi"] - b["score_lo"]
+        ) < 1e-12
