@@ -1511,3 +1511,67 @@ def perceptual_hash(
         .where(F.col(payload_col).isNotNull())
         .mapInPandas(batches, schema=schema)
     )
+
+
+# Autocorrelation lags for the periodicity features: samples (not
+# frames), so lag L compares s[i] with s[i+L].
+AUTOCORR_LAGS = (1, 2, 4)
+
+
+def audio_autocorr(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Clip-level autocorrelation features: decode each WAV payload
+    (stdlib ``wave``, 8-bit PCM only — same loud sample-width guard as
+    frame_audio_energy) and emit, per clip,
+
+      n_samples  decoded sample count
+      r0         Σ s[i]²            (energy; autocorr at lag 0)
+      r<L>       Σ s[i]·s[i+L]      for each L in AUTOCORR_LAGS
+
+    over centered samples s = byte − 128. Autocorrelation at short
+    lags is the classic periodicity/voicing signal (speech vs noise vs
+    silence) and — unlike spectral features — it is EXACT integer
+    math: each r is an int64 dot product, so the oracle can replay it
+    from the fixture text and normalized ratios downstream are single
+    exact divisions. Narrow Arrow map: one row out per clip, the
+    payload never shuffles, per-clip work is numpy dot products."""
+    _LAGS = AUTOCORR_LAGS  # captured by value; workers can't import us
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+        import pandas as _pd
+
+        cols = ["doc_id", "n_samples", "r0"] + [f"r{L}" for L in _LAGS]
+        dtypes = {c: "int64" for c in cols}
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                with _wave.open(_io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getsampwidth() != 1:
+                        raise ValueError(
+                            "audio_autocorr expects 8-bit PCM, got "
+                            f"sample width {w.getsampwidth()}"
+                        )
+                    pcm = w.readframes(w.getnframes())
+                n = len(pcm)
+                if n == 0:
+                    continue
+                s = _np.frombuffer(pcm, dtype=_np.uint8).astype(_np.int64) - 128
+                row = [int(doc_id), n, int(_np.dot(s, s))]
+                for L in _LAGS:
+                    row.append(int(_np.dot(s[:-L], s[L:])) if n > L else 0)
+                rows.append(row)
+            yield (
+                _pd.DataFrame(rows, columns=cols)
+                if rows
+                else _pd.DataFrame(columns=cols).astype(dtypes)
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id bigint, n_samples bigint, r0 bigint, "
+        + ", ".join(f"r{L} bigint" for L in _LAGS),
+    )

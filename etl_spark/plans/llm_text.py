@@ -1161,3 +1161,84 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("dl").cast("bigint").alias("dl"), "score",
         F.row_number().over(w).cast("int").alias("rnk"),
     )
+
+
+# Feature-hashing dimensionality and the deterministic stand-in
+# weights: weight(bucket) = (bucket % 7) - 3 ∈ [-3, 3]. A real
+# pipeline loads trained weights as a config array; the derivation
+# here keeps the oracle closed-form while exercising the identical
+# plan (hash → bucket → weight → margin).
+HASH_DIM = 1024
+_H16_TOKEN_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(t), {c}, 1)) - 1)"
+    f" * {16 ** (4 - c)}"
+    for c in range(1, 5)
+)
+
+
+@register(
+    "text_hashing_trick_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    mapped AS (
+      SELECT doc_id, ts,
+             list_transform(ts, t -> ({_H16_TOKEN_SQL}) % {HASH_DIM})
+               AS buckets
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(list_distinct(buckets)) AS BIGINT)
+             AS n_distinct_buckets,
+           CAST(list_sum(list_transform(buckets, b -> (b % 7) - 3))
+                AS BIGINT) AS margin,
+           CAST(list_sum(list_transform(buckets, b -> (b % 7) - 3))
+                AS BIGINT) > 0 AS predicted
+    FROM mapped
+    ORDER BY doc_id
+    """,
+    doc=f"The feature-hashing trick (Weinberger et al.: the core of "
+        "large-scale linear text classification — Vowpal Wabbit, "
+        "spam filters): every token hashes into a FIXED "
+        f"{HASH_DIM}-dim space (md5 4-hex prefix mod dim, the "
+        "engine-identical hash this repo uses everywhere), so the "
+        "model is a dense weight array independent of vocabulary "
+        "size, and scoring is margin = Σ weight[bucket(token)] — "
+        "here with deterministic stand-in weights (bucket%7 − 3) so "
+        "the oracle is closed-form; a trained model swaps in a "
+        "config array, same plan. Emits the collision telemetry "
+        "(distinct tokens vs distinct buckets) that sizes the dim in "
+        "practice. Everything is IN-ROW JVM higher-order functions "
+        "over the token array — integer margins, ZERO shuffles, no "
+        "UDF: the narrowest possible plan at any corpus size.",
+    tags=("text", "llm", "ml", "hashing"),
+)
+def text_hashing_trick_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens_col()
+    bucket = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint")
+        % HASH_DIM
+    )
+    weight = lambda t: bucket(t) % 7 - 3  # noqa: E731
+    margin = F.aggregate(
+        F.transform(toks, weight), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias(
+                "n_distinct_tokens"
+            ),
+            F.size(F.array_distinct(F.transform(toks, bucket)))
+            .cast("bigint")
+            .alias("n_distinct_buckets"),
+            margin.alias("margin"),
+            (margin > 0).alias("predicted"),
+        )
+        .orderBy("doc_id")
+    )

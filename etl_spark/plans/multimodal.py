@@ -1355,3 +1355,89 @@ def mm_phash_history_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_gate(
         arriving, history_phash_index(spark, sf_dir).hint("merge")
     ).orderBy("doc_id")
+
+
+_AUTOCORR_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE {ascii_docs} AND length(text) > 0
+    ),
+    s AS (
+      SELECT doc_id, n,
+             list_transform(generate_series(1, n),
+                            i -> ord(text[i]) - 128) AS v
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(generate_series(1, n),
+                i -> v[i] * v[i])) AS BIGINT) AS r0,
+           {lag_cols},
+           {norm_cols}
+    FROM s
+    ORDER BY doc_id
+"""
+
+
+def _autocorr_oracle() -> str:
+    from etl_spark.operators.media import AUTOCORR_LAGS
+
+    lag_cols = ",\n           ".join(
+        f"CAST(CASE WHEN n > {L} THEN list_sum(list_transform("
+        f"generate_series(1, n - {L}), i -> v[i] * v[i + {L}])) "
+        f"ELSE 0 END AS BIGINT) AS r{L}"
+        for L in AUTOCORR_LAGS
+    )
+    norm_cols = ",\n           ".join(
+        f"CAST(CASE WHEN n > {L} THEN list_sum(list_transform("
+        f"generate_series(1, n - {L}), i -> v[i] * v[i + {L}])) "
+        f"ELSE 0 END AS DOUBLE) / "
+        f"list_sum(list_transform(generate_series(1, n), i -> v[i] * v[i]))"
+        f" AS norm_r{L}"
+        for L in AUTOCORR_LAGS
+    )
+    return _AUTOCORR_ORACLE.format(
+        ascii_docs=_ASCII_DOCS_SQL, lag_cols=lag_cols, norm_cols=norm_cols
+    )
+
+
+@register(
+    "mm_audio_autocorr",
+    oracle=_autocorr_oracle(),
+    doc="Clip-level autocorrelation features over decoded audio — the "
+        "classic periodicity/voicing signal (speech vs noise vs "
+        "silence) a speech-curation pipeline computes after decode: "
+        "each genuine WAV payload is decoded by the stdlib wave codec "
+        "on the workers and r(L) = Σ s[i]·s[i+L] emitted for lags "
+        "0/1/2/4 over centered samples, ALL exact int64 dot products "
+        "(numpy, no Python loop), plus normalized r(L)/r(0) as single "
+        "exact divisions — unlike spectral features, autocorrelation "
+        "needs no libm, so the oracle replays it arithmetically from "
+        "the fixture text (PCM = utf-8 bytes by construction, same "
+        "contract as mm_audio_frame_energy). Plan: narrow Arrow "
+        "decode map emitting ONE row per clip; the payload never "
+        "shuffles; no joins, no windows — zero data-sized Exchanges.",
+    tags=("multimodal", "llm", "audio", "pandas-udf"),
+)
+def mm_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.media import (
+        AUTOCORR_LAGS,
+        audio_autocorr,
+        with_wav_payload,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(_ASCII_DOCS)
+        .where(F.length("text") > 0)
+    )
+    feats = audio_autocorr(with_wav_payload(docs))
+    norm = [
+        (F.col(f"r{L}").cast("double") / F.col("r0")).alias(f"norm_r{L}")
+        for L in AUTOCORR_LAGS
+    ]
+    return feats.select(
+        "doc_id", "n_samples", "r0",
+        *[F.col(f"r{L}") for L in AUTOCORR_LAGS],
+        *norm,
+    ).orderBy("doc_id")
