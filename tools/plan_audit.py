@@ -239,6 +239,21 @@ AUDIT = [
      "Markov transition matrix: one user-keyed lag window is the only "
      "data-sized stage; the probability window runs over the <=25-row "
      "matrix with a prev_type partition key"),
+    ("orders_open_backlog_daily",
+     "sweep-line backlog: orderkey fact-fact join, per-day "
+     "map-combinable delta aggregates, cumsum over the "
+     "calendar-bounded daily frame (allowlisted)"),
+    ("curation_quality_lift",
+     "lift table: two-phase prefix rank (no empty-partitionSpec "
+     "window over the corpus), dup flag via hash-keyed window, "
+     "decile aggregate map-combinable"),
+    ("mm_audio_autocorr",
+     "clip autocorrelation: one Arrow mapInPandas decode+feature "
+     "stage, one row per clip, payload bytes never cross an Exchange"),
+    ("text_hashing_trick_score",
+     "feature hashing: in-row higher-order functions only — the plan "
+     "is scan + project + sort for display, zero data-sized "
+     "Exchanges"),
 ]
 
 INTERESTING = re.compile(
