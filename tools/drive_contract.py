@@ -56,12 +56,18 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 
 qs = E.queries()
 oracles = E.oracle_sql()
-# DRIVE_ONLY=<glob> restricts the drive to matching query names —
-# iteration aid only; round receipts always run the full registry.
+# DRIVE_ONLY=<glob>[,<glob>...] restricts the drive to query names
+# matching ANY listed glob — iteration aid and the perturbed-corpus
+# superlinear slice; full round receipts always run the whole registry.
 only = os.environ.get("DRIVE_ONLY")
 if only:
     import fnmatch
-    qs = {n: q for n, q in qs.items() if fnmatch.fnmatch(n, only)}
+    globs = [g for g in only.split(",") if g]
+    qs = {
+        n: q
+        for n, q in qs.items()
+        if any(fnmatch.fnmatch(n, g) for g in globs)
+    }
     print(f"DRIVE_ONLY={only}: {len(qs)} queries")
 fail = 0
 for name in sorted(qs):
