@@ -1120,11 +1120,15 @@ LIFT_NEARDUP_T = 0.5
       )
     ),
     scored AS (
+      -- NULL text is unscorable and unrankable (the rank engine
+      -- requires a non-null key; engines also disagree on NULL sort
+      -- position) — excluded from calibration by contract
       SELECT d.doc_id,
              CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
                / len(string_split(d.text, ' ')) AS score,
              d.doc_id IN (SELECT doc_id FROM dup_docs) AS is_dup
       FROM documents d
+      WHERE d.text IS NOT NULL
     ),
     tiled AS (
       SELECT score, is_dup,
@@ -1179,6 +1183,7 @@ def curation_quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     scored = (
         load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
         .select(
             "doc_id",
             (

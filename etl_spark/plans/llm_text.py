@@ -1195,8 +1195,8 @@ _H16_TOKEN_SQL = " + ".join(
              AS n_distinct_buckets,
            CAST(list_sum(list_transform(buckets, b -> (b % 7) - 3))
                 AS BIGINT) AS margin,
-           CAST(list_sum(list_transform(buckets, b -> (b % 7) - 3))
-                AS BIGINT) > 0 AS predicted
+           COALESCE(CAST(list_sum(list_transform(buckets, b -> (b % 7) - 3))
+                AS BIGINT) > 0, FALSE) AS predicted
     FROM mapped
     ORDER BY doc_id
     """,
@@ -1238,7 +1238,11 @@ def text_hashing_trick_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_distinct_buckets"),
             margin.alias("margin"),
-            (margin > 0).alias("predicted"),
+            # NULL-text docs have NULL margin; the class verdict is
+            # pinned to FALSE in BOTH engines (a doc with no scorable
+            # tokens is not positive) — nullable booleans render
+            # differently across engines and are banned in outputs
+            F.coalesce(margin > 0, F.lit(False)).alias("predicted"),
         )
         .orderBy("doc_id")
     )
