@@ -423,3 +423,112 @@ def events_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "n_events", "sum_value",
                 "n_from_batch")
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH log AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = '{CDC_DELETE_TYPE}' THEN 'D'
+                  ELSE 'U' END AS op,
+             event_id % {CDC_BATCH_MOD} = 0 AS arriving
+      FROM events
+    ),
+    old_served AS (
+      SELECT user_id, event_id, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) rn
+        FROM log WHERE NOT arriving
+      ) WHERE rn = 1 AND op = 'U'
+    ),
+    new_served AS (
+      SELECT user_id, event_id, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) rn
+        FROM log
+      ) WHERE rn = 1 AND op = 'U'
+    )
+    SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'I'
+                WHEN n.user_id IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           o.event_id AS old_event_id,
+           n.event_id AS new_event_id,
+           o.value    AS old_value,
+           n.value    AS new_value
+    FROM old_served o
+    FULL OUTER JOIN new_served n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.event_id <> n.event_id
+    ORDER BY user_id
+    """,
+    doc="Snapshot DIFF — the inverse of cdc_apply_events: given the "
+        "served view at the pre-batch horizon and the served view "
+        "now, derive the changelog that transforms one into the other "
+        "(I for new keys, U for keys whose winning row changed, D for "
+        "keys the batch tombstoned). This is how teams BACKFILL a CDC "
+        "feed when the source system only exposes snapshots, and the "
+        "round-trip contract — apply(old, diff(old, new)) == new — is "
+        "what makes the pair trustworthy (fenced in tests). Plan: two "
+        "keyed latest-wins windows share the user_id Exchange with "
+        "the full outer join; unchanged keys drop before anything "
+        "leaves the join — output is O(changed keys), the property "
+        "that makes snapshot-diff CDC feasible at 100 TB (the diff is "
+        "batch-sized, not table-sized).",
+    tags=("lakehouse", "cdc", "diff", "events"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == CDC_DELETE_TYPE, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    arriving = F.col("event_id") % CDC_BATCH_MOD == 0
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def served(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+            .select("user_id", "event_id", "value")
+        )
+
+    old = served(log.filter(~arriving)).select(
+        F.col("user_id").alias("o_user"),
+        F.col("event_id").alias("old_event_id"),
+        F.col("value").alias("old_value"),
+    )
+    new = served(log).select(
+        F.col("user_id").alias("n_user"),
+        F.col("event_id").alias("new_event_id"),
+        F.col("value").alias("new_value"),
+    )
+    joined = old.join(
+        new, old["o_user"] == new["n_user"], "full_outer"
+    )
+    return (
+        joined.filter(
+            F.col("o_user").isNull()
+            | F.col("n_user").isNull()
+            | (F.col("old_event_id") != F.col("new_event_id"))
+        )
+        .select(
+            F.coalesce("n_user", "o_user").alias("user_id"),
+            F.when(F.col("o_user").isNull(), F.lit("I"))
+            .when(F.col("n_user").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "old_event_id",
+            "new_event_id",
+            "old_value",
+            "new_value",
+        )
+        .orderBy("user_id")
+    )

@@ -366,3 +366,62 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "dq_freshness_by_source",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             MAX(ts) AS latest_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(latest_ts) AS global_ts FROM per)
+    SELECT per.event_type,
+           strftime(per.latest_ts, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+           CAST((epoch_us(g.global_ts) - epoch_us(per.latest_ts)) // 60000000
+                AS BIGINT) AS lag_minutes,
+           per.n_events
+    FROM per CROSS JOIN g
+    ORDER BY per.event_type
+    """,
+    doc="Per-stream freshness audit — the first alert a pipeline "
+        "on-call wires up: each event stream's newest timestamp and "
+        "its lag behind the freshest stream, in exact integer minutes "
+        "(microsecond subtraction then integer division — no float "
+        "time math). A stream whose lag grows monotonically has "
+        "stalled upstream. One map-combinable groupBy on a 5-value "
+        "key plus a 1-row global aggregate joined as a broadcast "
+        "literal; shuffle is k rows per partition at any scale.",
+    tags=("quality", "freshness", "aggregation"),
+)
+def dq_freshness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.max("ts").alias("latest_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    g = per.agg(F.max("latest_ts").alias("global_ts"))
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.date_format("latest_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "latest_ts"
+            ),
+            # integer floor-division on BOTH sides: double division +
+            # cast would truncate in Spark but round in DuckDB
+            F.expr(
+                "(unix_micros(global_ts) - unix_micros(latest_ts))"
+                " div 60000000"
+            )
+            .cast("bigint")
+            .alias("lag_minutes"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )

@@ -31,6 +31,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "per-event_type MAD: 5 event types, constant",
     ("plans/stats.py", "stats_winsorized_value", "cuts"):
         "per-event_type winsor cut points: 5 event types, constant",
+    ("plans/quality.py", "dq_freshness_by_source", "g"):
+        "single-row global max-timestamp aggregate",
     ("plans/analytics.py", "events_rolling_7d_active_users", "days"):
         "generated day spine: bounded by the calendar span",
     ("plans/analytics.py", "events_rolling_7d_active_users_approx", "days"):

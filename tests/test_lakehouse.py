@@ -228,3 +228,55 @@ def test_backlog_sweep_is_conservative(spark, duck):
     ).fetchone()[0]
     assert sum(r["n_opened"] for r in rows) == n_spanned
     assert sum(r["n_closed"] for r in rows) == n_spanned
+
+
+def test_snapshot_diff_round_trip(spark, duck):
+    """apply(old, diff(old, new)) == new — the contract that makes a
+    snapshot-derived CDC feed trustworthy."""
+    from etl_spark.plans.lakehouse import cdc_snapshot_diff
+
+    diff = cdc_snapshot_diff(spark, SF_DIR).collect()
+    old = {
+        u: (e, v)
+        for u, e, v in duck.execute(
+            f"""
+            SELECT user_id, event_id, value FROM (
+              SELECT *, CASE WHEN event_type = '{CDC_DELETE_TYPE}'
+                             THEN 'D' ELSE 'U' END AS op,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) rn
+              FROM events WHERE event_id % {CDC_BATCH_MOD} <> 0
+            ) WHERE rn = 1 AND op = 'U'
+            """
+        ).fetchall()
+    }
+    new = {
+        u: (e, v)
+        for u, e, v in duck.execute(
+            f"""
+            SELECT user_id, event_id, value FROM (
+              SELECT *, CASE WHEN event_type = '{CDC_DELETE_TYPE}'
+                             THEN 'D' ELSE 'U' END AS op,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) rn
+              FROM events
+            ) WHERE rn = 1 AND op = 'U'
+            """
+        ).fetchall()
+    }
+    applied = dict(old)
+    ops = {"I": 0, "U": 0, "D": 0}
+    for r in diff:
+        ops[r["op"]] += 1
+        if r["op"] == "D":
+            del applied[r["user_id"]]
+        else:
+            applied[r["user_id"]] = (r["new_event_id"], r["new_value"])
+    assert applied == new
+    # the diff is minimal: unchanged keys never appear
+    changed = {r["user_id"] for r in diff}
+    for u in set(old) & set(new):
+        if old[u] == new[u]:
+            assert u not in changed
+    # fixture exercises at least two op kinds
+    assert sum(1 for k, v in ops.items() if v > 0) >= 2

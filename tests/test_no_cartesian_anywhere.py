@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "graph_dup_triangles":               "crossJoin of two 1-row aggregates",
     "text_vocab_growth":                 "1-row corpus-bounds scalar",
     "text_bm25_rank":                    "1-row corpus-stats scalar",
+    "dq_freshness_by_source":            "1-row global-freshness scalar",
 }
 
 

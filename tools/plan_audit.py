@@ -254,6 +254,10 @@ AUDIT = [
      "feature hashing: in-row higher-order functions only — the plan "
      "is scan + project + sort for display, zero data-sized "
      "Exchanges"),
+    ("cdc_snapshot_diff",
+     "snapshot diff: both served-view windows and the full outer "
+     "join share the user_id key; unchanged keys are filtered at the "
+     "join output, so the result is O(changed keys)"),
 ]
 
 INTERESTING = re.compile(
