@@ -66,6 +66,14 @@ def _write_data_version(
     by bucket, and return {bucket: relative dir} pointers for the
     buckets it contains."""
     vdir = table / _DATA / f"v{version}"
+    # Only the manifest rename publishes a commit, so a v<version> dir
+    # with no _manifest/v<version>.json is an orphan from a crash
+    # between the data write and the commit — clear it, or every
+    # retry of this merge would recompute the same version and abort
+    # on mode('error') forever. (No later manifest can reference it:
+    # manifests only point at versions <= their own.)
+    if vdir.exists() and not _manifest_path(table, version).exists():
+        shutil.rmtree(vdir)
     records_bucketed.write.partitionBy(_BUCKET_COL).mode("error").parquet(
         str(vdir)
     )

@@ -1073,15 +1073,13 @@ def _bm25_oracle() -> str:
     ),
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     scored AS (
-      SELECT tf.doc_id, tf.dl,
+      SELECT tf.doc_id, tf.dl, tf.term,
              {_bm25_score_sql('tf.tf', 'df.df')} AS s
       FROM tf JOIN df USING (term) CROSS JOIN stats
     ),
     pivoted AS (
       SELECT doc_id, dl, {per_term}
-      FROM (SELECT tf.doc_id, tf.dl, tf.term,
-                   {_bm25_score_sql('tf.tf', 'df.df')} AS s
-            FROM tf JOIN df USING (term) CROSS JOIN stats)
+      FROM scored
       GROUP BY doc_id, dl
     )
     SELECT doc_id, CAST(dl AS BIGINT) AS dl,

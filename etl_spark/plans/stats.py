@@ -430,12 +430,18 @@ WINSOR_HI = 0.95
 @register(
     "stats_winsorized_value",
     oracle=f"""
-    WITH ranked AS (
+    WITH ev AS (
+      -- NULL value rows are excluded BEFORE ranking: Spark ASC puts
+      -- NULLs first and DuckDB last, so a NULL would shift the two
+      -- engines' rank positions of the cuts differently.
+      SELECT * FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
       SELECT event_type, value,
              ROW_NUMBER() OVER (PARTITION BY event_type
                                 ORDER BY value, event_id) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
-      FROM events
+      FROM ev
     ),
     cuts AS (
       SELECT event_type,
@@ -451,7 +457,7 @@ WINSOR_HI = 0.95
              LEAST(GREATEST(e.value, c.p_lo), c.p_hi) AS wv,
              CASE WHEN e.value < c.p_lo THEN 1 ELSE 0 END AS lo,
              CASE WHEN e.value > c.p_hi THEN 1 ELSE 0 END AS hi
-      FROM events e JOIN cuts c ON e.event_type = c.event_type
+      FROM ev e JOIN cuts c ON e.event_type = c.event_type
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT)  AS n,
@@ -486,7 +492,10 @@ WINSOR_HI = 0.95
     tags=("aggregation", "statistics", "robust"),
 )
 def stats_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # NULL values out before ranking (engines disagree on NULL sort
+    # placement; fixtures have none today, pinned so a future NULL
+    # can't silently shift the cut rank positions).
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     wo = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
     ranked = ev.select(

@@ -24,8 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 OUTPUT_SCHEMA = (
-    "user_id bigint, event_id bigint, event_ts string, value double,"
-    " op string"
+    "user_id bigint, event_id bigint, ts_us bigint, event_ts string,"
+    " value double, op string"
 )
 STATE_SCHEMA = "ts_us bigint, event_id bigint, value double, deleted boolean"
 
@@ -56,10 +56,15 @@ def cdc_apply_stream(changelog: DataFrame) -> DataFrame:
         if not touched:
             return
         state.update((best_us, best_id, best_val, bool(deleted)))
+        # ts_us carries FULL microsecond precision downstream: the
+        # table sink tiebreaks on it, so its ordering must be exactly
+        # the ordering this state compare used. event_ts (seconds) is
+        # display parity with the batch query only — never compare it.
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "event_id": [best_id],
+                "ts_us": [best_us],
                 "event_ts": [
                     pd.Timestamp(best_us * 1000).strftime("%Y-%m-%d %H:%M:%S")
                 ],
@@ -100,13 +105,23 @@ def run_cdc_stream_to_table(
 ) -> None:
     """PRODUCTION sink for the CDC stream: maintain a keyed parquet
     table from the update-mode emissions inside foreachBatch — upsert
-    on user_id, greatest (event_ts, event_id) wins, TOMBSTONES KEPT in
-    the table (the serving filter lives in ``read_cdc_table``, so a
-    later batch can still resurrect or re-delete any key). Nothing is
+    on user_id, greatest (ts_us, event_id) wins (the SAME microsecond
+    ordering the in-stream state compares, so the table cannot diverge
+    from the batch replay on sub-second ties), TOMBSTONES KEPT in the
+    table (the serving filter lives in ``read_cdc_table``, so a later
+    batch can still resurrect or re-delete any key). Nothing is
     collected to the driver.
 
-    Exactly-once table state from at-least-once foreachBatch:
-    emissions are deterministic and latest-wins replays are no-ops.
+    Exactly-once table state from at-least-once foreachBatch, made
+    crash-safe with the manifest pattern of ``etl/versioned.py``: each
+    batch writes its merged table to a FRESH immutable directory
+    ``v<k>`` and publishes it with an atomic pointer rename — the
+    prior version is never touched, so a crash mid-write leaves the
+    published table intact and the checkpointed replay simply
+    overwrites the unpublished orphan directory. Emissions are
+    deterministic and latest-wins replays are no-ops, so replaying a
+    committed batch reproduces the same table state.
+
     This twin rewrites the whole (key-cardinality-sized) table per
     batch for simplicity; the bucket-partitioned touched-files-only
     form is etl/merge.py's — at scale the sink merges into that table
@@ -119,17 +134,25 @@ def run_cdc_stream_to_table(
     table = pathlib.Path(table_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if (table / "_SUCCESS").exists():
-            current = batch_df.sparkSession.read.parquet(str(table))
+        cur_v = _current_version(table)
+        new_v = 0 if cur_v is None else cur_v + 1
+        if cur_v is None:
+            merged = batch_df
+        else:
+            current = batch_df.sparkSession.read.parquet(
+                str(table / f"v{cur_v}")
+            )
             merged = latest_wins_merge(
                 current,
                 batch_df,
                 keys=["user_id"],
-                order_cols=["event_ts", "event_id"],
-            ).localCheckpoint(eager=True)  # write target IS the source
-        else:
-            merged = batch_df
-        merged.write.mode("overwrite").parquet(str(table))
+                order_cols=["ts_us", "event_id"],
+            )
+        # mode=overwrite: only the pointer rename publishes, so an
+        # existing v<new_v> can only be an orphan from a crash mid-write
+        # of this same (replayed) batch — safe to clobber.
+        merged.write.mode("overwrite").parquet(str(table / f"v{new_v}"))
+        _publish_version(table, new_v)
 
     q = (
         cdc_apply_stream(changelog)
@@ -142,7 +165,41 @@ def run_cdc_stream_to_table(
     q.awaitTermination()
 
 
+_POINTER = "_current.json"
+
+
+def _current_version(table) -> int | None:
+    import json
+    import pathlib
+
+    p = pathlib.Path(table) / _POINTER
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())["version"]
+
+
+def _publish_version(table, version: int) -> None:
+    import json
+    import pathlib
+
+    table = pathlib.Path(table)
+    table.mkdir(parents=True, exist_ok=True)
+    tmp = table / (_POINTER + ".tmp")
+    tmp.write_text(json.dumps({"version": version}))
+    tmp.rename(table / _POINTER)  # the commit point (atomic on POSIX)
+
+
+def read_cdc_table_raw(spark, table_path) -> DataFrame:
+    """The published table version, tombstones included."""
+    v = _current_version(table_path)
+    if v is None:
+        raise FileNotFoundError(f"no published version under {table_path}")
+    import pathlib
+
+    return spark.read.parquet(str(pathlib.Path(table_path) / f"v{v}"))
+
+
 def read_cdc_table(spark, table_path) -> DataFrame:
     """The served view: tombstoned keys hidden, exactly like the batch
     query's final filter."""
-    return spark.read.parquet(str(table_path)).filter(F.col("op") == "U")
+    return read_cdc_table_raw(spark, table_path).filter(F.col("op") == "U")

@@ -60,7 +60,7 @@ def test_streaming_cdc_matches_batch_replay(spark, duck, tmp_path):
         best: dict[int, tuple] = {}
         for r in rows:
             cur = best.get(r["user_id"])
-            key = (r["event_ts"], r["event_id"])
+            key = (r["ts_us"], r["event_id"])
             if cur is None or key >= cur[0]:
                 best[r["user_id"]] = (key, r["op"], r["value"], r["event_id"])
         final = {u: (v[3], v[1], v[2]) for u, v in best.items()}
@@ -99,6 +99,7 @@ def test_cdc_table_sink_matches_batch_query(spark, duck, tmp_path):
     from etl_spark.plans.lakehouse import cdc_apply_events
     from etl_spark.streaming.cdc import (
         read_cdc_table,
+        read_cdc_table_raw,
         run_cdc_stream_to_table,
     )
 
@@ -140,6 +141,6 @@ def test_cdc_table_sink_matches_batch_query(spark, duck, tmp_path):
     }
     assert served == want
     raw_ops = {
-        r["op"] for r in spark.read.parquet(str(table)).collect()
+        r["op"] for r in read_cdc_table_raw(spark, table).collect()
     }
     assert raw_ops == {"U", "D"}  # tombstones live in the table
