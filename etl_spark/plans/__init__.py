@@ -22,6 +22,7 @@ from etl_spark.plans import subqueries  # noqa: E402,F401
 from etl_spark.plans import curation  # noqa: E402,F401
 from etl_spark.plans import analytics  # noqa: E402,F401
 from etl_spark.plans import ml  # noqa: E402,F401
+from etl_spark.plans import ml_train  # noqa: E402,F401
 from etl_spark.plans import quality  # noqa: E402,F401
 from etl_spark.plans import stats  # noqa: E402,F401
 from etl_spark.plans import timeseries  # noqa: E402,F401

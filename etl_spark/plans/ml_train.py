@@ -1,0 +1,418 @@
+"""Distributed TRAINED quality classifier: batch-gradient logistic-style
+regression over hashed bag-of-words features.
+
+This is the fastText-shaped gate real curation stacks train (the
+GPT-3/CCNet recipe: a linear classifier over hashed text features
+scores every document, and the gate keeps the high/low tail). The
+reference engine has no ML surface (its 190-line core is ETL only,
+/root/reference/main.py); SURVEY.md §2.3 plans the LLM-data operators
+as first-class, and this module adds the one shape the heuristic gates
+(text_quality_score, text_hashing_trick_score) lack: the
+GRADIENT-AGGREGATION loop that *learns* the weights from the corpus.
+
+Task: predict near-dup membership (Jaccard >= PREFIX_JACCARD_T pair
+membership — the dedup_prefix_filter_pairs bar, the same label
+curation_quality_lift calibrates against) from the HASH_DIM hashed
+token-count features of text_hashing_trick_score. The trained score is
+a boilerplate/redundancy gate: rank by it and the near-dup mass
+concentrates in the top deciles far harder than the heuristic
+distinct-token-ratio manages (the pytest fence pins the measured lift).
+
+Model/exactness (the ml_kmeans_step discipline — oracle-paired
+training, rare for ML):
+
+* link: the ALGEBRAIC sigmoid p(z) = (1 + z/(1+|z|))/2 — a strictly
+  increasing rational squashing to (0,1). The textbook logistic
+  sigmoid needs exp() (libm, banned in oracle-paired expressions —
+  repo-wide rule, same trade as rational-idf BM25); for ANY increasing
+  link the update direction (p(z) − y)·x is the exact gradient of that
+  link's convex matching loss, so this is gradient descent on a proper
+  convex objective, not a heuristic.
+* exactness lattice: weights live on an integer lattice (w_int / 2^24)
+  and every cross-row sum is over BIGINTs — the per-doc residual is
+  floor-rounded to r = FLOOR(g/dl · 2^24) BEFORE the gradient sum
+  grad_j = Σ_i r_i·x_ij, so Spark's and DuckDB's (and the driver's)
+  different summation orders cannot diverge; the scalar chain
+  z → p → g is ONE fixed IEEE expression tree both engines evaluate
+  identically from the exact integers (zraw, dl, y).
+* update: w_int_j ← w_int_j − FLOOR(grad_j · LR / n) — again a single
+  float expression of exact integers, floor-pinned back to the lattice.
+
+Spark shape (the kmeans-centroid contract, plans/ml.py):
+
+* features are built ONCE: tokens → md5-bucket ids (array<int>) with
+  the near-dup label joined on, then cached — token hashing never
+  recomputes across iterations;
+* each scoring pass is IN-ROW: the 1024-weight model ships as a plan
+  literal and zraw = Σ_t w[bucket(t)] is a JVM higher-order aggregate
+  — NO join, NO explode in the scoring path;
+* each gradient is one explode → groupBy(bucket) with map-side partial
+  aggregation: the shuffle is DIMENSION-bounded (≤ HASH_DIM rows per
+  task), never data-bounded, exactly the distributed-SGD allreduce
+  shape;
+* the driver only ever sees the HASH_DIM-int model per iteration (the
+  config-bounded collect contract of ml_kmeans_*'s centroids).
+
+The oracle unrolls all LOGREG_ITERS iterations as chained CTEs (the
+graph_dup_pagerank / ml_kmeans_lloyd dissolve-the-fixpoint trick) and
+replays training bit-identically.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.io import load
+from etl_spark.plans.llm_dedup import PREFIX_JACCARD_T, SHINGLES_SQL
+from etl_spark.plans.llm_text import _H16_TOKEN_SQL, HASH_DIM, tokens_col
+from etl_spark.plans.registry import register
+
+LOGREG_ITERS = 4
+#: Integer learning rate (dyadic so the update literal is exact in
+#: both engines and the driver). LR=32 measured: loss 134.2e9 →
+#: 56.7e9 over 4 iterations at sf0.01, top-decile dup rate 0.56 vs
+#: 0.094 base (0.52 at sf0.1) — see tests/test_ml_logreg.py.
+LOGREG_LR = 32
+_W_SCALE = 2**24  # weight lattice: w = w_int / 2^24
+_G_SCALE = 2**24  # residual lattice: r = floor(g/dl * 2^24)
+_LOSS_SCALE = 2**30  # Brier telemetry lattice
+LOGREG_DECILES = 10
+
+# The shared scalar chain — ONE expression tree, rendered identically
+# into Spark (F.expr) and DuckDB. Inputs are exact: zraw/dl BIGINT,
+# y INT. No decimal literals (they parse as DECIMAL, gotcha), no libm.
+_Z_SQL = (
+    f"(CAST(zraw AS DOUBLE) / (CAST({_W_SCALE} AS DOUBLE)"
+    " * CAST(dl AS DOUBLE)))"
+)
+_P_SQL = (
+    f"((CAST(1 AS DOUBLE) + ({_Z_SQL} / (CAST(1 AS DOUBLE)"
+    f" + ABS({_Z_SQL})))) / CAST(2 AS DOUBLE))"
+)
+_G_SQL = f"({_P_SQL} - CAST(y AS DOUBLE))"
+_R_SQL = (
+    f"CAST(FLOOR(({_G_SQL} / CAST(dl AS DOUBLE))"
+    f" * CAST({_G_SCALE} AS DOUBLE)) AS BIGINT)"
+)
+_LOSS_SQL = (
+    f"CAST(FLOOR(({_G_SQL} * {_G_SQL})"
+    f" * CAST({_LOSS_SCALE} AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _logreg_ctes() -> str:
+    """The full unrolled-training CTE chain: label → features → w0 →
+    (score, residual, gradient, update) × LOGREG_ITERS → final score
+    pass s{T+1}. Shared by both registered oracles."""
+    T = LOGREG_ITERS
+    parts = [f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sized AS (
+      SELECT doc_id, shingle,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+      FROM sh
+    ),
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_common,
+             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+      FROM sized a JOIN sized b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dd AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM prs
+        WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
+              >= {PREFIX_JACCARD_T}
+        UNION ALL
+        SELECT doc_b FROM prs
+        WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
+              >= {PREFIX_JACCARD_T}
+      )
+    ),
+    labeled AS (
+      SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+             CASE WHEN doc_id IN (SELECT doc_id FROM dd)
+                  THEN 1 ELSE 0 END AS y,
+             ts
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents WHERE text IS NOT NULL)
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, ({_H16_TOKEN_SQL}) % {HASH_DIM} AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(ts) AS t FROM labeled)
+      GROUP BY doc_id, b
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM labeled),
+    w0 AS (
+      SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+      FROM range({HASH_DIM})
+    ),"""]
+    for k in range(1, T + 2):
+        p = k - 1
+        parts.append(f"""
+    s{k} AS (
+      SELECT l.doc_id, l.dl, l.y,
+             CAST(COALESCE(SUM(w.w * t.cnt), 0) AS BIGINT) AS zraw
+      FROM labeled l
+      LEFT JOIN tf t ON t.doc_id = l.doc_id
+      LEFT JOIN w{p} w ON w.b = t.b
+      GROUP BY l.doc_id, l.dl, l.y
+    ),""")
+        if k == T + 1:
+            break  # s{T+1} is the final-weight eval pass; no update
+        parts.append(f"""
+    r{k} AS (SELECT doc_id, {_R_SQL} AS r FROM s{k}),
+    g{k} AS (
+      SELECT t.b, CAST(SUM(r.r * t.cnt) AS BIGINT) AS grad
+      FROM tf t JOIN r{k} r USING (doc_id)
+      GROUP BY t.b
+    ),
+    w{k} AS (
+      SELECT w.b,
+             w.w - COALESCE(
+               CAST(FLOOR((CAST(g.grad AS DOUBLE)
+                           * CAST({LOGREG_LR} AS DOUBLE))
+                          / (SELECT nd FROM nn)) AS BIGINT), 0) AS w
+      FROM w{p} w LEFT JOIN g{k} g ON g.b = w.b
+    ),""")
+    return "".join(parts).rstrip(",")
+
+
+def _train_oracle_sql() -> str:
+    stats = []
+    for k in range(LOGREG_ITERS + 1):
+        stats.append(f"""
+    SELECT CAST({k} AS INTEGER) AS iter,
+           CAST(SUM({_LOSS_SQL}) AS BIGINT) AS loss_lat,
+           CAST(SUM(CASE WHEN (zraw > 0) = (y = 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN zraw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos_pred,
+           (SELECT CAST(SUM(ABS(w)) AS BIGINT) FROM w{k}) AS w_l1,
+           (SELECT CAST(SUM(CASE WHEN w <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM w{k}) AS w_nnz
+    FROM s{k + 1}""")
+    body = "\n    UNION ALL".join(stats)
+    return f"""{_logreg_ctes()}
+    SELECT * FROM ({body}) ORDER BY iter
+    """
+
+
+#: Memoized trained model per (appId, sf_dir): the lift query reuses
+#: the train query's weights instead of re-running the gradient jobs.
+_TRAIN_CACHE: dict = {}
+
+
+def _bucket(t):
+    return (
+        F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint")
+        % HASH_DIM
+    ).cast("int")
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, y, buckets) — hashed once, label joined, cached."""
+    from etl_spark.plans.llm_dedup import dedup_prefix_filter_pairs
+
+    pairs = dedup_prefix_filter_pairs(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    toks = tokens_col()
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("dl"),
+            F.transform(toks, _bucket).alias("buckets"),
+        )
+        .join(dup_docs, "doc_id", "left")
+        .select(
+            "doc_id", "dl", "buckets",
+            F.coalesce("is_dup", F.lit(0)).cast("int").alias("y"),
+        )
+        .cache()
+    )
+
+
+def _zraw_col(warr: list[int]):
+    """In-row model application: zraw = Σ_t w_int[bucket(t)] — the
+    HASH_DIM-int model rides as a plan literal (config-sized, the
+    kmeans-centroid contract), so scoring is join-free and the sum is
+    an exact BIGINT in any evaluation order."""
+    wlit = F.lit(warr).cast("array<bigint>")
+    return F.aggregate(
+        F.col("buckets"),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.element_at(wlit, b + F.lit(1)),
+    )
+
+
+def _train(spark: SparkSession, sf_dir: str):
+    """Run LOGREG_ITERS batch-gradient steps; returns (weights history
+    [w_0..w_T], cached feature DF, n_docs)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
+    feats = _features(spark, sf_dir)
+    n = feats.count()  # 1 scalar; also materializes the cache
+    w = [0] * HASH_DIM
+    hist = [list(w)]
+    for _ in range(LOGREG_ITERS):
+        grad_rows = (
+            feats.withColumn("zraw", _zraw_col(w))
+            .withColumn("r", F.expr(_R_SQL))
+            .select(F.explode("buckets").alias("b"), "r")
+            .groupBy("b")
+            .agg(F.sum("r").alias("grad"))
+            .collect()  # config-bounded: <= HASH_DIM rows
+        )
+        for row in grad_rows:
+            # EXACT mirror of the oracle's update expression: one
+            # IEEE double multiply, divide, floor — python floats ARE
+            # IEEE doubles, and grad < 2^53 casts exactly.
+            delta = math.floor(
+                (float(row["grad"]) * float(LOGREG_LR)) / float(n)
+            )
+            w[row["b"]] -= delta
+        hist.append(list(w))
+    _TRAIN_CACHE[key] = (hist, feats, n)
+    return _TRAIN_CACHE[key]
+
+
+@register(
+    "ml_logreg_train",
+    oracle=_train_oracle_sql(),
+    doc=f"TRAINED quality classifier — {LOGREG_ITERS} batch-gradient "
+        "iterations of logistic-style regression (algebraic-sigmoid "
+        "matching loss: exact gradient of a convex objective, no "
+        f"libm) over the {HASH_DIM}-dim hashed token features of "
+        "text_hashing_trick_score, labels = near-dup membership at "
+        f"Jaccard >= {PREFIX_JACCARD_T} (the curation_quality_lift "
+        "signal). Emits per-iteration telemetry: lattice Brier loss "
+        "(monotone decreasing — pytest fence), train accuracy at the "
+        "z>0 cut, positive-prediction count, and the model's L1/nnz "
+        "checksums which pin the ENTIRE weight vector against the "
+        "oracle's unrolled replay. Exactness: integer weight/residual "
+        "lattices make every cross-row sum a BIGINT (order-free); the "
+        "scalar chain is one fixed IEEE tree. Plan: features hashed "
+        "ONCE into a cached array<int> column; each scoring pass is "
+        "in-row (model as plan literal — no join); each gradient is "
+        "one explode→groupBy(bucket) with map-side partial agg, a "
+        f"DIMENSION-bounded shuffle (<= {HASH_DIM} rows/task); the "
+        f"driver sees only the {HASH_DIM}-int model per iteration "
+        "(the ml_kmeans centroid contract). At 100 TB this is the "
+        "allreduce shape of distributed SGD with the corpus scan as "
+        "the map side.",
+    tags=("ml", "llm", "training", "classifier"),
+)
+def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist, feats, _n = _train(spark, sf_dir)
+    stats = []
+    for k, wk in enumerate(hist):
+        scored = feats.withColumn("zraw", _zraw_col(wk))
+        stats.append(
+            scored.agg(
+                F.sum(F.expr(_LOSS_SQL)).cast("bigint").alias("loss_lat"),
+                F.sum(
+                    F.when(F.expr("(zraw > 0) = (y = 1)"), 1).otherwise(0)
+                ).cast("bigint").alias("n_correct"),
+                F.sum(
+                    F.when(F.col("zraw") > 0, 1).otherwise(0)
+                ).cast("bigint").alias("n_pos_pred"),
+            ).select(
+                F.lit(k).cast("int").alias("iter"),
+                "loss_lat", "n_correct", "n_pos_pred",
+                F.lit(sum(abs(x) for x in wk)).cast("bigint").alias("w_l1"),
+                F.lit(sum(1 for x in wk if x != 0)).cast("bigint").alias(
+                    "w_nnz"
+                ),
+            )
+        )
+    return reduce(DataFrame.unionByName, stats).orderBy("iter")
+
+
+def _lift_oracle_sql() -> str:
+    T1 = LOGREG_ITERS + 1
+    return f"""{_logreg_ctes()},
+    final AS (SELECT doc_id, {_Z_SQL} AS score, y FROM s{T1}),
+    tiled AS (
+      SELECT score, y,
+             NTILE({LOGREG_DECILES}) OVER (ORDER BY score, doc_id)
+               AS decile
+      FROM final
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_dups,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS dup_rate,
+           MIN(score) AS score_lo,
+           MAX(score) AS score_hi
+    FROM tiled
+    GROUP BY decile
+    ORDER BY decile
+    """
+
+
+@register(
+    "ml_logreg_quality_lift",
+    oracle=_lift_oracle_sql(),
+    doc="Calibration of the TRAINED gate, decile-for-decile comparable "
+        "with curation_quality_lift's heuristic table: every doc is "
+        "scored with the final ml_logreg_train weights (z, an exact "
+        "double of the integer lattice), ranked into "
+        f"{LOGREG_DECILES} exact deciles, and each decile reports its "
+        "near-dup rate. Measured lift at sf0.01: top decile 0.56 dup "
+        "rate vs 0.094 base and vs 0.22 for the best heuristic "
+        "(distinct-token-ratio) decile — the trained gate concentrates "
+        ">2.5x harder (pytest-fenced, trained-on-corpus calibration "
+        "as in practice: the gate is calibrated on the corpus it "
+        "curates). Plan: reuses the memoized trained model (no "
+        "retraining when both queries run in-session), scoring is "
+        "in-row with the model literal, and the global decile uses "
+        "the two-phase prefix rank (operators/ranking.py) — NO "
+        "single-partition window at any corpus size.",
+    tags=("ml", "llm", "curation", "quality", "lift"),
+)
+def ml_logreg_quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.ranking import (
+        global_rank_cumsum,
+        ntile_from_rank,
+    )
+
+    hist, feats, _n = _train(spark, sf_dir)
+    scored = (
+        feats.withColumn("zraw", _zraw_col(hist[-1]))
+        .select("doc_id", F.expr(_Z_SQL).alias("score"), "y")
+    )
+    ranked, totals = global_rank_cumsum(scored, key="score", tie="doc_id")
+    tiled = ranked.select(
+        "score", "y",
+        ntile_from_rank(F.col("rn"), totals["n"], LOGREG_DECILES).alias(
+            "decile"
+        ),
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_dups"),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias(
+                "dup_rate"
+            ),
+            F.min("score").alias("score_lo"),
+            F.max("score").alias("score_hi"),
+        )
+        .orderBy("decile")
+    )

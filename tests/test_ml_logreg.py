@@ -1,0 +1,44 @@
+"""Fences for the trained quality classifier (plans/ml_train.py):
+loss monotonicity (the gradient-descent sanity invariant) and the
+MEASURED LIFT of the trained gate over the heuristic one — the two
+"done" criteria beyond oracle parity."""
+
+from __future__ import annotations
+
+from etl_spark.plans.curation import curation_quality_lift
+from etl_spark.plans.ml_train import (
+    LOGREG_ITERS,
+    ml_logreg_quality_lift,
+    ml_logreg_train,
+)
+from tests.conftest import SF_DIR
+
+
+def test_logreg_loss_monotone_and_model_nontrivial(spark):
+    rows = ml_logreg_train(spark, SF_DIR).collect()
+    assert [r["iter"] for r in rows] == list(range(LOGREG_ITERS + 1))
+    losses = [r["loss_lat"] for r in rows]
+    assert all(
+        a > b for a, b in zip(losses, losses[1:])
+    ), f"lattice Brier loss must strictly decrease: {losses}"
+    # after the first update the model must actually have weights
+    assert rows[1]["w_nnz"] > 0
+    assert rows[0]["w_l1"] == 0  # w0 is the zero model
+    # training must not LOSE accuracy vs the zero model
+    assert rows[-1]["n_correct"] >= rows[0]["n_correct"]
+
+
+def test_trained_gate_lift_beats_heuristic(spark):
+    trained = {
+        r["decile"]: r for r in ml_logreg_quality_lift(spark, SF_DIR).collect()
+    }
+    heuristic = {
+        r["decile"]: r for r in curation_quality_lift(spark, SF_DIR).collect()
+    }
+    n = sum(r["n_docs"] for r in trained.values())
+    base = sum(r["n_dups"] for r in trained.values()) / n
+    top = trained[max(trained)]["dup_rate"]  # score ASC: dups on top
+    best_heur = max(r["dup_rate"] for r in heuristic.values())
+    # measured at sf0.001: top 0.54 vs base 0.09; heuristic best ~0.2
+    assert top >= 2 * base, (top, base)
+    assert top >= best_heur, (top, best_heur)
