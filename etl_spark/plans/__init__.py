@@ -12,6 +12,7 @@ from etl_spark.plans import setops  # noqa: E402,F401
 from etl_spark.plans import scalars  # noqa: E402,F401
 from etl_spark.plans import events  # noqa: E402,F401
 from etl_spark.plans import llm_text  # noqa: E402,F401
+from etl_spark.plans import bpe  # noqa: E402,F401
 from etl_spark.plans import llm_dedup  # noqa: E402,F401
 from etl_spark.plans import llm_similarity  # noqa: E402,F401
 from etl_spark.plans import multimodal  # noqa: E402,F401
