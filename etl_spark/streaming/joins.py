@@ -74,6 +74,62 @@ def click_purchase_attribution_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_attribution_left_stream(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream join — the "clicks that never
+    purchased" shape, the one join mode the inner form can't express.
+
+    Same keys/range/watermarks as the inner join, but a click with no
+    matching purchase must eventually emit a NULL-extended row — and
+    "eventually" is precisely defined: only once the watermark passes
+    click_ts + ATTRIBUTION_WINDOW can Spark prove no future purchase
+    can match, so null rows emit exactly at state-eviction time (the
+    outer-join-with-expiry contract). Until then the click sits in
+    state; a drained backlog therefore emits null rows for every click
+    whose match window is fully below the final watermark, and holds
+    the rest — tests/test_streaming_joins.py pins both halves and
+    asserts the state metrics show the eviction.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_ts"
+        ),
+        "purchase_value",
+    )
+
+
 def run_available_now_append(result: DataFrame, query_name: str):
     """Drain the backlog into the in-memory sink in APPEND mode (the
     only output mode stream-stream joins support) and stop."""
