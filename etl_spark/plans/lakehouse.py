@@ -532,3 +532,171 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _refresh_parts(spark: SparkSession, sf_dir: str) -> dict:
+    """The multi-hop incremental refresh, exposed hop by hop so the
+    pytest fence can assert merged == full-recompute at EVERY hop (not
+    just end to end). All hops incremental; nothing replays history.
+
+    hop 1  snapshot view V1: latest-wins served view, refreshed by
+           merging the arriving batch into the stored pre-batch state
+           (cdc_apply_log's shape);
+    hop 2  aggregate view V2 = per-day (count, exact-decimal sum) over
+           V1, refreshed by RETRACTION deltas derived from hop 1's own
+           change set (old row retracted, new row inserted) — delta
+           PROPAGATION, the property that makes IVM compose across a
+           DAG (a count/sum view is invertible, so deletes/updates
+           ride as signed partials);
+    hop 3  freshness audit over the refreshed snapshot (a 1-row global
+           scalar joined back broadcast).
+    """
+    log = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == CDC_DELETE_TYPE, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    arriving = F.col("event_id") % CDC_BATCH_MOD == 0
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    # hop 1: stored state (tombstones kept) + batch -> refreshed state
+    old_state = latest(log.filter(~arriving))
+    batch = latest(log.filter(arriving))
+    new_state = latest_wins_merge(
+        old_state, batch, keys=["user_id"], order_cols=["ts", "event_id"]
+    )
+    old_v = old_state.filter(F.col("op") == "U")
+    new_v = new_state.filter(F.col("op") == "U")
+
+    # hop 2: retraction delta over TOUCHED keys only (batch-sized)
+    touched = batch.select("user_id").distinct()
+    old_t = old_v.join(touched, "user_id", "leftsemi").select(
+        F.col("user_id").alias("o_user"),
+        F.col("event_id").alias("o_eid"),
+        F.col("ts").alias("o_ts"),
+        F.col("value").alias("o_val"),
+    )
+    new_t = new_v.join(touched, "user_id", "leftsemi").select(
+        F.col("user_id").alias("n_user"),
+        F.col("event_id").alias("n_eid"),
+        F.col("ts").alias("n_ts"),
+        F.col("value").alias("n_val"),
+    )
+    changed = old_t.join(
+        new_t, old_t["o_user"] == new_t["n_user"], "full_outer"
+    ).filter(
+        F.col("o_user").isNull()
+        | F.col("n_user").isNull()
+        | (F.col("o_eid") != F.col("n_eid"))
+    )
+    minus = changed.filter(F.col("o_user").isNotNull()).select(
+        F.to_date("o_ts").alias("day"),
+        F.lit(-1).cast("bigint").alias("pn"),
+        (-F.col("o_val").cast("decimal(18,6)")).alias("ps"),
+    )
+    plus = changed.filter(F.col("n_user").isNotNull()).select(
+        F.to_date("n_ts").alias("day"),
+        F.lit(1).cast("bigint").alias("pn"),
+        F.col("n_val").cast("decimal(18,6)").alias("ps"),
+    )
+    stored_v2 = old_v.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("ps"),
+    )
+    v2 = (
+        stored_v2.unionByName(minus)
+        .unionByName(plus)
+        .groupBy("day")
+        .agg(
+            F.sum("pn").alias("n_users"),
+            F.sum("ps").cast("double").alias("sum_value"),
+        )
+        .filter(F.col("n_users") > 0)
+    )
+
+    # hop 3: freshness of the refreshed snapshot
+    g = new_v.agg(F.max(F.to_date("ts")).alias("gday"))
+    audited = v2.crossJoin(F.broadcast(g)).select(
+        F.date_format("day", DATE_FMT_SPARK).alias("day"),
+        "n_users",
+        "sum_value",
+        F.datediff(F.col("gday"), F.col("day")).cast("bigint").alias(
+            "lag_days"
+        ),
+    )
+    return {
+        "new_v": new_v,
+        "old_v": old_v,
+        "minus": minus,
+        "plus": plus,
+        "v2": v2,
+        "out": audited.orderBy("day"),
+    }
+
+
+@register(
+    "pipeline_incremental_refresh",
+    oracle=f"""
+    WITH log AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = '{CDC_DELETE_TYPE}' THEN 'D'
+                  ELSE 'U' END AS op
+      FROM events
+    ),
+    served AS (
+      SELECT user_id, event_id, ts, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) rn
+        FROM log
+      ) WHERE rn = 1 AND op = 'U'
+    ),
+    agg AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_value
+      FROM served GROUP BY day
+    ),
+    g AS (SELECT MAX(CAST(ts AS DATE)) AS gday FROM served)
+    SELECT strftime(day, '{DATE_FMT_DUCK}') AS day, n_users, sum_value,
+           CAST(date_diff('day', day, g.gday) AS BIGINT) AS lag_days
+    FROM agg CROSS JOIN g
+    ORDER BY day
+    """,
+    doc="Multi-hop INCREMENTAL refresh capstone — the 'does IVM "
+        "compose' proof no single query gives: (1) the latest-wins "
+        "snapshot view refreshes by merging the arriving batch into "
+        "stored pre-batch state (cdc_apply_events' hop); (2) the "
+        "per-day (count, exact-decimal sum) aggregate view refreshes "
+        "from the FIRST hop's change set as signed RETRACTION partials "
+        "(old row -1/-value, new row +1/+value, unchanged keys never "
+        "leave the join) — delta propagation through a view DAG, "
+        "batch-sized work per hop; (3) the freshness audit runs over "
+        "the refreshed snapshot (1-row global day scalar, broadcast "
+        "back). The ORACLE recomputes everything from the full log — "
+        "green means merged == full-recompute at the composition's "
+        "end, and tests/test_lakehouse.py pins each hop separately "
+        "plus that real retractions flowed. Plan: every shuffle keyed "
+        "on user_id or day; the delta legs are O(touched keys); "
+        "count/sum chosen because they are invertible (max is NOT — "
+        "freshness therefore reads the snapshot, not partials: the "
+        "honest boundary of delta maintenance).",
+    tags=("lakehouse", "cdc", "incremental", "ivm", "pipeline"),
+)
+def pipeline_incremental_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _refresh_parts(spark, sf_dir)["out"]

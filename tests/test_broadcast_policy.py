@@ -111,6 +111,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "EVENT_TYPE_DIM constant: 5 rows",
     ("plans/curation.py", "curation_context_length_sweep", "langagg"):
         "per-ctx_len window counts: rows = len(CTX_SWEEP) = 4, constant",
+    ("plans/lakehouse.py", "_refresh_parts", "g"):
+        "single-row global max-day aggregate",
     ("plans/bpe.py", "text_bpe_fertility", "seg"):
         "learned-BPE segmentation lengths: one row per word TYPE — "
         "vocab-bounded (Heaps-sublinear in corpus size), the same "

@@ -8,6 +8,7 @@ invariants (tiling, single current row, version contiguity).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_spark.plans.lakehouse import (
@@ -17,6 +18,7 @@ from etl_spark.plans.lakehouse import (
     cdc_apply_log,
     scd2_priority_history,
 )
+from etl_spark.io import load
 from tests.conftest import SF_DIR
 
 
@@ -280,3 +282,57 @@ def test_snapshot_diff_round_trip(spark, duck):
             assert u not in changed
     # fixture exercises at least two op kinds
     assert sum(1 for k, v in ops.items() if v > 0) >= 2
+
+
+def test_incremental_refresh_every_hop_matches_recompute(spark):
+    """The capstone's per-hop receipts: hop 1 (merged snapshot), hop 2
+    (retraction-maintained aggregate) each equal their full recompute,
+    and real retractions actually flowed (non-vacuous)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.plans.lakehouse import CDC_DELETE_TYPE, _refresh_parts
+
+    parts = _refresh_parts(spark, SF_DIR)
+
+    # hop 1: merged snapshot == latest-wins over the FULL log
+    ev = load(spark, SF_DIR, "events")
+    full = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(
+            (F.col("rn") == 1) & (F.col("event_type") != CDC_DELETE_TYPE)
+        )
+        .select("user_id", "event_id")
+    )
+    got1 = {(r.user_id, r.event_id) for r in parts["new_v"].collect()}
+    want1 = {(r.user_id, r.event_id) for r in full.collect()}
+    assert got1 == want1
+
+    # hop 2: retraction-maintained view == direct aggregate over hop 1
+    direct = (
+        parts["new_v"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    got2 = {
+        (str(r.day), r.n_users, r.sum_value) for r in parts["v2"].collect()
+    }
+    want2 = {
+        (str(r.day), r.n_users, r.sum_value) for r in direct.collect()
+    }
+    assert got2 == want2
+
+    # non-vacuous: the batch must have caused real retractions
+    assert parts["minus"].count() > 0
+    assert parts["plus"].count() > 0

@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "text_vocab_growth":                 "1-row corpus-bounds scalar",
     "text_bm25_rank":                    "1-row corpus-stats scalar",
     "dq_freshness_by_source":            "1-row global-freshness scalar",
+    "pipeline_incremental_refresh":      "1-row global-day scalar",
 }
 
 
