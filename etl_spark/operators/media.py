@@ -27,6 +27,7 @@ import wave
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -477,7 +478,7 @@ def decode_deflate(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def with_deflate_payload(docs: DataFrame, src: str = "text") -> DataFrame:
+def with_deflate_payload(docs: DataFrame, src: str = "text", spread: bool = True) -> DataFrame:
     """Fixture builder: attach a zlib-DEFLATE-compressed payload of
     the document's utf-8 bytes (stdlib zlib encoder, default level —
     a genuine compressed stream, not byte math)."""
@@ -497,14 +498,18 @@ def with_deflate_payload(docs: DataFrame, src: str = "text") -> DataFrame:
                 }
             )
 
-    return (
-        docs.select("doc_id", src)
-        .where(F.col(src).isNotNull())
-        .mapInPandas(batches, schema="doc_id bigint, payload binary")
-    )
+    out = docs.select("doc_id", src).where(F.col(src).isNotNull())
+    if spread:
+        # Single-file scans plateau decode parallelism (one parquet
+        # file -> one input partition at bench SFs; SCALING.md's sf1
+        # note). Spread the TEXT before payload construction so the
+        # decode map runs on every core while payloads still never
+        # cross an Exchange.
+        out = out.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return out.mapInPandas(batches, schema="doc_id bigint, payload binary")
 
 
-def with_wav_payload(docs: DataFrame, pcm_from: str = "text") -> DataFrame:
+def with_wav_payload(docs: DataFrame, pcm_from: str = "text", spread: bool = True) -> DataFrame:
     """Fixture builder: attach a real WAV container whose 8-bit mono
     PCM samples are the document's utf-8 bytes (deterministic, so the
     decoded features replay in SQL from the text). Container bytes are
@@ -538,11 +543,15 @@ def with_wav_payload(docs: DataFrame, pcm_from: str = "text") -> DataFrame:
                 }
             )
 
-    return (
-        docs.select("doc_id", pcm_from)
-        .where(F.col(pcm_from).isNotNull())
-        .mapInPandas(batches, schema="doc_id bigint, payload binary")
-    )
+    out = docs.select("doc_id", pcm_from).where(F.col(pcm_from).isNotNull())
+    if spread:
+        # Single-file scans plateau decode parallelism (one parquet
+        # file -> one input partition at bench SFs; SCALING.md's sf1
+        # note). Spread the TEXT before payload construction so the
+        # decode map runs on every core while payloads still never
+        # cross an Exchange.
+        out = out.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return out.mapInPandas(batches, schema="doc_id bigint, payload binary")
 
 
 # Analysis frame length for audio feature extraction: 160 samples =
@@ -853,31 +862,50 @@ def png_gray(payload: bytes) -> tuple[int, int, bytes]:
     stride = w + 1
     if len(raw) != stride * h:
         raise ValueError("PNG scanline data size mismatch")
-    gray = bytearray(w * h)
-    prev = bytes(w)
+    return w, h, _unfilter_png(raw, w, h).tobytes()
+
+
+def _unfilter_png(raw: bytes, w: int, h: int) -> "np.ndarray":
+    """PNG filter reconstruction, numpy-vectorized where the filter
+    math allows: None is a copy, Up is one wrapping uint8 vector add,
+    Sub is a cumulative sum mod 256 (rec[x] = Σ line[..x] mod 256 —
+    the recurrence telescopes). Average and Paeth genuinely read the
+    just-reconstructed left neighbor, so those rows keep a Python
+    loop (over plain lists, not numpy scalars). With build_png's
+    y % 5 filter cycle, 3/5 of all rows take the vector path.
+    Returns the top-down (h, w) uint8 luminance grid."""
+    stride = w + 1
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    out = np.empty((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.uint8)
     for y in range(h):
-        ft = raw[y * stride]
-        line = raw[y * stride + 1 : (y + 1) * stride]
-        rec = bytearray(w)
-        for x in range(w):
-            a = rec[x - 1] if x else 0
-            b = prev[x]
-            if ft == 0:
-                v = line[x]
-            elif ft == 1:
-                v = line[x] + a
-            elif ft == 2:
-                v = line[x] + b
-            elif ft == 3:
-                v = line[x] + (a + b) // 2
-            elif ft == 4:
-                v = line[x] + _paeth(a, b, prev[x - 1] if x else 0)
+        ft = int(mat[y, 0])
+        line = mat[y, 1:]
+        if ft == 0:
+            out[y] = line
+        elif ft == 1:  # Sub
+            out[y] = np.cumsum(line, dtype=np.uint64).astype(np.uint8)
+        elif ft == 2:  # Up: uint8 addition wraps mod 256 by definition
+            out[y] = line + prev
+        elif ft in (3, 4):  # Average / Paeth: true left recurrence
+            li, pl = line.tolist(), prev.tolist()
+            rec = bytearray(w)
+            a = 0
+            if ft == 3:
+                for x in range(w):
+                    a = (li[x] + (a + pl[x]) // 2) & 0xFF
+                    rec[x] = a
             else:
-                raise ValueError(f"bad PNG filter type {ft}")
-            rec[x] = v & 0xFF
-        gray[y * w : (y + 1) * w] = rec
-        prev = bytes(rec)
-    return w, h, bytes(gray)
+                for x in range(w):
+                    b = pl[x]
+                    c = pl[x - 1] if x else 0
+                    a = (li[x] + _paeth(a, b, c)) & 0xFF
+                    rec[x] = a
+            out[y] = np.frombuffer(bytes(rec), dtype=np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        prev = out[y]
+    return out
 
 
 def decode_png(payload: bytes) -> dict:
@@ -896,7 +924,7 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
-def with_bmp_payload(docs: DataFrame, src: str = "text") -> DataFrame:
+def with_bmp_payload(docs: DataFrame, src: str = "text", spread: bool = True) -> DataFrame:
     """Fixture builder: attach a REAL 24-bit BMP whose gray pixel grid
     is the document's utf-8 bytes, BMP_WIDTH pixels per row (trailing
     partial row dropped by the encoder). Narrow Arrow map; requires
@@ -939,14 +967,18 @@ def with_bmp_payload(docs: DataFrame, src: str = "text") -> DataFrame:
                 }
             )
 
-    return (
-        docs.select("doc_id", src)
-        .where(F.col(src).isNotNull())
-        .mapInPandas(batches, schema="doc_id bigint, payload binary")
-    )
+    out = docs.select("doc_id", src).where(F.col(src).isNotNull())
+    if spread:
+        # Single-file scans plateau decode parallelism (one parquet
+        # file -> one input partition at bench SFs; SCALING.md's sf1
+        # note). Spread the TEXT before payload construction so the
+        # decode map runs on every core while payloads still never
+        # cross an Exchange.
+        out = out.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return out.mapInPandas(batches, schema="doc_id bigint, payload binary")
 
 
-def with_png_payload(docs: DataFrame, src: str = "text") -> DataFrame:
+def with_png_payload(docs: DataFrame, src: str = "text", spread: bool = True) -> DataFrame:
     """Fixture builder: attach a REAL 8-bit grayscale PNG whose pixel
     grid is the document's utf-8 bytes, BMP_WIDTH pixels per row
     (same grid contract as with_bmp_payload, so the two containers
@@ -1015,11 +1047,15 @@ def with_png_payload(docs: DataFrame, src: str = "text") -> DataFrame:
                 }
             )
 
-    return (
-        docs.select("doc_id", src)
-        .where(F.col(src).isNotNull())
-        .mapInPandas(batches, schema="doc_id bigint, payload binary")
-    )
+    out = docs.select("doc_id", src).where(F.col(src).isNotNull())
+    if spread:
+        # Single-file scans plateau decode parallelism (one parquet
+        # file -> one input partition at bench SFs; SCALING.md's sf1
+        # note). Spread the TEXT before payload construction so the
+        # decode map runs on every core while payloads still never
+        # cross an Exchange.
+        out = out.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return out.mapInPandas(batches, schema="doc_id bigint, payload binary")
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -1061,37 +1097,49 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     break
                 pos += 12 + ln
             raw = _zlib.decompress(idat)
-            stride = w + 1
-            gray = bytearray(w * h)
-            prev = bytes(w)
+            # Vectorized unfilter (operators/media.py::_unfilter_png
+            # twin): None=copy, Sub=cumsum mod 256, Up=wrapping uint8
+            # add; Average/Paeth keep the genuine left-recurrence loop.
+            m = _np.frombuffer(raw, dtype=_np.uint8).reshape(h, w + 1)
+            out = _np.empty((h, w), dtype=_np.uint8)
+            prev = _np.zeros(w, dtype=_np.uint8)
             for y in range(h):
-                ft = raw[y * stride]
-                line = raw[y * stride + 1 : (y + 1) * stride]
-                rec = bytearray(w)
-                for x in range(w):
-                    a = rec[x - 1] if x else 0
-                    b = prev[x]
-                    if ft == 0:
-                        v = line[x]
-                    elif ft == 1:
-                        v = line[x] + a
-                    elif ft == 2:
-                        v = line[x] + b
-                    elif ft == 3:
-                        v = line[x] + (a + b) // 2
-                    else:
-                        c = prev[x - 1] if x else 0
-                        p = a + b - c
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                        v = line[x] + (
-                            a
-                            if (pa <= pb and pa <= pc)
-                            else (b if pb <= pc else c)
-                        )
-                    rec[x] = v & 0xFF
-                gray[y * w : (y + 1) * w] = rec
-                prev = bytes(rec)
-            return w, h, bytes(gray)
+                ft = int(m[y, 0])
+                line = m[y, 1:]
+                if ft == 0:
+                    out[y] = line
+                elif ft == 1:
+                    out[y] = _np.cumsum(line, dtype=_np.uint64).astype(
+                        _np.uint8
+                    )
+                elif ft == 2:
+                    out[y] = line + prev
+                else:
+                    li, pl = line.tolist(), prev.tolist()
+                    rec = bytearray(w)
+                    a = 0
+                    for x in range(w):
+                        b = pl[x]
+                        if ft == 3:
+                            a = (li[x] + (a + b) // 2) & 0xFF
+                        else:
+                            c = pl[x - 1] if x else 0
+                            p = a + b - c
+                            pa, pb, pc = (
+                                abs(p - a), abs(p - b), abs(p - c),
+                            )
+                            a = (
+                                li[x]
+                                + (
+                                    a
+                                    if (pa <= pb and pa <= pc)
+                                    else (b if pb <= pc else c)
+                                )
+                            ) & 0xFF
+                        rec[x] = a
+                    out[y] = _np.frombuffer(bytes(rec), dtype=_np.uint8)
+                prev = out[y]
+            return w, h, out.tobytes()
 
         def _decode(payload: bytes) -> tuple:
             if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -1208,37 +1256,50 @@ def thumbnail_features(df: DataFrame, payload_col: str = "payload") -> DataFrame
                         break
                     pos += 12 + ln
                 raw = _zlib.decompress(idat)
-                stride = w + 1
-                gray = _np.zeros((h, w), dtype=_np.int64)
-                prev = _np.zeros(w, dtype=_np.int64)
+                # Vectorized unfilter twin (see _unfilter_png): only
+                # Average/Paeth rows keep the left-recurrence loop.
+                m = _np.frombuffer(raw, dtype=_np.uint8).reshape(h, w + 1)
+                out = _np.empty((h, w), dtype=_np.uint8)
+                prev = _np.zeros(w, dtype=_np.uint8)
                 for y in range(h):
-                    ft = raw[y * stride]
-                    line = raw[y * stride + 1 : (y + 1) * stride]
-                    rec = bytearray(w)
-                    for x in range(w):
-                        a = rec[x - 1] if x else 0
-                        b = int(prev[x])
-                        if ft == 0:
-                            v = line[x]
-                        elif ft == 1:
-                            v = line[x] + a
-                        elif ft == 2:
-                            v = line[x] + b
-                        elif ft == 3:
-                            v = line[x] + (a + b) // 2
-                        else:
-                            c = int(prev[x - 1]) if x else 0
-                            p = a + b - c
-                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                            v = line[x] + (
-                                a
-                                if (pa <= pb and pa <= pc)
-                                else (b if pb <= pc else c)
-                            )
-                        rec[x] = v & 0xFF
-                    gray[y] = _np.frombuffer(bytes(rec), dtype=_np.uint8)
-                    prev = gray[y]
-                return gray
+                    ft = int(m[y, 0])
+                    line = m[y, 1:]
+                    if ft == 0:
+                        out[y] = line
+                    elif ft == 1:
+                        out[y] = _np.cumsum(
+                            line, dtype=_np.uint64
+                        ).astype(_np.uint8)
+                    elif ft == 2:
+                        out[y] = line + prev
+                    else:
+                        li, pl = line.tolist(), prev.tolist()
+                        rec = bytearray(w)
+                        a = 0
+                        for x in range(w):
+                            b = pl[x]
+                            if ft == 3:
+                                a = (li[x] + (a + b) // 2) & 0xFF
+                            else:
+                                c = pl[x - 1] if x else 0
+                                p = a + b - c
+                                pa, pb, pc = (
+                                    abs(p - a), abs(p - b), abs(p - c),
+                                )
+                                a = (
+                                    li[x]
+                                    + (
+                                        a
+                                        if (pa <= pb and pa <= pc)
+                                        else (b if pb <= pc else c)
+                                    )
+                                ) & 0xFF
+                            rec[x] = a
+                        out[y] = _np.frombuffer(
+                            bytes(rec), dtype=_np.uint8
+                        )
+                    prev = out[y]
+                return out.astype(_np.int64)
             # BMP: header walk, bottom-up un-flip, padding strip,
             # integer ITU-R 601 luma (exact /1000 floor). Anything
             # else fails LOUDLY — blindly struct-parsing a non-raster
@@ -1398,41 +1459,50 @@ def perceptual_hash(
                         break
                     pos += 12 + ln
                 raw = _zlib.decompress(idat)
-                stride = w + 1
-                gray = bytearray(w * h)
-                prev = bytes(w)
+                # Vectorized unfilter twin (see _unfilter_png): only
+                # Average/Paeth rows keep the left-recurrence loop.
+                m = _np.frombuffer(raw, dtype=_np.uint8).reshape(h, w + 1)
+                out = _np.empty((h, w), dtype=_np.uint8)
+                prev = _np.zeros(w, dtype=_np.uint8)
                 for y in range(h):
-                    ft = raw[y * stride]
-                    line = raw[y * stride + 1 : (y + 1) * stride]
-                    rec = bytearray(w)
-                    for x in range(w):
-                        a = rec[x - 1] if x else 0
-                        b = prev[x]
-                        if ft == 0:
-                            v = line[x]
-                        elif ft == 1:
-                            v = line[x] + a
-                        elif ft == 2:
-                            v = line[x] + b
-                        elif ft == 3:
-                            v = line[x] + (a + b) // 2
-                        else:
-                            c = prev[x - 1] if x else 0
-                            p = a + b - c
-                            pa, pb, pc = (
-                                abs(p - a), abs(p - b), abs(p - c),
-                            )
-                            v = line[x] + (
-                                a
-                                if (pa <= pb and pa <= pc)
-                                else (b if pb <= pc else c)
-                            )
-                        rec[x] = v & 0xFF
-                    gray[y * w : (y + 1) * w] = rec
-                    prev = bytes(rec)
-                return _np.frombuffer(bytes(gray), dtype=_np.uint8).astype(
-                    _np.int64
-                )
+                    ft = int(m[y, 0])
+                    line = m[y, 1:]
+                    if ft == 0:
+                        out[y] = line
+                    elif ft == 1:
+                        out[y] = _np.cumsum(
+                            line, dtype=_np.uint64
+                        ).astype(_np.uint8)
+                    elif ft == 2:
+                        out[y] = line + prev
+                    else:
+                        li, pl = line.tolist(), prev.tolist()
+                        rec = bytearray(w)
+                        a = 0
+                        for x in range(w):
+                            b = pl[x]
+                            if ft == 3:
+                                a = (li[x] + (a + b) // 2) & 0xFF
+                            else:
+                                c = pl[x - 1] if x else 0
+                                p = a + b - c
+                                pa, pb, pc = (
+                                    abs(p - a), abs(p - b), abs(p - c),
+                                )
+                                a = (
+                                    li[x]
+                                    + (
+                                        a
+                                        if (pa <= pb and pa <= pc)
+                                        else (b if pb <= pc else c)
+                                    )
+                                ) & 0xFF
+                            rec[x] = a
+                        out[y] = _np.frombuffer(
+                            bytes(rec), dtype=_np.uint8
+                        )
+                    prev = out[y]
+                return out.reshape(-1).astype(_np.int64)
             offset = _struct.unpack_from("<I", payload, 10)[0]
             (_ds, w, h, _p, _bpp, _c) = _struct.unpack_from(
                 "<IiiHHI", payload, 14

@@ -1095,8 +1095,13 @@ def pipeline_curate_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(_ASCII_DOCS)
         .where(F.length("text") >= BMP_WIDTH)
     )
-    payloads = with_bmp_payload(docs.where(F.col("doc_id") % 2 == 0)).unionAll(
-        with_png_payload(docs.where(F.col("doc_id") % 2 == 1))
+    # spread=False: this capstone's contract is ONE data shuffle (the
+    # image-hash groupBy); at real scale its input scan is multi-file
+    # and already parallel, so the single-file spread fix is waived.
+    payloads = with_bmp_payload(
+        docs.where(F.col("doc_id") % 2 == 0), spread=False
+    ).unionAll(
+        with_png_payload(docs.where(F.col("doc_id") % 2 == 1), spread=False)
     )
     decoded = decode_image(payloads)
     kept = decoded.where(
