@@ -924,6 +924,228 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+def _lzw_encode(data: bytes, min_code: int) -> bytes:
+    """GIF-variant LZW (LSB-first variable-width codes, CLEAR/END
+    codes, 12-bit cap). The code WIDTH the decoder expects depends on
+    the DECODER's table size, which lags the encoder's by one insert —
+    the classic GIF off-by-one trap. Instead of replicating that
+    arithmetic, the encoder SIMULATES the decoder's table counter in
+    lockstep (dec_next) and widens exactly when the decoder will:
+    correct by construction, verified by the >4096-entry roundtrip
+    stress in tests/test_gif_decode.py."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, end + 1
+
+    table, next_code = fresh()
+    width = min_code + 1
+    dec_next, dec_first = end + 1, True
+    emit(clear, width)
+
+    def emitted(code: int) -> None:
+        # lockstep decoder simulation: the decoder inserts one entry
+        # per code AFTER the first post-clear code, then widens when
+        # its counter reaches the current width's capacity
+        nonlocal dec_next, dec_first, width
+        if dec_first:
+            dec_first = False
+            return
+        dec_next += 1
+        if dec_next == (1 << width) and width < 12:
+            width += 1
+
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        emitted(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        else:
+            # table full: flush CLEAR and restart both sides
+            emit(clear, width)
+            table, next_code = fresh()
+            width = min_code + 1
+            dec_next, dec_first = end + 1, True
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+        emitted(table[w])
+    emit(end, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int) -> bytes:
+    """GIF-variant LZW decoder: variable width LSB-first, CLEAR
+    resets, the KwKwK case (code == next entry), 12-bit cap."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    pos = bitbuf = nbits = 0
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code + 1
+    next_code, prev = end + 1, None
+
+    def reset():
+        nonlocal table, width, next_code, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+        next_code, prev = end + 1, None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without END code")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"bad first LZW code {code}")
+            out += table[code]
+            prev = code
+            continue
+        if code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = table[prev] + table[prev][:1]  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} beyond table {next_code}")
+        out += entry
+        if next_code < 4096:
+            table.append(table[prev] + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+
+
+def _gif_subblocks(stream: bytes) -> bytes:
+    return (
+        b"".join(
+            bytes([len(stream[i : i + 255])]) + stream[i : i + 255]
+            for i in range(0, len(stream), 255)
+        )
+        + b"\x00"
+    )
+
+
+_GIF_GRAY_GCT = bytes(v for i in range(256) for v in (i, i, i))
+
+
+def build_gif(gray: bytes, width: int = BMP_WIDTH) -> bytes:
+    """Encode a grayscale byte grid as a REAL GIF89a (logical screen
+    descriptor, 256-entry gray-identity global color table, image
+    descriptor, genuine LZW-compressed index stream in sub-blocks,
+    trailer) — the third raster container next to build_bmp and
+    build_png, same grid contract (BMP_WIDTH pixels per row, trailing
+    partial row dropped). Gray-identity palette makes index == luma,
+    so all three containers hold the SAME image."""
+    height = len(gray) // width
+    if height == 0:
+        raise ValueError(
+            f"need at least {width} gray bytes for one row, got {len(gray)}"
+        )
+    gray = gray[: width * height]
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+        + _GIF_GRAY_GCT
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+        + bytes([8])
+        + _gif_subblocks(_lzw_encode(gray, 8))
+        + b"\x3B"
+    )
+
+
+def gif_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Block walk + LZW inflate for an 8-bit non-interlaced GIF with a
+    gray-identity palette: (width, height, top-down row-major gray
+    bytes). Violations fail LOUDLY (wrong palette, interlace, local
+    color table, size mismatch), like the PNG/WAV branches."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if packed & 0x80:
+        gct_len = 3 * (2 << (packed & 0x07))
+        gct = payload[pos : pos + gct_len]
+        if gct != _GIF_GRAY_GCT[: gct_len]:
+            raise ValueError("GIF palette is not gray-identity")
+        pos += gct_len
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif block == 0x2C:
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if ipacked & 0x80:
+                raise ValueError("local color tables unsupported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            min_code = payload[pos]
+            pos += 1
+            stream = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                stream += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            gray = _lzw_decode(bytes(stream), min_code)
+            if len(gray) != w * h:
+                raise ValueError("GIF pixel data size mismatch")
+            return w, h, gray
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF without image data")
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode summary for an 8-bit gray GIF — the LZW sibling of
+    decode_png/decode_bmp: same pixel grid, same summary."""
+    w, h, gray = gif_gray(payload)
+    return {
+        "mime": "image/gif",
+        "width": w,
+        "height": h,
+        "bpp": 8,
+        "n_pixels": w * h,
+        "luma_sum": sum(gray),
+        "luma_md5": hashlib.md5(gray).hexdigest(),
+    }
+
+
 def with_bmp_payload(docs: DataFrame, src: str = "text", spread: bool = True) -> DataFrame:
     """Fixture builder: attach a REAL 24-bit BMP whose gray pixel grid
     is the document's utf-8 bytes, BMP_WIDTH pixels per row (trailing
@@ -1058,15 +1280,121 @@ def with_png_payload(docs: DataFrame, src: str = "text", spread: bool = True) ->
     return out.mapInPandas(batches, schema="doc_id bigint, payload binary")
 
 
+def with_gif_payload(docs: DataFrame, src: str = "text", spread: bool = True) -> DataFrame:
+    """Fixture builder: attach a REAL GIF89a whose pixel grid is the
+    document's utf-8 bytes (same grid contract as with_bmp_payload /
+    with_png_payload, so all three containers hold the SAME image).
+    The worker closure ships the driver encoder by value (build_gif's
+    pure-function helpers close over nothing module-level), keeping it
+    self-contained; tests pin driver-vs-worker byte parity."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        _W = BMP_WIDTH
+        _GCT = bytes(v for i in range(256) for v in (i, i, i))
+
+        def _lzw(data: bytes) -> bytes:
+            # Self-contained twin of _lzw_encode (min_code = 8): the
+            # decoder-lockstep width simulation, verbatim.
+            clear, end = 256, 257
+            out = bytearray()
+            bb = nb = 0
+
+            def emit(code, width):
+                nonlocal bb, nb
+                bb |= code << nb
+                nb += width
+                while nb >= 8:
+                    out.append(bb & 0xFF)
+                    bb >>= 8
+                    nb -= 8
+
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+            dec_next, dec_first = 258, True
+            emit(clear, width)
+
+            def emitted():
+                nonlocal dec_next, dec_first, width
+                if dec_first:
+                    dec_first = False
+                    return
+                dec_next += 1
+                if dec_next == (1 << width) and width < 12:
+                    width += 1
+
+            w = b""
+            for byte in data:
+                wk = w + bytes([byte])
+                if wk in table:
+                    w = wk
+                    continue
+                emit(table[w], width)
+                emitted()
+                if next_code < 4096:
+                    table[wk] = next_code
+                    next_code += 1
+                else:
+                    emit(clear, width)
+                    table = {bytes([i]): i for i in range(256)}
+                    next_code, width = 258, 9
+                    dec_next, dec_first = 258, True
+                w = bytes([byte])
+            if w:
+                emit(table[w], width)
+                emitted()
+            emit(end, width)
+            if nb:
+                out.append(bb & 0xFF)
+            return bytes(out)
+
+        def _gif(gray: bytes) -> bytes:
+            h = len(gray) // _W
+            gray = gray[: _W * h]
+            stream = _lzw(gray)
+            blocks = b"".join(
+                bytes([len(stream[i : i + 255])]) + stream[i : i + 255]
+                for i in range(0, len(stream), 255)
+            ) + b"\x00"
+            return (
+                b"GIF89a"
+                + _struct.pack("<HHBBB", _W, h, 0xF7, 0, 0)
+                + _GCT
+                + _struct.pack("<BHHHHB", 0x2C, 0, 0, _W, h, 0)
+                + bytes([8])
+                + blocks
+                + b"\x3B"
+            )
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        _gif(t.encode("utf-8")) for t in pdf[src]
+                    ],
+                }
+            )
+
+    out = docs.select("doc_id", src).where(F.col(src).isNotNull())
+    if spread:
+        out = out.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return out.mapInPandas(batches, schema="doc_id bigint, payload binary")
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """REAL image decode stage: payloads are genuine raster containers
-    — uncompressed 24-bit BMP (``build_bmp``) or 8-bit grayscale PNG
-    (``build_png``) — dispatched on magic bytes and parsed on the
-    workers: struct header walk + un-flip + integer luma for BMP;
-    chunk walk + zlib inflate + per-row filter reconstruction for PNG.
-    Narrow map, Arrow batch in/out; the exact stage shape a
-    PIL-backed pipeline has, with the two raster codecs the stdlib
-    can express in the decode slot."""
+    — uncompressed 24-bit BMP (``build_bmp``), 8-bit grayscale PNG
+    (``build_png``) or LZW-compressed GIF89a (``build_gif``) —
+    dispatched on magic bytes and parsed on the workers: struct header
+    walk + un-flip + integer luma for BMP; chunk walk + zlib inflate +
+    per-row filter reconstruction for PNG; block walk + variable-width
+    LZW for GIF. Narrow map, Arrow batch in/out; the exact stage shape
+    a PIL-backed pipeline has, with the three raster codecs the stdlib
+    plus ~80 lines of LZW can express in the decode slot."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -1141,12 +1469,86 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 prev = out[y]
             return w, h, out.tobytes()
 
+        def _lzw_dec(data: bytes) -> bytes:
+            # Self-contained twin of _lzw_decode (min_code = 8):
+            # variable-width LSB-first GIF LZW with CLEAR/KwKwK.
+            clear, end = 256, 257
+            pos = bb = nb = 0
+            out = bytearray()
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, next_code, prev = 9, 258, None
+            while True:
+                while nb < width:
+                    bb |= data[pos] << nb
+                    pos += 1
+                    nb += 8
+                code = bb & ((1 << width) - 1)
+                bb >>= width
+                nb -= width
+                if code == clear:
+                    table = [bytes([i]) for i in range(256)] + [b"", b""]
+                    width, next_code, prev = 9, 258, None
+                    continue
+                if code == end:
+                    return bytes(out)
+                if prev is None:
+                    out += table[code]
+                    prev = code
+                    continue
+                entry = (
+                    table[code]
+                    if code < next_code
+                    else table[prev] + table[prev][:1]
+                )
+                out += entry
+                if next_code < 4096:
+                    table.append(table[prev] + entry[:1])
+                    next_code += 1
+                    if next_code == (1 << width) and width < 12:
+                        width += 1
+                prev = code
+
+        def _gif_gray(payload: bytes) -> tuple:
+            # Self-contained twin of gif_gray (builder always writes
+            # min_code=8, 256-gray GCT, no extensions/interlace).
+            packed = payload[10]
+            pos = 13
+            if packed & 0x80:
+                pos += 3 * (2 << (packed & 0x07))
+            while payload[pos] == 0x21:
+                pos += 2
+                while payload[pos]:
+                    pos += payload[pos] + 1
+                pos += 1
+            _l, _t, w, h, _ip = _struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 11  # descriptor (10) + min-code-size byte
+            stream = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                stream += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            return w, h, _lzw_dec(bytes(stream))
+
         def _decode(payload: bytes) -> tuple:
             if payload[:8] == b"\x89PNG\r\n\x1a\n":
                 w, h, gray = _png_gray(payload)
                 arr = _np.frombuffer(gray, dtype=_np.uint8)
                 return (
                     "image/png",
+                    w,
+                    h,
+                    8,
+                    w * h,
+                    int(arr.astype(_np.int64).sum()),
+                    _hashlib.md5(gray).hexdigest(),
+                )
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                w, h, gray = _gif_gray(payload)
+                arr = _np.frombuffer(gray, dtype=_np.uint8)
+                return (
+                    "image/gif",
                     w,
                     h,
                     8,
@@ -1503,6 +1905,66 @@ def perceptual_hash(
                         )
                     prev = out[y]
                 return out.reshape(-1).astype(_np.int64)
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                # Self-contained GIF twin (min_code=8 builder contract;
+                # see gif_gray/_lzw_decode).
+                clear, end = 256, 257
+                packed = payload[10]
+                pos = 13
+                if packed & 0x80:
+                    pos += 3 * (2 << (packed & 0x07))
+                while payload[pos] == 0x21:
+                    pos += 2
+                    while payload[pos]:
+                        pos += payload[pos] + 1
+                    pos += 1
+                _l, _t, w, h, _ip = _struct.unpack_from(
+                    "<HHHHB", payload, pos + 1
+                )
+                pos += 11
+                stream = bytearray()
+                while payload[pos]:
+                    ln = payload[pos]
+                    stream += payload[pos + 1 : pos + 1 + ln]
+                    pos += ln + 1
+                data = bytes(stream)
+                p2 = bb = nb = 0
+                outb = bytearray()
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width, next_code, prev = 9, 258, None
+                while True:
+                    while nb < width:
+                        bb |= data[p2] << nb
+                        p2 += 1
+                        nb += 8
+                    code = bb & ((1 << width) - 1)
+                    bb >>= width
+                    nb -= width
+                    if code == clear:
+                        table = [bytes([i]) for i in range(256)] + [b"", b""]
+                        width, next_code, prev = 9, 258, None
+                        continue
+                    if code == end:
+                        break
+                    if prev is None:
+                        outb += table[code]
+                        prev = code
+                        continue
+                    entry = (
+                        table[code]
+                        if code < next_code
+                        else table[prev] + table[prev][:1]
+                    )
+                    outb += entry
+                    if next_code < 4096:
+                        table.append(table[prev] + entry[:1])
+                        next_code += 1
+                        if next_code == (1 << width) and width < 12:
+                            width += 1
+                    prev = code
+                return _np.frombuffer(bytes(outb), dtype=_np.uint8).astype(
+                    _np.int64
+                )
             offset = _struct.unpack_from("<I", payload, 10)[0]
             (_ds, w, h, _p, _bpp, _c) = _struct.unpack_from(
                 "<IiiHHI", payload, 14

@@ -1242,6 +1242,89 @@ def mm_phash_png_pixels_neardup(
     return _phash_band_pairs(hashed)
 
 
+# GIF decode summary: third container, same pixel grid contract —
+# LZW-compressed color-indexed raster with a gray-identity palette,
+# so index == luma and only the mime differs from the PNG oracle.
+_GIF_DECODE_ORACLE = _PNG_DECODE_ORACLE.replace(
+    "'image/png' AS mime", "'image/gif' AS mime"
+)
+assert _GIF_DECODE_ORACLE != _PNG_DECODE_ORACLE  # replace anchored
+
+
+@register(
+    "mm_decode_gif",
+    oracle=_GIF_DECODE_ORACLE.format(ascii_docs=_ASCII_DOCS_SQL),
+    doc="REAL LZW-raster decode round-trip — the GIF89a sibling of "
+        "mm_decode_bmp/mm_decode_png, third container in "
+        "decode_image's magic-byte dispatch: each document's bytes "
+        "are encoded as a genuine GIF (logical screen descriptor, "
+        "256-entry gray-identity palette, image descriptor, "
+        "variable-width LZW index stream in sub-blocks, trailer — "
+        "operators/media.py build_gif; any viewer opens it) and "
+        "decoded back on the workers by a block walk + a pure-Python "
+        "GIF-LZW decoder (LSB-first variable-width codes, CLEAR "
+        "resets, the KwKwK case, 12-bit cap with 4096-entry "
+        "dictionary reset — all exercised by "
+        "tests/test_gif_decode.py's stress roundtrips). Where PNG "
+        "exercised predictive filtering + DEFLATE, GIF exercises "
+        "dictionary coding — the third compression family a real "
+        "decode stage meets. Oracle replays from text (gray-identity "
+        "palette makes index == luma). Narrow Arrow map; payloads "
+        "never shuffle.",
+    tags=("multimodal", "llm", "decode", "pandas-udf"),
+)
+def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.media import decode_image, with_gif_payload
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(_ASCII_DOCS)
+        .where(F.length("text") >= BMP_WIDTH)
+    )
+    return decode_image(with_gif_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "mm_phash_gif_pixels_neardup",
+    oracle=_PHASH_PIXELS_ORACLE.format(
+        ascii_docs=_ASCII_DOCS_SQL, **_PHASH_FMT
+    ),
+    doc="Perceptual-hash near-dup over pixel grids decoded from GIF "
+        "containers — the third leg of the container-blindness "
+        "contract: this query's oracle is BYTE-IDENTICAL to the BMP "
+        "and PNG variants' because the fingerprint stage reconstructs "
+        "the SAME top-down luminance grid from any of the three "
+        "containers (uncompressed BGR, filtered+DEFLATE, LZW). The "
+        "same image re-containerized must band, pair and Hamming-"
+        "confirm identically. Exact-dup collapse keys on the pixel "
+        "grid before encoding; banding, SMJ pair join and Hamming "
+        "confirm reuse _phash_band_pairs unchanged.",
+    tags=("multimodal", "llm", "dedup", "neardup", "decode",
+          "pandas-udf"),
+)
+def mm_phash_gif_pixels_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_spark.operators.media import perceptual_hash, with_gif_payload
+
+    px = F.expr(
+        f"substring(text, 1, "
+        f"CAST((length(text) div {BMP_WIDTH}) * {BMP_WIDTH} AS INT))"
+    )
+    reps = (
+        load(spark, sf_dir, "documents")
+        .where(_ASCII_DOCS)
+        .where(F.length("text") >= _PIXEL_PHASH_MIN_LEN)
+        .select("doc_id", px.alias("text"))
+        .groupBy(F.md5("text").alias("pixel_md5"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+    )
+    hashed = perceptual_hash(
+        with_gif_payload(reps), noisy_variant=True, pixel_decode=True
+    )
+    return _phash_band_pairs(hashed)
+
+
 _PHASH_GATE_ORACLE = """
     WITH side AS (
       -- arriving slice: every doc individually (each needs a verdict);
