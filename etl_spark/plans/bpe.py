@@ -52,9 +52,13 @@ def _bpe_ctes() -> str:
     sym) × BPE_MERGES. Shared by both oracles."""
     parts = [f"""
     WITH wc AS MATERIALIZED (
+      -- length >= 1: Spark sequence(1, 0) infers step -1 and yields
+      -- [1, 0] while DuckDB generate_series(1, 0) is empty, so an
+      -- empty word (split artifact) must never reach the char split
       SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS wcnt
       FROM (SELECT unnest(string_split(text, ' ')) AS t
             FROM documents WHERE text IS NOT NULL)
+      WHERE length(t) >= 1
       GROUP BY t
     ),
     sym0 AS MATERIALIZED (
@@ -125,10 +129,14 @@ def _learn_oracle_sql() -> str:
 
 
 def _word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # length >= 1 pinned on BOTH sides: Spark sequence(1, 0) infers a
+    # negative step ([1, 0]) while DuckDB generate_series(1, 0) is
+    # empty — an empty split artifact must never reach the char split.
     return (
         load(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wcnt"))
     )

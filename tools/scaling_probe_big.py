@@ -69,6 +69,14 @@ PROBES = [
     "mm_phash_clusters",
     "mm_phash_history_gate",
     "curation_train_val_split",
+    # round 8: trained operators (label = pair join, training passes
+    # rescan the corpus) and the third-container pair family
+    "ml_logreg_train",
+    "ml_logreg_quality_lift",
+    "text_bpe_learn",
+    "text_bpe_fertility",
+    "mm_phash_gif_pixels_neardup",
+    "pipeline_incremental_refresh",
 ]
 
 REPS = int(os.environ.get("PROBE_REPS", "2"))
