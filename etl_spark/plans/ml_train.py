@@ -67,11 +67,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark.io import load
-from etl_spark.plans.llm_dedup import PREFIX_JACCARD_T, SHINGLES_SQL
+from etl_spark.plans.llm_dedup import (
+    _H60_SQL,
+    PREFIX_JACCARD_T,
+    SHINGLES_SQL,
+)
 from etl_spark.plans.llm_text import _H16_TOKEN_SQL, HASH_DIM, tokens_col
 from etl_spark.plans.registry import register
 
 LOGREG_ITERS = 4
+#: Content-hash train split for the holdout evaluation (the
+#: curation_train_val_split convention: md5(text) 60-bit prefix mod
+#: 100 — byte-identical duplicates always co-assign).
+HOLDOUT_TRAIN_PCT = 80
 #: Integer learning rate (dyadic so the update literal is exact in
 #: both engines and the driver). LR=32 measured: loss 134.2e9 →
 #: 56.7e9 over 4 iterations at sf0.01, top-decile dup rate 0.56 vs
@@ -104,11 +112,18 @@ _LOSS_SQL = (
 )
 
 
-def _logreg_ctes() -> str:
+def _logreg_ctes(train_only: bool = False) -> str:
     """The full unrolled-training CTE chain: label → features → w0 →
     (score, residual, gradient, update) × LOGREG_ITERS → final score
-    pass s{T+1}. Shared by both registered oracles."""
+    pass s{T+1}. Shared by all registered oracles. With
+    ``train_only``, residuals (and therefore gradients) and the mean
+    normalizer are restricted to the content-hash train split —
+    scoring passes still cover every doc so the holdout can be
+    evaluated from s{T+1}."""
     T = LOGREG_ITERS
+    H60 = _H60_SQL
+    TPCT = HOLDOUT_TRAIN_PCT
+    NNW = RW = " WHERE tr" if train_only else ""
     parts = [f"""
     WITH sh AS ({SHINGLES_SQL}),
     sized AS (
@@ -139,8 +154,9 @@ def _logreg_ctes() -> str:
       SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
              CASE WHEN doc_id IN (SELECT doc_id FROM dd)
                   THEN 1 ELSE 0 END AS y,
+             ({H60}) % 100 < {TPCT} AS tr,
              ts
-      FROM (SELECT doc_id, string_split(text, ' ') AS ts
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts, md5(text) AS h
             FROM documents WHERE text IS NOT NULL)
     ),
     tf AS MATERIALIZED (
@@ -149,7 +165,7 @@ def _logreg_ctes() -> str:
       FROM (SELECT doc_id, unnest(ts) AS t FROM labeled)
       GROUP BY doc_id, b
     ),
-    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM labeled),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM labeled{NNW}),
     w0 AS (
       SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
       FROM range({HASH_DIM})
@@ -158,17 +174,17 @@ def _logreg_ctes() -> str:
         p = k - 1
         parts.append(f"""
     s{k} AS (
-      SELECT l.doc_id, l.dl, l.y,
+      SELECT l.doc_id, l.dl, l.y, l.tr,
              CAST(COALESCE(SUM(w.w * t.cnt), 0) AS BIGINT) AS zraw
       FROM labeled l
       LEFT JOIN tf t ON t.doc_id = l.doc_id
       LEFT JOIN w{p} w ON w.b = t.b
-      GROUP BY l.doc_id, l.dl, l.y
+      GROUP BY l.doc_id, l.dl, l.y, l.tr
     ),""")
         if k == T + 1:
             break  # s{T+1} is the final-weight eval pass; no update
         parts.append(f"""
-    r{k} AS (SELECT doc_id, {_R_SQL} AS r FROM s{k}),
+    r{k} AS (SELECT doc_id, {_R_SQL} AS r FROM s{k}{RW}),
     g{k} AS (
       SELECT t.b, CAST(SUM(r.r * t.cnt) AS BIGINT) AS grad
       FROM tf t JOIN r{k} r USING (doc_id)
@@ -233,6 +249,9 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("is_dup", F.lit(1))
         )
         toks = tokens_col()
+        h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast(
+            "bigint"
+        )
         return (
             load(spark, sf_dir, "documents")
             .filter(F.col("text").isNotNull())
@@ -240,10 +259,11 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.size(toks).cast("bigint").alias("dl"),
                 F.transform(toks, _bucket).alias("buckets"),
+                (h60 % 100 < HOLDOUT_TRAIN_PCT).alias("tr"),
             )
             .join(dup_docs, "doc_id", "left")
             .select(
-                "doc_id", "dl", "buckets",
+                "doc_id", "dl", "buckets", "tr",
                 F.coalesce("is_dup", F.lit(0)).cast("int").alias("y"),
             )
         )
@@ -264,23 +284,26 @@ def _zraw_col(warr: list[int]):
     )
 
 
-def _train(spark: SparkSession, sf_dir: str):
+def _train(spark: SparkSession, sf_dir: str, train_only: bool = False):
     """Run LOGREG_ITERS batch-gradient steps; returns (weights history
-    [w_0..w_T], cached feature DF, n_docs)."""
+    [w_0..w_T], cached feature DF, n used as the gradient-mean
+    normalizer). With ``train_only``, gradients and the normalizer
+    come from the content-hash train split only."""
     # feats is fetched OUTSIDE the memo so a bench-rep clearCache()
     # re-persists it via session_cached; only the (deterministic)
     # weight history and count are memoized.
     feats = _features(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir)
+    grad_src = feats.filter("tr") if train_only else feats
+    key = (spark.sparkContext.applicationId, sf_dir, train_only)
     if key in _TRAIN_CACHE:
         hist, n = _TRAIN_CACHE[key]
         return hist, feats, n
-    n = feats.count()  # 1 scalar (frame itself already materialized)
+    n = grad_src.count()  # 1 scalar (frame itself already materialized)
     w = [0] * HASH_DIM
     hist = [list(w)]
     for _ in range(LOGREG_ITERS):
         grad_rows = (
-            feats.withColumn("zraw", _zraw_col(w))
+            grad_src.withColumn("zraw", _zraw_col(w))
             .withColumn("r", F.expr(_R_SQL))
             .select(F.explode("buckets").alias("b"), "r")
             .groupBy("b")
@@ -424,4 +447,85 @@ def ml_logreg_quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score").alias("score_hi"),
         )
         .orderBy("decile")
+    )
+
+
+HOLDOUT_TILES = 5
+
+
+def _holdout_oracle_sql() -> str:
+    T1 = LOGREG_ITERS + 1
+    return f"""{_logreg_ctes(train_only=True)},
+    held AS (
+      SELECT doc_id, {_Z_SQL} AS score, y
+      FROM s{T1} WHERE NOT tr
+    ),
+    tiled AS (
+      SELECT score, y,
+             NTILE({HOLDOUT_TILES}) OVER (ORDER BY score, doc_id)
+               AS tile
+      FROM held
+    )
+    SELECT CAST(tile AS INTEGER) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_dups,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS dup_rate,
+           MIN(score) AS score_lo,
+           MAX(score) AS score_hi
+    FROM tiled
+    GROUP BY tile
+    ORDER BY tile
+    """
+
+
+@register(
+    "ml_logreg_holdout_lift",
+    oracle=_holdout_oracle_sql(),
+    doc="GENERALIZATION receipt for the trained gate — the honest "
+        "complement to ml_logreg_quality_lift's on-corpus calibration: "
+        f"training (gradients AND the mean normalizer) restricted to "
+        f"the {HOLDOUT_TRAIN_PCT}% content-hash train split (the "
+        "curation_train_val_split convention, so byte-identical "
+        "duplicates co-assign), then every HELD-OUT doc is scored "
+        f"with the final weights and ranked into {HOLDOUT_TILES} "
+        "exact tiles, each reporting its near-dup rate. Lift on docs "
+        "the model never saw is the evidence a gate owner actually "
+        "needs before deploying the classifier on new crawl batches. "
+        "Same exactness contract as ml_logreg_train (integer "
+        "lattices, unrolled-CTE oracle replaying the split training "
+        "bit-identically); same plan shape plus one in-row split "
+        "predicate — the holdout is a filter, never a second scan.",
+    tags=("ml", "llm", "training", "quality", "holdout"),
+)
+def ml_logreg_holdout_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.operators.ranking import (
+        global_rank_cumsum,
+        ntile_from_rank,
+    )
+
+    hist, feats, _n = _train(spark, sf_dir, train_only=True)
+    held = (
+        feats.filter(~F.col("tr"))
+        .withColumn("zraw", _zraw_col(hist[-1]))
+        .select("doc_id", F.expr(_Z_SQL).alias("score"), "y")
+    )
+    ranked, totals = global_rank_cumsum(held, key="score", tie="doc_id")
+    tiled = ranked.select(
+        "score", "y",
+        ntile_from_rank(F.col("rn"), totals["n"], HOLDOUT_TILES).alias(
+            "tile"
+        ),
+    )
+    return (
+        tiled.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_dups"),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias(
+                "dup_rate"
+            ),
+            F.min("score").alias("score_lo"),
+            F.max("score").alias("score_hi"),
+        )
+        .orderBy("tile")
     )
