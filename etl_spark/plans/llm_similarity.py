@@ -984,3 +984,178 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PQ_TOPK)
         .select("query_id", "vec_id", "adc_d2", "rnk")
     )
+
+
+# --- Johnson-Lindenstrauss random projection: the dimensionality-
+# reduction step in front of exact ANN scans. The sign matrix is a
+# COMPILE-TIME config constant (md5-derived ±1 per (out_dim, in_dim)
+# cell — Achlioptas' database-friendly JL variant), so both engines and
+# the oracle share the identical projection by construction.
+import hashlib as _hashlib  # noqa: E402
+
+JL_DIM = 16
+#: distortion band tested by exact integer cross-multiply:
+#: ratio = d2p / (JL_DIM * d2) within [1/2, 2]
+_JL_BAND_LO_NUM, _JL_BAND_HI_NUM = 1, 2
+_JL_SIGNS = [
+    [
+        1
+        if int(_hashlib.md5(f"jl_{j}_{d}".encode()).hexdigest()[:4], 16) % 2
+        == 0
+        else -1
+        for d in range(DIM)
+    ]
+    for j in range(JL_DIM)
+]
+
+
+def _jl_oracle_sql() -> str:
+    p_exprs = ", ".join(
+        f"CAST(list_dot_product(q, {signs}) AS BIGINT)"
+        for signs in _JL_SIGNS
+    )
+    return f"""
+    WITH vec AS ({_vec_cte()}),
+    proj AS (
+      SELECT vec_id, norm, q, p,
+             CAST(list_dot_product(p, p) AS BIGINT) AS pn
+      FROM (SELECT vec_id, norm, q, [{p_exprs}] AS p FROM vec)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id,
+             CAST(a.norm + b.norm
+                  - 2 * list_dot_product(a.q, b.q) AS BIGINT) AS d2,
+             CAST(a.pn + b.pn
+                  - 2 * list_dot_product(a.p, b.p) AS BIGINT) AS d2p
+      FROM proj a JOIN proj b
+        ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN 2 * d2p >= {JL_DIM} * d2
+                          AND d2p <= 2 * {JL_DIM} * d2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+           CAST(SUM(CASE WHEN 2 * d2p >= {JL_DIM} * d2
+                          AND d2p <= 2 * {JL_DIM} * d2
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS within_rate,
+           MIN(CAST(d2p AS DOUBLE) / CAST({JL_DIM} * d2 AS DOUBLE))
+             AS min_ratio,
+           MAX(CAST(d2p AS DOUBLE) / CAST({JL_DIM} * d2 AS DOUBLE))
+             AS max_ratio
+    FROM pairs
+    WHERE d2 > 0
+    GROUP BY query_id
+    ORDER BY query_id
+    """
+
+
+@register(
+    "emb_jl_distortion",
+    oracle=_jl_oracle_sql(),
+    doc=f"Johnson-Lindenstrauss distance-distortion receipt: every "
+        f"vector is projected {DIM} -> {JL_DIM} dims with a "
+        "compile-time ±1 sign matrix (Achlioptas' sparse JL), and for "
+        f"each of the {N_QUERIES} query vectors the squared-L2 "
+        "distance to every other vector is compared against its "
+        "projected estimate d2p/JL_DIM — the JL lemma's actual "
+        "guarantee (E[d2p] = JL_DIM * d2, concentration ~ "
+        "sqrt(2/JL_DIM)). Emits per query the fraction of pairs whose "
+        "ratio stays within [1/2, 2] (tested by exact INTEGER "
+        "cross-multiply — no float compare decides a count) plus the "
+        "observed min/max ratio. This is the number that sizes a "
+        "projection prefilter: a high in-band rate at 4x compression "
+        "means a d2p scan with a 2x-slack threshold loses almost "
+        "nothing. (Neighbor-rank recall is deliberately NOT the "
+        "metric here: on this isotropic synthetic corpus pairwise "
+        "distances concentrate and nearest-neighbor identity is "
+        "statistically meaningless — distance distortion is the "
+        "honest, data-independent JL contract.) Exact: integer "
+        "inputs keep projections, distances and matmuls < 2^53; "
+        "ratios are single identical IEEE divisions. Plan: one "
+        "corpus scan; the closure aggregates PARTIALS per (query, "
+        "batch) — count/in-band/min/max are all associative — so the "
+        f"shuffle is {N_QUERIES} x n_batches rows, never pair-sized.",
+    tags=("similarity", "llm", "ann", "projection"),
+)
+def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+    )
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    query_ids = [r["vec_id"] for r in q_rows]
+    query_vecs = [list(r["q"]) for r in q_rows]
+    signs = [list(row) for row in _JL_SIGNS]
+    jl = JL_DIM
+
+    def partials(it):
+        import numpy as np
+        import pandas as pd
+
+        S = np.array(signs, dtype=np.float64)
+        QM = np.array(query_vecs, dtype=np.float64)
+        PQ = QM @ S.T
+        q_norms = (QM * QM).sum(axis=1)
+        pq_norms = (PQ * PQ).sum(axis=1)
+        qids = np.array(query_ids, dtype=np.int64)
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["q"].tolist(), dtype=np.float64)
+            PC = C @ S.T
+            cids = pdf["vec_id"].values.astype(np.int64)
+            d2 = (
+                (C * C).sum(axis=1)[:, None]
+                + q_norms[None, :]
+                - 2.0 * (C @ QM.T)
+            )
+            d2p = (
+                (PC * PC).sum(axis=1)[:, None]
+                + pq_norms[None, :]
+                - 2.0 * (PC @ PQ.T)
+            )
+            rows = []
+            for qi in range(len(qids)):
+                mask = (cids != qids[qi]) & (d2[:, qi] > 0)
+                if not mask.any():
+                    continue
+                de, dp = d2[mask, qi], d2p[mask, qi]
+                within = (2.0 * dp >= jl * de) & (dp <= 2.0 * jl * de)
+                ratio = dp / (jl * de)
+                rows.append(
+                    (
+                        int(qids[qi]),
+                        int(mask.sum()),
+                        int(within.sum()),
+                        float(ratio.min()),
+                        float(ratio.max()),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["query_id", "n", "nw", "rmin", "rmax"],
+                )
+
+    part = emb.mapInPandas(
+        partials,
+        schema="query_id bigint, n bigint, nw bigint,"
+        " rmin double, rmax double",
+    )
+    return (
+        part.groupBy("query_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_pairs"),
+            F.sum("nw").cast("bigint").alias("n_within"),
+            (F.sum("nw").cast("double") / F.sum("n")).alias("within_rate"),
+            F.min("rmin").alias("min_ratio"),
+            F.max("rmax").alias("max_ratio"),
+        )
+        .orderBy("query_id")
+    )

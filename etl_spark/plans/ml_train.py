@@ -529,3 +529,92 @@ def ml_logreg_holdout_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile")
     )
+
+
+TOP_FEATS = 20
+
+
+def _top_features_oracle_sql() -> str:
+    T = LOGREG_ITERS
+    return f"""{_logreg_ctes()},
+    fw AS (
+      SELECT b, w,
+             ROW_NUMBER() OVER (ORDER BY ABS(w) DESC, b ASC) AS rnk
+      FROM w{T} WHERE w <> 0
+    ),
+    vb AS (
+      SELECT ({_H16_TOKEN_SQL}) % {HASH_DIM} AS b,
+             CAST(COUNT(DISTINCT t) AS BIGINT) AS n_tokens,
+             array_to_string(list_sort(list(DISTINCT t)), ',') AS tokens
+      FROM (SELECT unnest(ts) AS t FROM labeled)
+      GROUP BY b
+    )
+    SELECT CAST(fw.rnk AS INTEGER) AS rnk,
+           CAST(fw.b AS BIGINT) AS bucket,
+           fw.w AS w_int,
+           COALESCE(vb.n_tokens, 0) AS n_tokens,
+           COALESCE(vb.tokens, '') AS tokens
+    FROM fw LEFT JOIN vb ON vb.b = fw.b
+    WHERE fw.rnk <= {TOP_FEATS}
+    ORDER BY rnk
+    """
+
+
+@register(
+    "ml_logreg_top_features",
+    oracle=_top_features_oracle_sql(),
+    doc=f"Model interpretability — what the trained gate actually "
+        f"learned: the {TOP_FEATS} hash buckets with the largest "
+        "|weight| after training, each mapped back to the vocabulary "
+        "tokens that hash into it (the collision-aware feature "
+        "inspection every hashed-linear-model owner runs before "
+        "trusting a gate: a junk signal hiding behind a hash "
+        "collision shows up here as an implausible token list). "
+        "Tie-break (|w| DESC, bucket ASC) is total and integer-exact. "
+        "Plan: the model is driver-resident (HASH_DIM ints — the "
+        "kmeans contract), so ranking is driver-side arithmetic on "
+        "config-sized data; the token map is one distinct-explode "
+        "over the corpus grouped per bucket (vocab-bounded output) "
+        "joined to the 20-row top list broadcast. Nothing pair-sized, "
+        "nothing data-sized collected.",
+    tags=("ml", "llm", "training", "interpretability"),
+)
+def ml_logreg_top_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist, _feats, _n = _train(spark, sf_dir)
+    wT = hist[-1]
+    order = sorted(
+        ((b, w) for b, w in enumerate(wT) if w != 0),
+        key=lambda t: (-abs(t[1]), t[0]),
+    )[:TOP_FEATS]
+    top_df = spark.createDataFrame(
+        [(i + 1, b, w) for i, (b, w) in enumerate(order)],
+        "rnk int, bucket bigint, w_int bigint",
+    )
+    toks = tokens_col()
+    vb = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(toks).alias("t"))
+        .distinct()
+        .select(_bucket(F.col("t")).cast("bigint").alias("bucket"), "t")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.array_join(F.array_sort(F.collect_set("t")), ",").alias(
+                "tokens"
+            ),
+        )
+    )
+    return (
+        # broadcast: TOP_FEATS rows, config-sized. Right join mirrors
+        # the oracle's LEFT JOIN: a ranked bucket survives even if no
+        # token maps to it (cannot happen — gradients only flow
+        # through occupied buckets — but the defensive shape matches).
+        vb.join(F.broadcast(top_df), "bucket", "right")
+        .select(
+            "rnk", "bucket", "w_int",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("tokens", F.lit("")).alias("tokens"),
+        )
+        .orderBy("rnk")
+    )

@@ -114,3 +114,18 @@ def test_lsh_probe_scaled_planes_at_sf01(spark):
     assert recall / scanned_fraction >= 2.0
     for qid, (nn, c) in list(approx.items())[:50]:
         assert abs(cos[id_pos[qid], id_pos[nn]] - c) < 1e-12
+
+
+def test_jl_distortion_concentrates(spark):
+    """The JL receipt must show real concentration: at 4x compression
+    the [1/2, 2] band holds the overwhelming majority of pairs for
+    EVERY query (measured 0.84-0.99 at sf0.001), and the observed
+    ratios bracket 1 (an unbiased estimator that never crossed 1
+    would mean a scaling bug, not concentration)."""
+    from etl_spark.plans.llm_similarity import emb_jl_distortion
+
+    rows = emb_jl_distortion(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["within_rate"] >= 0.8, (r["query_id"], r["within_rate"])
+        assert 0 < r["min_ratio"] < 1 < r["max_ratio"], r

@@ -113,6 +113,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "per-ctx_len window counts: rows = len(CTX_SWEEP) = 4, constant",
     ("plans/lakehouse.py", "_refresh_parts", "g"):
         "single-row global max-day aggregate",
+    ("plans/ml_train.py", "ml_logreg_top_features", "top_df"):
+        "TOP_FEATS (20) ranked weight rows, config-sized",
     ("plans/bpe.py", "text_bpe_fertility", "seg"):
         "learned-BPE segmentation lengths: one row per word TYPE — "
         "vocab-bounded (Heaps-sublinear in corpus size), the same "
