@@ -139,7 +139,7 @@ def _logreg_ctes(train_only: bool = False) -> str:
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
-    dd AS (
+    dd AS MATERIALIZED (
       SELECT DISTINCT doc_id FROM (
         SELECT doc_a AS doc_id FROM prs
         WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
@@ -150,7 +150,7 @@ def _logreg_ctes(train_only: bool = False) -> str:
               >= {PREFIX_JACCARD_T}
       )
     ),
-    labeled AS (
+    labeled AS MATERIALIZED (
       SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
              CASE WHEN doc_id IN (SELECT doc_id FROM dd)
                   THEN 1 ELSE 0 END AS y,
@@ -173,7 +173,7 @@ def _logreg_ctes(train_only: bool = False) -> str:
     for k in range(1, T + 2):
         p = k - 1
         parts.append(f"""
-    s{k} AS (
+    s{k} AS MATERIALIZED (
       SELECT l.doc_id, l.dl, l.y, l.tr,
              CAST(COALESCE(SUM(w.w * t.cnt), 0) AS BIGINT) AS zraw
       FROM labeled l
@@ -190,7 +190,7 @@ def _logreg_ctes(train_only: bool = False) -> str:
       FROM tf t JOIN r{k} r USING (doc_id)
       GROUP BY t.b
     ),
-    w{k} AS (
+    w{k} AS MATERIALIZED (
       SELECT w.b,
              w.w - COALESCE(
                CAST(FLOOR((CAST(g.grad AS DOUBLE)
