@@ -258,6 +258,36 @@ AUDIT = [
      "snapshot diff: both served-view windows and the full outer "
      "join share the user_id key; unchanged keys are filtered at the "
      "join output, so the result is O(changed keys)"),
+    ("ml_logreg_train",
+     "trained classifier telemetry: every scoring branch reads the "
+     "persisted feature frame (InMemoryTableScan) and applies the "
+     "model as a plan literal — no join in the scoring path; the "
+     "union of per-iteration 1-row aggregates is the only output"),
+    ("ml_logreg_quality_lift",
+     "trained-gate calibration: in-row scoring off the cached "
+     "features, two-phase prefix rank for the deciles — every Window "
+     "carries a partitionSpec"),
+    ("text_bpe_learn",
+     "BPE merge learning: ONE corpus explode -> groupBy(word) for "
+     "the type table; every merge iteration runs on the vocab-sized "
+     "checkpointed symbol table (word-partitioned windows only)"),
+    ("text_bpe_fertility",
+     "learned-tokenizer application: vocab-bounded segmentation "
+     "broadcast against the corpus explode; per-source aggregates "
+     "map-combine below the Exchange"),
+    ("pipeline_incremental_refresh",
+     "multi-hop IVM: snapshot windows and the delta full-outer join "
+     "all keyed on user_id; retraction partials union into one "
+     "day-keyed aggregate; the only broadcast is the 1-row global "
+     "day scalar"),
+    ("mm_decode_gif",
+     "real-codec LZW raster decode: encode fixture and decode are "
+     "chained Arrow mapInPandas stages; payload bytes NEVER cross an "
+     "Exchange — the only shuffle is the pre-payload text spread"),
+    ("emb_jl_distortion",
+     "JL distortion: one corpus scan; the Arrow stage emits partial "
+     "(count, in-band, min, max) rows per (query, batch), so the "
+     "only Exchange carries queries x batches rows — never pairs"),
 ]
 
 INTERESTING = re.compile(
