@@ -331,7 +331,10 @@ def main() -> None:
     # events_hourly_interp crosses the calendar-bounded hour spine with
     # the distinct event_type list (same contract as gapfill/locf).
     ONE_ROW_CROSS_OK = {"graph_dup_triangles", "events_hourly_interp",
-                        "text_bm25_rank"}
+                        "text_bm25_rank",
+                        # 1-row global-day scalar broadcast back onto
+                        # the refreshed aggregate (hop 3's freshness)
+                        "pipeline_incremental_refresh"}
     for name, claim in AUDIT:
         df = REGISTRY[name].builder(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
