@@ -203,3 +203,32 @@ def read_cdc_table(spark, table_path) -> DataFrame:
     """The served view: tombstoned keys hidden, exactly like the batch
     query's final filter."""
     return read_cdc_table_raw(spark, table_path).filter(F.col("op") == "U")
+
+
+def vacuum_cdc_table(table_path, keep_versions: int = 1) -> list[str]:
+    """Retention for the versioned sink: delete version directories
+    below the newest ``keep_versions`` (the published version is
+    always retained). The atomic-pointer publish makes every batch an
+    immutable full-table version — crash-safe, but unbounded without
+    this: after N batches the directory holds N table copies. Returns
+    the removed directory names. Also removes an unpublished orphan
+    ABOVE the pointer (a crash between data write and publish), which
+    the next batch would otherwise just overwrite."""
+    import pathlib
+    import shutil
+
+    table = pathlib.Path(table_path)
+    v = _current_version(table)
+    if v is None:
+        return []
+    keep = set(range(max(0, v - keep_versions + 1), v + 1))
+    removed = []
+    for d in sorted(table.glob("v*")):
+        try:
+            k = int(d.name[1:])
+        except ValueError:
+            continue
+        if k not in keep:
+            shutil.rmtree(d)
+            removed.append(d.name)
+    return removed

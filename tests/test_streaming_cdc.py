@@ -144,3 +144,60 @@ def test_cdc_table_sink_matches_batch_query(spark, duck, tmp_path):
         r["op"] for r in read_cdc_table_raw(spark, table).collect()
     }
     assert raw_ops == {"U", "D"}  # tombstones live in the table
+
+
+def test_cdc_table_vacuum_keeps_published_state(spark, tmp_path):
+    """The versioned sink accumulates one immutable table copy per
+    batch; vacuum must remove everything below the retention horizon
+    while the served view stays byte-identical."""
+    import json as _json
+
+    from etl_spark.io import load
+    from etl_spark.streaming.cdc import (
+        _current_version,
+        read_cdc_table,
+        run_cdc_stream_to_table,
+        vacuum_cdc_table,
+    )
+
+    events = load(spark, SF_DIR, "events").limit(1200)
+    pdf = events.toPandas()
+    src = tmp_path / "src"
+    src.mkdir()
+    # 12 files / maxFilesPerTrigger=4 -> 3 micro-batches -> 3 versions
+    for i, chunk in enumerate(range(0, len(pdf), 100)):
+        rows = pdf.iloc[chunk : chunk + 100]
+        with open(src / f"b{i:04d}.json", "w") as f:
+            for _, r in rows.iterrows():
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": int(r.event_id),
+                            "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                            "user_id": int(r.user_id),
+                            "event_type": r.event_type,
+                            "value": float(r.value),
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+    changelog = events_as_changelog(
+        read_event_stream(spark, str(src)), CDC_DELETE_TYPE
+    )
+    table = tmp_path / "cdc_table"
+    run_cdc_stream_to_table(spark, changelog, tmp_path / "ckpt", table)
+
+    v = _current_version(table)
+    assert v is not None and v >= 1  # multiple batches -> versions
+    before = {
+        (r["user_id"], r["event_id"]) for r in read_cdc_table(spark, table).collect()
+    }
+    removed = vacuum_cdc_table(table, keep_versions=1)
+    assert removed == [f"v{k}" for k in range(v)]
+    after = {
+        (r["user_id"], r["event_id"]) for r in read_cdc_table(spark, table).collect()
+    }
+    assert after == before
+    # idempotent
+    assert vacuum_cdc_table(table, keep_versions=1) == []
