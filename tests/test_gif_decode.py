@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import random
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from etl_spark.io import load
@@ -113,3 +115,24 @@ def test_gif_rejects_non_gray_palette():
     payload[13 + 3 * 7 + 1] ^= 0xFF  # corrupt one palette green byte
     with pytest.raises(ValueError, match="gray-identity"):
         gif_gray(bytes(payload))
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.binary(max_size=2000))
+def test_lzw_roundtrip_property(data):
+    """Property fence: encode/decode is the identity for ARBITRARY
+    byte strings — hypothesis explores run/alternation/length shapes
+    the fixed cases don't."""
+    assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    body=st.binary(min_size=BMP_WIDTH, max_size=1200),
+)
+def test_gif_container_roundtrip_property(body):
+    """Full-container property: any byte grid survives the
+    GIF-encode/decode round trip with the grid contract applied."""
+    w, h, gray = gif_gray(build_gif(body))
+    assert (w, h) == (BMP_WIDTH, len(body) // BMP_WIDTH)
+    assert gray == body[: BMP_WIDTH * (len(body) // BMP_WIDTH)]
