@@ -184,7 +184,10 @@ def vacuum_versioned_table(
         for rel in _read_manifest(table, v).values()
     }
     removed: list[str] = []
-    for vdir in sorted((table / _DATA).glob("v*")):
+    # numeric order (lexicographic glob puts v10 before v2)
+    for vdir in sorted(
+        (table / _DATA).glob("v*"), key=lambda p: int(p.name[1:])
+    ):
         for bdir in sorted(vdir.glob(f"{_BUCKET_COL}=*")):
             rel = str(bdir.relative_to(table))
             if rel not in live:

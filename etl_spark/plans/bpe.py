@@ -204,15 +204,24 @@ def _apply_merge(sym: DataFrame, a: str, b: str) -> DataFrame:
 
 #: Memoized learned merges per (appId, sf_dir): the fertility query
 #: reuses the learn query's result instead of re-running the loop.
+#: Stores only PLAIN PYTHON rows (merge list + vocab-sized per-word
+#: subword counts), never DataFrames — caching the final checkpointed
+#: frame would pin its RDD blocks (and transitively every
+#: intermediate checkpoint it references) for the life of the
+#: session. Both cached values are vocab-bounded (Heaps' law), so the
+#: per-(appId, sf_dir) entry is a few hundred KB, not a block pin.
 _LEARN_CACHE: dict = {}
 
 
 def _learn(spark: SparkSession, sf_dir: str):
     """Run BPE_MERGES merge iterations; returns (merge list
-    [(rank, a, b, total)], final symbol DF). The corpus is scanned
+    [(rank, a, b, total)], seg rows [(w, n_sub)] — the final
+    segmentation's per-word subword counts). The corpus is scanned
     once for word counts; every iteration runs on the vocab-sized
     checkpointed symbol table, and the only per-iteration driver
-    traffic is the 1-row winning pair (config-bounded)."""
+    traffic is the 1-row winning pair (config-bounded). Intermediate
+    checkpoints are released by the ContextCleaner as soon as the
+    loop rebinds ``sym`` — nothing outlives this call."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _LEARN_CACHE:
         return _LEARN_CACHE[key]
@@ -228,7 +237,15 @@ def _learn(spark: SparkSession, sf_dir: str):
         a, b, total = top[0]["a"], top[0]["b"], top[0]["total"]
         merges.append((k, a, b, total))
         sym = _apply_merge(sym, a, b).localCheckpoint(eager=True)
-    _LEARN_CACHE[key] = (merges, sym)
+    seg_rows = [
+        (r["w"], int(r["n_sub"]))
+        for r in sym.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sub"))
+        .collect()  # vocab-bounded by construction
+    ]
+    while len(_LEARN_CACHE) >= 8:  # FIFO bound: one contract drive
+        _LEARN_CACHE.pop(next(iter(_LEARN_CACHE)))  # touches ~4 sf_dirs
+    _LEARN_CACHE[key] = (merges, seg_rows)
     return _LEARN_CACHE[key]
 
 
@@ -252,7 +269,7 @@ def _learn(spark: SparkSession, sf_dir: str):
     tags=("text", "llm", "tokenizer", "bpe", "training"),
 )
 def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges, _sym = _learn(spark, sf_dir)
+    merges, _seg_rows = _learn(spark, sf_dir)
     rows = [
         (int(k), a, b, a + b, int(total)) for k, a, b, total in merges
     ]
@@ -318,8 +335,8 @@ def _fertility_oracle_sql() -> str:
     tags=("text", "llm", "tokenizer", "bpe"),
 )
 def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _merges, sym = _learn(spark, sf_dir)
-    seg = sym.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n_sub"))
+    _merges, seg_rows = _learn(spark, sf_dir)
+    seg = spark.createDataFrame(seg_rows, "w string, n_sub bigint")
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     corpus = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
     ws = (

@@ -319,6 +319,8 @@ def _train(spark: SparkSession, sf_dir: str, train_only: bool = False):
             )
             w[row["b"]] -= delta
         hist.append(list(w))
+    while len(_TRAIN_CACHE) >= 8:  # FIFO bound (plain lists, but keep
+        _TRAIN_CACHE.pop(next(iter(_TRAIN_CACHE)))  # it bounded anyway)
     _TRAIN_CACHE[key] = (hist, n)
     return hist, feats, n
 

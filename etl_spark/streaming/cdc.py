@@ -205,30 +205,49 @@ def read_cdc_table(spark, table_path) -> DataFrame:
     return read_cdc_table_raw(spark, table_path).filter(F.col("op") == "U")
 
 
-def vacuum_cdc_table(table_path, keep_versions: int = 1) -> list[str]:
+def vacuum_cdc_table(
+    table_path, keep_versions: int = 1, orphan_grace_s: float = 600.0
+) -> list[str]:
     """Retention for the versioned sink: delete version directories
     below the newest ``keep_versions`` (the published version is
     always retained). The atomic-pointer publish makes every batch an
     immutable full-table version — crash-safe, but unbounded without
     this: after N batches the directory holds N table copies. Returns
-    the removed directory names. Also removes an unpublished orphan
-    ABOVE the pointer (a crash between data write and publish), which
-    the next batch would otherwise just overwrite."""
+    the removed directory names, numerically ordered.
+
+    Unpublished orphans ABOVE the pointer (a crash between data write
+    and publish) are removed only when older than ``orphan_grace_s``
+    seconds: a directory above the pointer younger than the grace
+    window may be the stream's in-flight ``foreachBatch`` write of
+    v<cur+1>, and rmtree-ing it would fail that batch (recoverable
+    via replay, but avoidable). Below-pointer removals are always
+    safe — the published pointer has moved past them and readers only
+    ever resolve through the pointer. Vacuum is safe to run
+    concurrently with the single writer under the default grace; with
+    ``orphan_grace_s=0`` it must only run while the stream is
+    stopped."""
     import pathlib
     import shutil
+    import time
 
     table = pathlib.Path(table_path)
     v = _current_version(table)
     if v is None:
         return []
     keep = set(range(max(0, v - keep_versions + 1), v + 1))
-    removed = []
-    for d in sorted(table.glob("v*")):
+    versioned = []
+    for d in table.glob("v*"):
         try:
-            k = int(d.name[1:])
+            versioned.append((int(d.name[1:]), d))
         except ValueError:
             continue
-        if k not in keep:
-            shutil.rmtree(d)
-            removed.append(d.name)
+    now = time.time()
+    removed = []
+    for k, d in sorted(versioned):
+        if k in keep:
+            continue
+        if k > v and now - d.stat().st_mtime < orphan_grace_s:
+            continue  # possibly the in-flight write of the next batch
+        shutil.rmtree(d)
+        removed.append(d.name)
     return removed

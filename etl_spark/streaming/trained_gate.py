@@ -50,12 +50,18 @@ def score_documents(
     cross-multiply (the classifier is a ranker; production gates run
     at a quantile cut chosen offline from the calibration table
     ml_logreg_quality_lift, not at z=0). Works on any frame with
-    (doc_id, text); NULL text is unscorable and gated out with zraw
-    NULL, gated FALSE (pinned, not engine-defaulted)."""
+    (doc_id, text); NULL text is unscorable and gated out with dl
+    NULL, zraw NULL, gated FALSE (all three pinned — dl would
+    otherwise be the legacy size(NULL)=-1 sentinel, which flips to
+    NULL under ANSI mode; we emit NULL unconditionally so downstream
+    consumers never see a config-dependent value)."""
     if len(weights) != HASH_DIM:
         raise ValueError(f"model must have {HASH_DIM} weights")
     wlit = F.lit(list(weights)).cast("array<bigint>")
     toks = F.split(F.col("text"), " ")
+    dl = F.when(
+        F.col("text").isNotNull(), F.size(toks).cast("bigint")
+    )  # NULL (not -1) when unscorable
     zraw = F.aggregate(
         F.transform(toks, lambda t: F.element_at(wlit, _bucket(t) + F.lit(1))),
         F.lit(0).cast("bigint"),
@@ -63,10 +69,10 @@ def score_documents(
     )
     return docs.select(
         "doc_id",
-        F.size(toks).cast("bigint").alias("dl"),
+        dl.alias("dl"),
         zraw.alias("zraw"),
         F.coalesce(
-            zraw > F.lit(threshold) * F.size(toks).cast("bigint"),
+            zraw > F.lit(threshold) * dl,
             F.lit(False),
         ).alias("gated_positive"),
     )

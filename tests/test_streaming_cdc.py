@@ -201,3 +201,32 @@ def test_cdc_table_vacuum_keeps_published_state(spark, tmp_path):
     assert after == before
     # idempotent
     assert vacuum_cdc_table(table, keep_versions=1) == []
+
+
+def test_cdc_vacuum_numeric_order_and_orphan_grace(tmp_path):
+    """Pure-filesystem fence for the vacuum's two retention edges:
+    (1) removals come back in NUMERIC version order even past 10
+    batches (lexicographic glob would sort v10 before v2), and (2) a
+    FRESH above-pointer orphan — indistinguishable from the stream's
+    in-flight write of the next batch — survives under the default
+    grace window, while a stale one (crash leftover) is reaped once
+    aged past it."""
+    from etl_spark.streaming.cdc import _publish_version, vacuum_cdc_table
+
+    table = tmp_path / "t"
+    for k in range(13):  # v0..v12 — double digits force the edge
+        (table / f"v{k}").mkdir(parents=True)
+    _publish_version(table, 12)
+    (table / "v13").mkdir()  # fresh orphan: may be the in-flight write
+
+    removed = vacuum_cdc_table(table, keep_versions=2)
+    assert removed == [f"v{k}" for k in range(11)]  # numeric, not lexic.
+    assert (table / "v13").exists()  # inside grace -> untouched
+
+    import os
+    import time
+
+    old = time.time() - 3600
+    os.utime(table / "v13", (old, old))  # age it past the grace window
+    assert vacuum_cdc_table(table, keep_versions=2) == ["v13"]
+    assert sorted(p.name for p in table.glob("v*")) == ["v11", "v12"]

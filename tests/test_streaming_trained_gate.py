@@ -95,5 +95,7 @@ def test_gate_pins_null_text_verdict(spark):
     )
     rows = {r["doc_id"]: r for r in score_documents(docs, hist[-1]).collect()}
     assert rows[2]["zraw"] is None
+    assert rows[2]["dl"] is None  # NULL, not the legacy -1 sentinel
     assert rows[2]["gated_positive"] is False  # pinned, never NULL
     assert rows[1]["zraw"] is not None
+    assert rows[1]["dl"] == 3
