@@ -363,21 +363,18 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_rolling_7d_active_users_approx",
-    oracle=None,  # HLL sketch — engine-specific hashing; the error
-    # bound vs the exact twin is asserted by tests/test_approx.py.
-    doc="Sketch twin of events_rolling_7d_active_users: same day-grain "
-        "pre-agg + broadcast day-dim range join, but the per-day count "
-        "is approx_count_distinct (HyperLogLog++). At 100 TB this is "
-        "the form that survives — HLL sketches are mergeable, so the "
-        "partial aggregation combines map-side and the shuffle carries "
-        "fixed-size sketches instead of user-id sets.",
-    tags=("events", "window-agg", "distinct", "approx"),
-)
-def events_rolling_7d_active_users_approx(
+def events_rolling_7d_active_users_approx_raw(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """Raw sketch twin of events_rolling_7d_active_users: same
+    day-grain pre-agg + broadcast day-dim range join, but the per-day
+    count is approx_count_distinct (HyperLogLog++). At 100 TB this is
+    the form that survives — HLL sketches are mergeable, so the
+    partial aggregation combines map-side and the shuffle carries
+    fixed-size sketches instead of user-id sets. Unregistered (HLL
+    values are engine-specific); the REGISTERED form is the
+    bounded-verdict twin below, and pytest (tests/test_approx.py)
+    drives this raw form directly."""
     day_users = (
         load(spark, sf_dir, "events")
         .select(F.date_trunc("day", "ts").alias("d"), "user_id")
@@ -396,6 +393,65 @@ def events_rolling_7d_active_users_approx(
             F.approx_count_distinct("du.user_id", rsd=0.02).alias(
                 "active_users_7d_approx"
             )
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_rolling_7d_active_users_approx",
+    oracle="""
+    WITH day_users AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM day_users)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS active_users_7d,
+           TRUE AS within_bound
+    FROM days
+    JOIN day_users du
+      ON du.d <= days.d AND du.d > days.d - INTERVAL 7 DAY
+    GROUP BY days.d
+    ORDER BY days.d
+    """,
+    doc="Bounded-verdict form of the rolling-DAU HLL sketch: the same "
+        "day-grain pre-agg + broadcast day-dim range join as the "
+        "exact twin, but ONE aggregation pass computes both the exact "
+        "rolling 7-day distinct count and approx_count_distinct("
+        "rsd=0.02), and emits within_bound = |approx - exact| <= "
+        "max(3, 0.1*exact) computed IN-PLAN. The oracle replays the "
+        "exact twin's SQL and asserts the verdict TRUE, so the "
+        "sketch's error contract is hash-checked per anchor day. The "
+        "raw sketch twin (events_rolling_7d_active_users_approx_raw, "
+        "unregistered) is the 100 TB form.",
+    tags=("events", "window-agg", "distinct", "approx"),
+)
+def events_rolling_7d_active_users_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    day_users = (
+        load(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("d"), "user_id")
+        .distinct()
+    )
+    days = day_users.select("d").distinct().alias("days")
+    du = day_users.alias("du")
+    exact = F.count_distinct("du.user_id").cast("bigint")
+    approx = F.approx_count_distinct("du.user_id", rsd=0.02)
+    bound = F.greatest(F.lit(3.0), F.lit(0.1) * exact.cast("double"))
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("du.d") <= F.col("days.d"))
+            & (F.col("du.d") > F.col("days.d") - F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy(F.date_format("days.d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            exact.alias("active_users_7d"),
+            F.coalesce(
+                F.abs(approx.cast("double") - exact.cast("double")) <= bound,
+                F.lit(False),
+            ).alias("within_bound"),
         )
         .orderBy("day")
     )

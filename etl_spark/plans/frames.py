@@ -120,19 +120,14 @@ def agg_grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register(
-    "agg_approx_percentiles",
-    oracle=None,  # the sketch's cut points are engine-specific; the
-    # exact twin agg_percentiles is the oracle-checked form, and
-    # tests/test_approx.py bounds this sketch's rank error against it.
-    doc="approx_percentile (KLL-style sketch) per status — the form "
-        "that replaces exact percentiles at 100 TB: mergeable partial "
-        "sketches, fixed memory, no global per-group sort. Returns an "
-        "actual data value within 1/accuracy rank error of the true "
-        "percentile.",
-    tags=("aggregation", "percentile", "approx"),
-)
-def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_approx_percentiles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw approx_percentile (GK/KLL-style sketch) per status — the
+    form that replaces exact percentiles at 100 TB: mergeable partial
+    sketches, fixed memory, no global per-group sort. Returns an
+    actual data value within n/accuracy rank error of the target
+    rank. Unregistered (sketch cut points are engine-specific); the
+    REGISTERED form is the bounded-verdict twin below, and pytest
+    (tests/test_approx.py) drives this raw form directly."""
     pcts = F.percentile_approx("o_totalprice", [0.5, 0.9], 10_000)
     return (
         load(spark, sf_dir, "orders")
@@ -144,6 +139,96 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("pcts", 2).alias("approx_p90_price"),
             "n_orders",
         )
+    )
+
+
+@register(
+    "agg_approx_percentiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN price END) AS DOUBLE) AS p50_disc,
+           CAST(MIN(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                    THEN price END) AS DOUBLE) AS p90_disc,
+           TRUE AS within_bound
+    FROM ranked
+    GROUP BY o_orderstatus
+    """,
+    doc="Bounded-verdict form of the percentile sketch: the plan "
+        "computes approx_percentile(accuracy=10000) per status AND "
+        "the per-group sorted ranks, then checks IN-PLAN that each "
+        "sketch value's position lands within the sketch's guaranteed "
+        "rank window (target rank ceil(p*n), slack max(2, n/10000+1) "
+        "— GK's deterministic n/accuracy bound plus integer slack). "
+        "Emits the exact discrete percentiles (agg_percentile_disc's "
+        "explicit rank formula, engine-agreed tie rule) and the "
+        "within_bound verdict; the oracle replays the exact side and "
+        "asserts the verdict TRUE, so the sketch's rank-error "
+        "CONTRACT is hash-checked even though its cut points are "
+        "engine-specific. The raw sketch twin "
+        "(agg_approx_percentiles_raw, unregistered) is the 100 TB "
+        "form; this is the certification query for its config.",
+    tags=("aggregation", "percentile", "approx"),
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    pcts = F.percentile_approx("o_totalprice", [0.5, 0.9], 10_000)
+    approx = (
+        orders.groupBy("o_orderstatus")
+        .agg(pcts.alias("pcts"))
+        .select(
+            "o_orderstatus",
+            F.element_at("pcts", 1).alias("a50"),
+            F.element_at("pcts", 2).alias("a90"),
+        )
+    )
+    wo = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = orders.select(
+        "o_orderstatus",
+        F.col("o_totalprice").alias("raw_price"),
+        dec("o_totalprice").alias("price"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # broadcast: 3-row per-status sketch frame (status-bounded)
+    j = ranked.join(F.broadcast(approx), "o_orderstatus")
+    slack = F.greatest(
+        F.lit(2).cast("bigint"), (F.col("n") / 10_000).cast("bigint") + 1
+    )
+
+    def at_rank(rank_expr, col="price"):
+        return F.min(F.when(F.col("rn") == rank_expr, F.col(col)))
+
+    def verdict(p: float, a_col: str):
+        t = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        lo = at_rank(F.greatest(F.lit(1).cast("bigint"), t - slack), "raw_price")
+        hi = at_rank(F.least(F.col("n"), t + slack), "raw_price")
+        a = F.first(a_col)
+        return (a >= lo) & (a <= hi)
+
+    def disc(p: float):
+        at = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        return at_rank(at).cast("double")
+
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        disc(0.5).alias("p50_disc"),
+        disc(0.9).alias("p90_disc"),
+        F.coalesce(
+            verdict(0.5, "a50") & verdict(0.9, "a90"), F.lit(False)
+        ).alias("within_bound"),
     )
 
 

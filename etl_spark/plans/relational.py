@@ -419,23 +419,60 @@ def agg_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; the exact-count
-    # twin agg_distinct_priority is the oracle-checked form, and
-    # tests/test_approx.py bounds this sketch's error against it.
-    doc="approx_count_distinct (HyperLogLog++) per priority — the "
-        "sketch form that replaces exact distinct at 100 TB (no expand, "
-        "mergeable partial aggregates, fixed memory).",
-    tags=("aggregation", "approx"),
-)
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL sketch per priority — the form that actually runs at
+    100 TB (no expand, mergeable partial aggregates, fixed memory).
+    Unregistered: sketch values are engine-specific, so the REGISTERED
+    form is the bounded-verdict twin below, which makes the sketch's
+    error contract itself hash-checkable against DuckDB. pytest
+    (tests/test_approx.py) still drives this raw form directly."""
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        )
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           TRUE AS within_bound
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Bounded-verdict form of the HyperLogLog++ sketch: ONE pass "
+        "computes both approx_count_distinct(rsd=0.02) and the exact "
+        "distinct count per priority, and emits within_bound = "
+        "|approx - exact| <= max(3, 0.1*exact) (5-sigma of the "
+        "configured rsd plus integer slack) computed IN-PLAN. The "
+        "oracle recomputes the exact side and asserts the verdict "
+        "TRUE, so the sketch's error CONTRACT is hash-checked even "
+        "though its value is engine-specific. The raw sketch twin "
+        "(agg_approx_distinct_raw, unregistered) is what runs at "
+        "100 TB — this form is the verification query you run on a "
+        "sample to certify the sketch config before trusting it.",
+    tags=("aggregation", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = F.count_distinct("o_custkey").cast("bigint")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
+    bound = F.greatest(F.lit(3.0), F.lit(0.1) * exact.cast("double"))
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact.alias("n_customers"),
+            F.coalesce(
+                F.abs(approx.cast("double") - exact.cast("double")) <= bound,
+                F.lit(False),
+            ).alias("within_bound"),
         )
     )
 

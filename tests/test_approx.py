@@ -1,9 +1,14 @@
-"""Sketch-accuracy bound: approx_count_distinct must stay within its
-configured relative error of the exact distinct counts."""
+"""Sketch-accuracy bounds: the raw sketch forms must stay within
+their configured error of the exact values, and the REGISTERED
+bounded-verdict twins (which hash-check that contract against the
+DuckDB oracle) must come back all-TRUE."""
 
 from __future__ import annotations
 
 from etl_spark.plans import REGISTRY
+from etl_spark.plans.analytics import events_rolling_7d_active_users_approx_raw
+from etl_spark.plans.frames import agg_approx_percentiles_raw
+from etl_spark.plans.relational import agg_approx_distinct_raw
 from tests.conftest import SF_DIR
 
 
@@ -11,7 +16,7 @@ def test_approx_percentiles_within_rank_error(spark):
     # percentile_approx(accuracy=10000) guarantees a value whose rank
     # is within n/accuracy of the target rank; verify against the rank
     # range implied by the per-status sorted values.
-    rows = REGISTRY["agg_approx_percentiles"].builder(spark, SF_DIR).collect()
+    rows = agg_approx_percentiles_raw(spark, SF_DIR).collect()
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     by_status = {
         r["o_orderstatus"]: r
@@ -37,7 +42,7 @@ def test_approx_percentiles_within_rank_error(spark):
 def test_approx_distinct_within_rsd(spark):
     approx = {
         r["o_orderpriority"]: r["approx_customers"]
-        for r in REGISTRY["agg_approx_distinct"].builder(spark, SF_DIR).collect()
+        for r in agg_approx_distinct_raw(spark, SF_DIR).collect()
     }
     exact = {
         r["o_orderpriority"]: r["n_customers"]
@@ -52,9 +57,9 @@ def test_approx_distinct_within_rsd(spark):
 def test_approx_rolling_dau_within_rsd(spark):
     approx = {
         r["day"]: r["active_users_7d_approx"]
-        for r in REGISTRY["events_rolling_7d_active_users_approx"]
-        .builder(spark, SF_DIR)
-        .collect()
+        for r in events_rolling_7d_active_users_approx_raw(
+            spark, SF_DIR
+        ).collect()
     }
     exact = {
         r["day"]: r["active_users_7d"]
@@ -66,3 +71,20 @@ def test_approx_rolling_dau_within_rsd(spark):
     for day, n in exact.items():
         # rsd=0.02 → allow 5 sigma plus integer slack.
         assert abs(approx[day] - n) <= max(3, 0.1 * n), (day, approx[day], n)
+
+
+def test_verdict_forms_all_within_bound(spark):
+    """The registered bounded-verdict twins: every group's in-plan
+    verdict must be TRUE (the oracle hash-compare requires exactly
+    this, but pin it in pytest too so a red shows up with the failing
+    group, not as a value-hash mismatch)."""
+    for name, exact_col in (
+        ("agg_approx_distinct", "n_customers"),
+        ("agg_approx_percentiles", "p50_disc"),
+        ("events_rolling_7d_active_users_approx", "active_users_7d"),
+    ):
+        rows = REGISTRY[name].builder(spark, SF_DIR).collect()
+        assert rows, name
+        for r in rows:
+            assert r["within_bound"] is True, (name, r)
+            assert r[exact_col] is not None, (name, r)

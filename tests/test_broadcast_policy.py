@@ -37,6 +37,10 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "generated day spine: bounded by the calendar span",
     ("plans/analytics.py", "events_rolling_7d_active_users_approx", "days"):
         "generated day spine: bounded by the calendar span",
+    ("plans/analytics.py", "events_rolling_7d_active_users_approx_raw", "days"):
+        "generated day spine: bounded by the calendar span",
+    ("plans/frames.py", "agg_approx_percentiles", "approx"):
+        "per-status sketch values: |distinct o_orderstatus| = 3, constant",
     ("plans/curation.py", "sample_mixture_weights", "tot"):
         "single-row global total",
     ("plans/curation.py", "sample_mixture_weights", "wsum"):
