@@ -34,6 +34,9 @@ from pyspark.sql import DataFrame, SparkSession
 # cache name -> {(applicationId, sf_dir): persisted DataFrame}
 _CACHES: dict[str, dict[tuple[str, str], DataFrame]] = {}
 
+# cache name -> {(applicationId, sf_dir): localCheckpointed DataFrame}
+_CHECKPOINTS: dict[str, dict[tuple[str, str], DataFrame]] = {}
+
 
 def session_cached(
     name: str,
@@ -64,6 +67,47 @@ def session_cached(
     return df
 
 
+def session_checkpointed(
+    name: str,
+    spark: SparkSession,
+    sf_dir: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Like ``session_cached`` but materializes via a DISK_ONLY
+    ``localCheckpoint`` instead of a storage-memory persist. Two
+    differences matter:
+
+    * **Lineage is TRUNCATED** — every consumer's executed plan shows
+      a leaf RDD scan where the build plan used to be. Use this for an
+      expensive derived ARTIFACT consumed by several registered
+      queries (the logreg near-dup label frame): with plain caching,
+      each consumer's plan still carries the full build lineage
+      textually and would silently replay it end-to-end if the cache
+      were dropped; the checkpoint makes the artifact boundary real —
+      the in-session analog of a table the upstream pipeline wrote to
+      disk, which IS the 100 TB shape.
+    * **It survives ``spark.catalog.clearCache()``** (checkpoint
+      blocks are not catalog cache entries), so bench reps measure
+      the consumer query, not an artifact rebuild — the same contract
+      a written table would give.
+
+    DISK_ONLY so the pinned blocks cost no executor storage memory.
+    Entries hold the only reference to the checkpoint RDD: ``evict``
+    drops it and the ContextCleaner releases the blocks."""
+    from pyspark import StorageLevel
+
+    cache = _CHECKPOINTS.setdefault(name, {})
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
+    df = build().localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    cache[key] = df
+    return df
+
+
 def evict(name: str | None = None) -> None:
     """Unpersist and drop cached entries — for ``name`` only, or every
     cache when ``name`` is None. Test fixtures and fuzz harnesses that
@@ -75,15 +119,25 @@ def evict(name: str | None = None) -> None:
     silent no-op on a typo would leave the exact stale-index hazard
     this module exists to prevent while appearing to have evicted it.
     """
-    if name is not None and name not in _CACHES:
+    if name is not None and name not in _CACHES and name not in _CHECKPOINTS:
         raise KeyError(
             f"evict({name!r}): no such cache; registered = "
-            f"{sorted(_CACHES)}"
+            f"{sorted(_CACHES) + sorted(_CHECKPOINTS)}"
         )
-    caches = [_CACHES[name]] if name is not None else list(_CACHES.values())
+    caches = (
+        [_CACHES[name]] if name in _CACHES else []
+    ) if name is not None else list(_CACHES.values())
     for cache in caches:
         for df in cache.values():
             df.unpersist()
+        cache.clear()
+    ckpts = (
+        [_CHECKPOINTS[name]] if name is not None and name in _CHECKPOINTS
+        else [] if name is not None else list(_CHECKPOINTS.values())
+    )
+    for cache in ckpts:
+        # dropping the reference is the release: the ContextCleaner
+        # frees the checkpoint blocks once the RDD is unreachable
         cache.clear()
 
 
