@@ -42,6 +42,7 @@ def score_documents(
     docs: DataFrame,
     weights: list[int],
     threshold: int = 0,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score a (streaming or batch) documents frame with a frozen
     integer-lattice model: emits doc_id, dl, zraw and the gate verdict
@@ -69,6 +70,7 @@ def score_documents(
     )
     return docs.select(
         "doc_id",
+        *keep,  # passthrough (e.g. the event time for composed gates)
         dl.alias("dl"),
         zraw.alias("zraw"),
         F.coalesce(
