@@ -1218,3 +1218,4 @@ def curation_quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
