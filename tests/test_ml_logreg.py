@@ -59,3 +59,78 @@ def test_holdout_generalization_lift(spark):
     top = tiles[max(tiles)]
     assert top["dup_rate"] >= 1.5 * base, (top["dup_rate"], base)
     assert top["n_dups"] == max(r["n_dups"] for r in tiles.values())
+
+
+def _top_tile_rate(df):
+    rows = {r["tile"]: r for r in df.collect()}
+    return rows[max(rows)]["dup_rate"]
+
+
+def test_l2_variant_shrinks_and_keeps_holdout_lift(spark):
+    """The regularized variant's two contracts at SF_DIR: (a) decay
+    genuinely shrinks the model (final w_l1 strictly below the same
+    schedule WITHOUT decay), (b) the regularized model's holdout
+    top-tile dup rate >= the unregularized production model's."""
+    from etl_spark.plans.ml_train import (
+        LOGREG_L2_SHIFT,
+        LOGREG_LR_SCHEDULE,
+        _train,
+        ml_logreg_holdout_lift,
+        ml_logreg_holdout_lift_l2,
+    )
+
+    hist_reg, _f, _n = _train(
+        spark, SF_DIR,
+        l2_shift=LOGREG_L2_SHIFT, lr_schedule=LOGREG_LR_SCHEDULE,
+    )
+    hist_nodecay, _f, _n = _train(
+        spark, SF_DIR, lr_schedule=LOGREG_LR_SCHEDULE
+    )
+    l1 = lambda w: sum(abs(x) for x in w)  # noqa: E731
+    assert 0 < l1(hist_reg[-1]) < l1(hist_nodecay[-1])
+
+    reg = _top_tile_rate(ml_logreg_holdout_lift_l2(spark, SF_DIR))
+    base = _top_tile_rate(ml_logreg_holdout_lift(spark, SF_DIR))
+    assert reg >= base, (reg, base)
+
+
+def test_l2_holdout_lift_geq_on_perturbed_corpus(spark, tmp_path):
+    """The deploy-the-regularized-gate fence ON A PERTURBED CORPUS:
+    replicate the sf0.01 documents 3x with copy-unique token
+    mutations at stride 3 (the make_sfbig --perturb construction: no
+    3-gram window survives unmutated, so copies add CONTENT DIVERSITY
+    not multiplicity), then regularized holdout top-tile lift must be
+    >= the unregularized model's on that corpus."""
+    from etl_spark.plans.ml_train import (
+        ml_logreg_holdout_lift,
+        ml_logreg_holdout_lift_l2,
+    )
+
+    pdf = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    copies = [pdf]
+    for i in (1, 2):
+        c = pdf.copy()
+        c["doc_id"] = c["doc_id"] + 10_000_000 * i
+
+        def mutate(text, i=i):
+            if text is None:
+                return None
+            toks = text.split(" ")
+            return " ".join(
+                t + f"~c{i}" if p % 3 == 0 else t
+                for p, t in enumerate(toks)
+            )
+
+        c["text"] = c["text"].map(mutate)
+        copies.append(c)
+    import pandas as pd
+
+    big = pd.concat(copies, ignore_index=True)
+    d = tmp_path / "perturbed"
+    d.mkdir()
+    spark.createDataFrame(big).write.parquet(str(d / "documents.parquet"))
+
+    reg = _top_tile_rate(ml_logreg_holdout_lift_l2(spark, str(d)))
+    base = _top_tile_rate(ml_logreg_holdout_lift(spark, str(d)))
+    assert reg >= base, (reg, base)
+    assert reg > 0  # non-vacuous: the tile actually catches dups
