@@ -168,3 +168,58 @@ def test_add_column_schema_evolution_across_commits(spark, tmp_path):
     # the pre-evolution version keeps its own schema
     v0 = read_versioned_table(spark, table, version=0)
     assert "ingest_source" not in v0.columns
+
+
+def test_time_travel_checksums_survive_vacuum(spark):
+    """The snapshot-export bridge composed with retention: the
+    registered query's per-version checksum triples, then vacuum to
+    keep_versions=1 — the latest version must re-read with an
+    IDENTICAL checksum triple (retention may not disturb served
+    bytes), while the below-horizon manifests are really gone."""
+    import pytest
+
+    from etl_spark.plans.lakehouse import (
+        _built_vtable,
+        lakehouse_time_travel_checksums,
+    )
+    from tests.conftest import SF_DIR
+
+    before = {
+        r["version"]: (r["n_rows"], r["xor_checksum"], r["modsum_checksum"])
+        for r in lakehouse_time_travel_checksums(spark, SF_DIR).collect()
+    }
+    assert sorted(before) == [0, 1, 2]
+    assert len(set(before.values())) == 3  # each commit changed content
+
+    table = _built_vtable(spark, SF_DIR)
+    removed = vacuum_versioned_table(table, keep_versions=1)
+    assert removed  # something below the horizon actually went away
+
+    after = read_versioned_table(spark, table)  # latest = v2
+    from pyspark.sql import functions as F
+
+    from etl_spark.plans.quality import _CK_MOD
+
+    row_str = F.concat_ws(
+        "|", "repo_dir", "file_id", "extract_ts",
+        F.col("event_id").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    got = (
+        after.select(h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(h)").alias("x"),
+            F.sum(F.col("h") % _CK_MOD).alias("m"),
+        )
+        .collect()[0]
+    )
+    assert (got["n"], got["x"], got["m"]) == before[2]
+    # time travel below the retention horizon is really gone
+    with pytest.raises(Exception):
+        read_versioned_table(spark, table, version=0).collect()
+    # rebuild for any later consumer in this session: the cached table
+    # is now vacuumed; drop the memo so the next build starts fresh
+    from etl_spark.plans.lakehouse import _VTABLE_CACHE
+
+    _VTABLE_CACHE.clear()
