@@ -93,6 +93,7 @@ SHIFTS: dict[str, list[str]] = {
 
 
 def main() -> None:
+    global OFFSET
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
     n_copies = int(args[0]) if args else 10
@@ -106,6 +107,13 @@ def main() -> None:
             raise SystemExit("use --tables=a,b,c")
         elif f == "--perturb":
             perturb = True
+        elif f.startswith("--offset="):
+            # Smaller per-copy key shift for DEEP replication ladders
+            # (e.g. 1000 copies needs offset <= 1M to stay below the
+            # phash variant band). Every safety check below still
+            # runs against the chosen value — base keys must sit
+            # below it, and the shifted top must clear the band.
+            OFFSET = int(f.split("=", 1)[1])
         else:
             raise SystemExit(f"unknown flag {f}")
     if only is not None and (unknown := only - set(SHIFTS)):

@@ -262,7 +262,26 @@ AUDIT = [
      "trained classifier telemetry: every scoring branch reads the "
      "persisted feature frame (InMemoryTableScan) and applies the "
      "model as a plan literal — no join in the scoring path; the "
-     "union of per-iteration 1-row aggregates is the only output"),
+     "near-dup LABEL is a checkpointed per-corpus artifact (leaf RDD "
+     "scan — the prefix-pair machinery no longer appears in this "
+     "plan: Exchange 1365 -> ~30 vs round 8); the union of "
+     "per-iteration 1-row aggregates is the only output"),
+    ("ml_logreg_train_l2",
+     "regularized variant: identical plan shape — decay and the LR "
+     "schedule are driver-side arithmetic on the config-sized weight "
+     "vector; scoring stays in-row off the cached features"),
+    ("pipeline_ingest_triad",
+     "composed gate triad: three branches (shingle-index left join, "
+     "band-index left join after the Arrow fingerprint stage, "
+     "stateless in-row model score) union into ONE per-doc "
+     "aggregate; payload bytes stop at the fingerprint stage; both "
+     "index joins are equi joins — no cartesian, nothing data-sized "
+     "broadcast"),
+    ("lakehouse_time_travel_checksums",
+     "time-travel checksum bridge: each version is a leaf scan of "
+     "exactly the manifest's files into one map-combinable checksum "
+     "aggregate (commutative COUNT/XOR/modsum — no sort); the union "
+     "of 3 one-row aggregates is the whole output"),
     ("ml_logreg_quality_lift",
      "trained-gate calibration: in-row scoring off the cached "
      "features, two-phase prefix rank for the deciles — every Window "

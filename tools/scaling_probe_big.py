@@ -77,6 +77,16 @@ PROBES = [
     "text_bpe_fertility",
     "mm_phash_gif_pixels_neardup",
     "pipeline_incremental_refresh",
+    # round 9: composed gate triad, regularized training, time-travel
+    # checksum bridge, and the oracle-paired sketch verdict forms
+    "pipeline_ingest_triad",
+    "ml_logreg_train_l2",
+    "ml_logreg_holdout_lift_l2",
+    "lakehouse_time_travel_checksums",
+    # (the orders-based sketch verdicts are NOT probed here: sf1/sf10
+    # replicate documents/embeddings/events only, so orders stays at
+    # bench size and a decade row would be vacuous)
+    "events_rolling_7d_active_users_approx",
 ]
 
 REPS = int(os.environ.get("PROBE_REPS", "2"))
