@@ -71,9 +71,12 @@ def test_query_matches_oracle(name, spark, duck):
     )
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_query_runs(name, spark):
-    q = REGISTRY[name]
-    df = q.builder(spark, SF_DIR)
-    assert df.count() >= 0
-    assert df.schema is not None
+def test_no_rows_only_queries_remain():
+    """As of round 9 EVERY registered query is oracle-paired (the
+    former rows-only sketches are bounded-verdict forms). This pins
+    that property: a new oracle=None registration must be a conscious
+    decision that reopens the rows-only drive path, not an accident."""
+    assert ROWS_ONLY_QUERIES == [], (
+        "unexpected rows-only queries (oracle=None): "
+        f"{ROWS_ONLY_QUERIES}"
+    )
