@@ -14,7 +14,19 @@ lakehouse answer is immutable data files plus a manifest per commit:
   manifest k+1 = untouched pointers carried over verbatim + new
   pointers — an O(touched) commit, like merge.py's overwrite;
 * time travel = read exactly the directories a manifest lists;
-* vacuum deletes bucket directories no retained manifest references.
+* vacuum deletes bucket directories no retained manifest references;
+* DELETE is merge-on-read via EQUALITY-DELETE files (the Iceberg v2
+  shape): a delete commit writes only the matched KEYS (plus the
+  served row's extract_ts as its sequence bound) under
+  ``deletes/v<k>/`` and re-points nothing — an O(deleted keys)
+  commit against any table size. Readers anti-join the manifest's
+  delete files, keeping a row iff its key is undeleted OR its
+  extract_ts is NEWER than the delete's bound — so a later merge
+  re-inserting the key RESURRECTS it, exactly the
+  sequence-number rule Iceberg applies to equality deletes.
+  ``compact_versioned_deletes`` rewrites only the buckets that
+  contain deleted keys and drops the delete files from the manifest:
+  merge-on-read folded back to copy-on-write, content-identical.
 
 Single-writer assumption (documented, as in the reference's whole
 design): commits are serialized by the caller; the manifest write is
@@ -31,13 +43,15 @@ import pathlib
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from etl_spark.etl.merge import _bucketed, latest_wins_merge
+from etl_spark.etl.merge import N_MERGE_BUCKETS, _bucketed, latest_wins_merge
 from etl_spark.etl.pipeline import snapshot_latest
 
 _BUCKET_COL = "kb"
 _DATA = "data"
 _MANIFEST = "_manifest"
+_DELETES = "deletes"
 
 
 def _manifest_path(table: pathlib.Path, version: int) -> pathlib.Path:
@@ -53,10 +67,19 @@ def latest_version(table: pathlib.Path) -> int:
     return versions[-1]
 
 
-def _read_manifest(table: pathlib.Path, version: int) -> dict[str, str]:
+def _read_manifest_doc(table: pathlib.Path, version: int) -> dict:
     with open(_manifest_path(table, version)) as f:
-        doc = json.load(f)
-    return doc["buckets"]
+        return json.load(f)
+
+
+def _read_manifest(table: pathlib.Path, version: int) -> dict[str, str]:
+    return _read_manifest_doc(table, version)["buckets"]
+
+
+def _read_dv(table: pathlib.Path, version: int) -> list[str]:
+    """Relative dirs of the equality-delete files this commit's
+    readers must apply (empty for pre-delete manifests)."""
+    return _read_manifest_doc(table, version).get("dv", [])
 
 
 def _write_data_version(
@@ -84,20 +107,76 @@ def _write_data_version(
 
 
 def _commit(
-    table: pathlib.Path, version: int, buckets: dict[str, str]
+    table: pathlib.Path,
+    version: int,
+    buckets: dict[str, str],
+    dv: list[str] | tuple[str, ...] = (),
+    schema_json: str | None = None,
 ) -> None:
     path = _manifest_path(table, version)
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"version": version, "buckets": buckets}))
+    doc: dict = {"version": version, "buckets": buckets}
+    if dv:
+        doc["dv"] = list(dv)
+    # table schema rides the manifest (the Iceberg metadata shape) so
+    # an EMPTY table — every bucket deleted then compacted away — is
+    # still readable with its correct schema
+    if schema_json is None and version > 0:
+        prev = _read_manifest_doc(table, version - 1)
+        schema_json = prev.get("schema")
+    if schema_json is not None:
+        doc["schema"] = schema_json
+    tmp.write_text(json.dumps(doc))
     tmp.rename(path)  # the commit point (atomic on POSIX)
+
+
+def _apply_dv(
+    spark: SparkSession,
+    table: pathlib.Path,
+    rows: DataFrame,
+    dv_rels: list[str],
+) -> DataFrame:
+    """Merge-on-read: drop every row whose key appears in a delete
+    file with a sequence bound >= the row's extract_ts. A row NEWER
+    than the newest delete of its key survives — that is what lets a
+    later merge resurrect a deleted key (Iceberg's sequence-number
+    rule for equality deletes). Plain join, never forced broadcast:
+    the delete set is data-derived and may be large."""
+    if not dv_rels:
+        return rows
+    dv = (
+        spark.read.parquet(*[str(table / rel) for rel in dv_rels])
+        .groupBy(
+            F.col("repo_dir").alias("_dv_repo_dir"),
+            F.col("file_id").alias("_dv_file_id"),
+        )
+        .agg(F.max("del_ts").alias("_dv_del_ts"))
+    )
+    return (
+        rows.join(
+            dv,
+            (rows["repo_dir"] == dv["_dv_repo_dir"])
+            & (rows["file_id"] == dv["_dv_file_id"]),
+            "left",
+        )
+        .filter(
+            F.col("_dv_del_ts").isNull()
+            | (F.col("extract_ts") > F.col("_dv_del_ts"))
+        )
+        .drop("_dv_repo_dir", "_dv_file_id", "_dv_del_ts")
+    )
 
 
 def init_versioned_table(records: DataFrame, table_path: pathlib.Path) -> int:
     """Materialize the latest-wins snapshot as version 0."""
     table = pathlib.Path(table_path)
-    buckets = _write_data_version(_bucketed(snapshot_latest(records)), table, 0)
-    _commit(table, 0, buckets)
+    snap = _bucketed(snapshot_latest(records))
+    buckets = _write_data_version(snap, table, 0)
+    _commit(
+        table, 0, buckets,
+        schema_json=snap.drop(_BUCKET_COL).schema.json(),
+    )
     return 0
 
 
@@ -108,10 +187,21 @@ def read_versioned_table(
     the files that commit's manifest lists, nothing else."""
     table = pathlib.Path(table_path)
     v = latest_version(table) if version is None else version
-    dirs = [str(table / rel) for rel in _read_manifest(table, v).values()]
+    doc = _read_manifest_doc(table, v)
+    dirs = [str(table / rel) for rel in doc["buckets"].values()]
+    if not dirs:
+        # legitimately empty (every bucket deleted then compacted):
+        # serve an empty frame with the manifest-recorded schema
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(doc["schema"]))
+        )
     # mergeSchema: a manifest may reference dirs written before an
     # ADD-COLUMN evolution — their rows read with the column NULL.
-    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+    rows = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    # merge-on-read: this commit's equality-delete files, if any
+    return _apply_dv(spark, table, rows, doc.get("dv", []))
 
 
 def merge_versioned_table(
@@ -124,6 +214,7 @@ def merge_versioned_table(
     table = pathlib.Path(table_path)
     current_v = latest_version(table)
     current = _read_manifest(table, current_v)
+    dv = _read_dv(table, current_v)
 
     batch = _bucketed(snapshot_latest(batch_records))
     # Config-bounded collect: at most N_MERGE_BUCKETS distinct ints.
@@ -141,6 +232,13 @@ def merge_versioned_table(
         cur_rows = spark.read.option("mergeSchema", "true").parquet(
             *existing_dirs
         )
+        # merge-on-read discipline: the merge reads the SERVED state,
+        # so pending equality deletes are applied before the fold —
+        # rewritten buckets come out physically delete-free (their dv
+        # entries go vacuous; the pointers below still carry dv for
+        # the untouched buckets, and the extract_ts bound keeps the
+        # re-inserted-newer-row resurrection rule intact).
+        cur_rows = _apply_dv(spark, table, cur_rows, dv)
         # partition-dir reads drop the bucket column; batch carries it,
         # so align columns and re-derive kb after the merge.
         # allow_schema_drift: a batch may carry columns the stored
@@ -159,7 +257,94 @@ def merge_versioned_table(
 
     buckets = dict(current)
     buckets.update(pointers)
-    _commit(table, new_v, buckets)
+    _commit(
+        table, new_v, buckets, dv=dv,
+        schema_json=merged.drop(_BUCKET_COL).schema.json(),
+    )
+    return new_v
+
+
+def delete_from_versioned_table(
+    spark: SparkSession, table_path: pathlib.Path, predicate: str
+) -> int:
+    """Merge-on-read DELETE (Iceberg-style equality delete): one new
+    commit whose manifest reuses every data pointer VERBATIM and adds
+    one delete file holding the matched keys plus each served row's
+    extract_ts as the delete's sequence bound. Cost is O(matched
+    keys) regardless of table size — no data file is read back in
+    full, none is rewritten. Readers (and subsequent merges) apply
+    the delete file; ``compact_versioned_deletes`` folds it away."""
+    table = pathlib.Path(table_path)
+    current_v = latest_version(table)
+    doomed = (
+        read_versioned_table(spark, table)
+        .filter(predicate)
+        .select(
+            "repo_dir", "file_id", F.col("extract_ts").alias("del_ts")
+        )
+    )
+    if doomed.isEmpty():
+        return current_v
+    new_v = current_v + 1
+    ddir = table / _DELETES / f"v{new_v}"
+    # same orphan rule as data versions: only the manifest publishes
+    if ddir.exists() and not _manifest_path(table, new_v).exists():
+        shutil.rmtree(ddir)
+    doomed.write.mode("error").parquet(str(ddir))
+    _commit(
+        table,
+        new_v,
+        _read_manifest(table, current_v),
+        dv=_read_dv(table, current_v) + [str(ddir.relative_to(table))],
+    )
+    return new_v
+
+
+def compact_versioned_deletes(
+    spark: SparkSession, table_path: pathlib.Path
+) -> int:
+    """Fold merge-on-read back to copy-on-write: rewrite ONLY the
+    buckets that contain deleted keys with their delete files
+    applied, and commit a manifest with no dv section. Served content
+    is identical before and after (fenced); what changes is that
+    readers stop paying the anti-join and vacuum can reclaim the
+    delete files once pre-compaction manifests age out."""
+    table = pathlib.Path(table_path)
+    current_v = latest_version(table)
+    dv = _read_dv(table, current_v)
+    if not dv:
+        return current_v
+    current = _read_manifest(table, current_v)
+    keys = spark.read.parquet(*[str(table / rel) for rel in dv])
+    # config-bounded collect: at most N_MERGE_BUCKETS distinct ints
+    touched = [
+        str(r[0])
+        for r in keys.select(
+            F.pmod(
+                F.xxhash64("repo_dir", "file_id"), F.lit(N_MERGE_BUCKETS)
+            ).alias(_BUCKET_COL)
+        )
+        .distinct()
+        .collect()
+    ]
+    new_v = current_v + 1
+    existing_dirs = [str(table / current[b]) for b in touched if b in current]
+    buckets = dict(current)
+    if existing_dirs:
+        rows = spark.read.option("mergeSchema", "true").parquet(
+            *existing_dirs
+        )
+        rewritten = _bucketed(_apply_dv(spark, table, rows, dv))
+        pointers = _write_data_version(rewritten, table, new_v)
+        for b in touched:
+            # a bucket whose every row was deleted writes no dir: it
+            # must LEAVE the manifest, or dropping dv would resurrect
+            # its rows through the stale pointer
+            if b in pointers:
+                buckets[b] = pointers[b]
+            else:
+                buckets.pop(b, None)
+    _commit(table, new_v, buckets)  # dv intentionally dropped
     return new_v
 
 
@@ -183,6 +368,9 @@ def vacuum_versioned_table(
         for v in retained_versions
         for rel in _read_manifest(table, v).values()
     }
+    live_dv = {
+        rel for v in retained_versions for rel in _read_dv(table, v)
+    }
     removed: list[str] = []
     # numeric order (lexicographic glob puts v10 before v2)
     for vdir in sorted(
@@ -195,6 +383,14 @@ def vacuum_versioned_table(
                 removed.append(rel)
         if not any(vdir.iterdir()):
             vdir.rmdir()
+    if (table / _DELETES).exists():
+        for ddir in sorted(
+            (table / _DELETES).glob("v*"), key=lambda p: int(p.name[1:])
+        ):
+            rel = str(ddir.relative_to(table))
+            if rel not in live_dv:
+                shutil.rmtree(ddir)
+                removed.append(rel)
     for mpath in (table / _MANIFEST).glob("v*.json"):
         if int(mpath.stem[1:]) not in retained_versions:
             mpath.unlink()

@@ -864,3 +864,193 @@ def lakehouse_time_travel_checksums(
             )
         )
     return reduce(DataFrame.unionByName, parts).orderBy("version")
+
+
+# --------------------------------------------------------------------------
+# Merge-on-read equality deletes: DELETE → resurrect-by-merge →
+# compaction, every commit's served view hash-checked.
+# --------------------------------------------------------------------------
+
+_DVTABLE_CACHE: dict = {}
+
+
+def _built_dv_table(spark: SparkSession, sf_dir: str):
+    """Build (once per session+sf_dir) a versioned table exercising
+    the FULL merge-on-read lifecycle: v0 init (batch0), v1 merge
+    (batch1), v2 equality-DELETE of every served 'error'-typed row
+    (O(matched keys): pointers verbatim + one delete file), v3 merge
+    (batch2 — keys whose batch2 row is NEWER than their delete bound
+    resurrect, the Iceberg sequence rule; the rest stay deleted), v4
+    compaction (delete files folded away, content-identical)."""
+    import hashlib
+    import pathlib
+    import shutil
+
+    from etl_spark.etl.versioned import (
+        compact_versioned_deletes,
+        delete_from_versioned_table,
+        init_versioned_table,
+        merge_versioned_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _DVTABLE_CACHE:
+        return _DVTABLE_CACHE[key]
+    tag = hashlib.md5(("dv|" + "|".join(key)).encode()).hexdigest()[:12]
+    table = pathlib.Path(f"/tmp/etl_spark_dvtable_{tag}")
+    if table.exists():
+        shutil.rmtree(table)
+    recs = _vt_records(spark, sf_dir)
+    init_versioned_table(recs.filter(F.col("event_id") % 3 == 0), table)
+    merge_versioned_table(
+        spark, table, recs.filter(F.col("event_id") % 3 == 1)
+    )
+    delete_from_versioned_table(spark, table, "repo_dir = 'error'")
+    merge_versioned_table(
+        spark, table, recs.filter(F.col("event_id") % 3 == 2)
+    )
+    compact_versioned_deletes(spark, table)
+    while len(_DVTABLE_CACHE) >= 8:
+        _DVTABLE_CACHE.pop(next(iter(_DVTABLE_CACHE)))
+    _DVTABLE_CACHE[key] = table
+    return table
+
+
+def _dv_checksum_oracle_sql() -> str:
+    from etl_spark.plans.quality import _CK_H60_DUCK, _CK_MOD
+
+    return f"""
+    WITH base AS (
+      SELECT event_type AS repo_dir,
+             CAST(user_id AS VARCHAR) AS file_id,
+             strftime(ts, '{TS_FMT_DUCK}') || '#'
+               || lpad(CAST(event_id AS VARCHAR), 10, '0') AS extract_ts,
+             event_id,
+             event_id % 3 AS b
+      FROM events
+    ),
+    v(k) AS (VALUES (0), (1), (2)),
+    snap AS MATERIALIZED (
+      SELECT k, repo_dir, file_id, extract_ts, event_id FROM (
+        SELECT v.k, b.*,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.k, b.repo_dir, b.file_id
+                 ORDER BY b.extract_ts DESC) AS rn
+        FROM v CROSS JOIN base b WHERE b.b <= v.k
+      ) WHERE rn = 1
+    ),
+    del AS MATERIALIZED (
+      -- the delete commit's equality-delete file: every key SERVED at
+      -- v1 with repo_dir = 'error', bounded by that row's extract_ts
+      SELECT repo_dir, file_id, extract_ts AS del_ts
+      FROM snap WHERE k = 1 AND repo_dir = 'error'
+    ),
+    b2top AS (
+      SELECT repo_dir, file_id, extract_ts, event_id FROM (
+        SELECT base.*,
+               ROW_NUMBER() OVER (PARTITION BY repo_dir, file_id
+                                  ORDER BY extract_ts DESC) AS rn
+        FROM base WHERE b = 2
+      ) WHERE rn = 1
+    ),
+    v3 AS MATERIALIZED (
+      -- undeleted keys: plain latest over batches <= 2; deleted keys:
+      -- their newest batch-2 row, kept only if NEWER than the delete
+      -- bound (the resurrection rule)
+      SELECT s.repo_dir, s.file_id, s.extract_ts, s.event_id
+      FROM snap s LEFT JOIN del d USING (repo_dir, file_id)
+      WHERE s.k = 2 AND d.del_ts IS NULL
+      UNION ALL
+      SELECT t.repo_dir, t.file_id, t.extract_ts, t.event_id
+      FROM b2top t JOIN del d USING (repo_dir, file_id)
+      WHERE t.extract_ts > d.del_ts
+    ),
+    versions AS (
+      SELECT 0 AS version, repo_dir, file_id, extract_ts, event_id
+      FROM snap WHERE k = 0
+      UNION ALL
+      SELECT 1, repo_dir, file_id, extract_ts, event_id
+      FROM snap WHERE k = 1
+      UNION ALL
+      SELECT 2, repo_dir, file_id, extract_ts, event_id
+      FROM snap WHERE k = 1 AND repo_dir <> 'error'
+      UNION ALL
+      SELECT 3, repo_dir, file_id, extract_ts, event_id FROM v3
+      UNION ALL
+      SELECT 4, repo_dir, file_id, extract_ts, event_id FROM v3
+    ),
+    hashed AS (
+      SELECT version, ({_CK_H60_DUCK}) AS h FROM (
+        SELECT version,
+               md5(repo_dir || '|' || file_id || '|' || extract_ts
+                   || '|' || CAST(event_id AS VARCHAR)) AS rh
+        FROM versions
+      )
+    )
+    SELECT CAST(version AS INTEGER) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_checksum,
+           CAST(SUM(h % {_CK_MOD}) AS BIGINT) AS modsum_checksum
+    FROM hashed
+    GROUP BY version
+    ORDER BY version
+    """
+
+
+@register(
+    "lakehouse_equality_delete_checksums",
+    oracle=_dv_checksum_oracle_sql(),
+    doc="Merge-on-read EQUALITY DELETES (the Iceberg v2 shape) with "
+        "the full lifecycle hash-checked: the builder commits init → "
+        "merge → DELETE of every served 'error'-typed row (an "
+        "O(matched-keys) commit — data pointers verbatim plus one "
+        "delete file carrying each key and its served extract_ts as "
+        "the sequence bound) → a second merge (keys whose new row is "
+        "NEWER than their delete bound RESURRECT; the rest stay "
+        "deleted — the sequence-number rule) → compaction (delete "
+        "files folded away by rewriting only the touched buckets). "
+        "Emits the order-independent checksum triple of the SERVED "
+        "view at all five commits; the oracle replays every version's "
+        "logical content relationally — delete, resurrection bound, "
+        "and compaction-identity included — so a green run proves the "
+        "merge-on-read read path returns exactly the relationally-"
+        "defined state at every horizon. Readers pay one anti-join "
+        "per delete file set (plain join, never broadcast — delete "
+        "sets are data-sized); compaction removes that cost, "
+        "content-identically (v4 == v3 is part of the hash check).",
+    tags=("lakehouse", "time-travel", "delete", "merge-on-read",
+          "checksum"),
+)
+def lakehouse_equality_delete_checksums(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from functools import reduce
+
+    from etl_spark.etl.versioned import read_versioned_table
+    from etl_spark.plans.quality import _CK_MOD
+
+    table = _built_dv_table(spark, sf_dir)
+    row_str = F.concat_ws(
+        "|",
+        F.col("repo_dir"),
+        F.col("file_id"),
+        F.col("extract_ts"),
+        F.col("event_id").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    parts = []
+    for v in range(5):
+        parts.append(
+            read_versioned_table(spark, table, version=v)
+            .select(h.alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(h)").alias("xor_checksum"),
+                F.sum(F.col("h") % _CK_MOD).alias("modsum_checksum"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows", "xor_checksum", "modsum_checksum",
+            )
+        )
+    return reduce(DataFrame.unionByName, parts).orderBy("version")

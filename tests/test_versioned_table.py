@@ -223,3 +223,159 @@ def test_time_travel_checksums_survive_vacuum(spark):
     from etl_spark.plans.lakehouse import _VTABLE_CACHE
 
     _VTABLE_CACHE.clear()
+
+
+def test_equality_delete_merge_on_read(spark, tmp_path):
+    """Merge-on-read DELETE: the delete commit rewrites NO data file
+    (pointers verbatim + one delete file), readers serve the filtered
+    view, time travel below the delete still serves the full view,
+    and a LATER merge re-inserting a deleted key RESURRECTS it (the
+    extract_ts sequence bound)."""
+    from etl_spark.etl.versioned import (
+        _read_dv,
+        compact_versioned_deletes,
+        delete_from_versioned_table,
+    )
+
+    zone = tmp_path / "zone"
+    table = tmp_path / "vtable"
+    t1, t2 = "20250101-000000Z", "20250102-000000Z"
+    for i in range(30):
+        write_run(zone, "r", t1, make_run(i, "r", status="running"))
+    init_versioned_table(load_extraction(spark, zone, t1), table)
+
+    v1 = delete_from_versioned_table(
+        spark, table, "conclusion IS NULL"  # running rows: all of v0
+    )
+    assert v1 == 1
+    # pointers verbatim: the delete commit rewrote no data file
+    assert _read_manifest(pathlib.Path(table), 1) == _read_manifest(
+        pathlib.Path(table), 0
+    )
+    assert len(_read_dv(pathlib.Path(table), 1)) == 1
+    assert read_versioned_table(spark, table).count() == 0  # all deleted
+    # time travel below the delete: full view intact
+    assert read_versioned_table(spark, table, version=0).count() == 30
+
+    # resurrection: a later extraction re-delivers 10 of the files
+    # with a NEWER extract_ts — they must come back; the other 20 stay
+    # deleted even though the dv is carried verbatim
+    write2 = [make_run(i, "r", status="completed") for i in range(10)]
+    for run in write2:
+        write_run(zone, "r", t2, run)
+    v2 = merge_versioned_table(spark, table, load_extraction(spark, zone, t2))
+    assert v2 == 2
+    served = read_versioned_table(spark, table)
+    assert served.count() == 10
+    assert {r["status"] for r in served.collect()} == {"completed"}
+
+    # idempotent no-match delete: no new commit
+    assert (
+        delete_from_versioned_table(spark, table, "status = 'nope'") == 2
+    )
+
+    # compaction folds merge-on-read away content-identically
+    before = _sorted_rows(read_versioned_table(spark, table))
+    v3 = compact_versioned_deletes(spark, table)
+    assert v3 == 3
+    assert _read_dv(pathlib.Path(table), 3) == []
+    assert _sorted_rows(read_versioned_table(spark, table)) == before
+    # compacting a dv-free table is a no-op commit-wise
+    assert compact_versioned_deletes(spark, table) == 3
+
+
+def test_equality_delete_empty_bucket_compaction(spark, tmp_path):
+    """A bucket whose EVERY row is deleted must leave the manifest at
+    compaction — a stale pointer plus a dropped dv would resurrect
+    its rows."""
+    from etl_spark.etl.versioned import (
+        compact_versioned_deletes,
+        delete_from_versioned_table,
+    )
+
+    zone = tmp_path / "zone"
+    table = tmp_path / "vtable"
+    t1 = "20250101-000000Z"
+    for i in range(40):
+        write_run(zone, "r", t1, make_run(i, "r", status="running"))
+    init_versioned_table(load_extraction(spark, zone, t1), table)
+    n_buckets_before = len(_read_manifest(pathlib.Path(table), 0))
+
+    delete_from_versioned_table(spark, table, "TRUE")  # delete ALL
+    assert read_versioned_table(spark, table).count() == 0
+    v = compact_versioned_deletes(spark, table)
+    manifest = _read_manifest(pathlib.Path(table), v)
+    assert manifest == {}  # every bucket emptied and dropped
+    assert n_buckets_before > 0
+    assert read_versioned_table(spark, table).count() == 0
+
+
+def test_vacuum_reclaims_unreferenced_delete_files(spark, tmp_path):
+    """After compaction ages the pre-compaction manifests out, vacuum
+    must reclaim the delete files too (they are commit artifacts like
+    data dirs), while a RETAINED manifest keeps its delete files."""
+    from etl_spark.etl.versioned import (
+        compact_versioned_deletes,
+        delete_from_versioned_table,
+    )
+
+    zone = tmp_path / "zone"
+    table = pathlib.Path(tmp_path / "vtable")
+    t1 = "20250101-000000Z"
+    for i in range(20):
+        write_run(zone, "r", t1, make_run(i, "r", status="running"))
+    init_versioned_table(load_extraction(spark, zone, t1), table)
+    delete_from_versioned_table(spark, table, "id % 2 = 0")
+    served_before = _sorted_rows(read_versioned_table(spark, table))
+
+    # retained window still includes the delete commit -> dv survives
+    removed = vacuum_versioned_table(table, keep_versions=2)
+    assert not any(r.startswith("deletes/") for r in removed)
+    assert _sorted_rows(read_versioned_table(spark, table)) == served_before
+
+    compact_versioned_deletes(spark, table)
+    removed = vacuum_versioned_table(table, keep_versions=1)
+    assert any(r.startswith("deletes/") for r in removed)
+    assert not (table / "deletes" / "v1").exists()
+    assert _sorted_rows(read_versioned_table(spark, table)) == served_before
+
+
+def test_registered_dv_lifecycle_is_nonvacuous(spark):
+    """The registered merge-on-read query must exercise BOTH halves
+    of the resurrection rule on the real corpus: at v3 some deleted
+    'error' keys are back (their batch-2 row outran the delete bound)
+    and some remain deleted — otherwise the oracle's sequence-bound
+    branch would be dead code."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.etl.versioned import read_versioned_table
+    from etl_spark.plans.lakehouse import (
+        _built_dv_table,
+        lakehouse_equality_delete_checksums,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r["version"]: r["n_rows"]
+        for r in lakehouse_equality_delete_checksums(spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    assert rows[2] < rows[1]  # the delete really removed rows
+    assert rows[4] == rows[3]  # compaction is content-identical
+
+    table = _built_dv_table(spark, SF_DIR)
+
+    def error_keys(v):
+        return {
+            r["file_id"]
+            for r in read_versioned_table(spark, table, version=v)
+            .filter(F.col("repo_dir") == "error")
+            .select("file_id")
+            .collect()
+        }
+
+    deleted_at_v1 = error_keys(1)
+    assert error_keys(2) == set()  # all served error rows deleted
+    back = error_keys(3)
+    assert back  # some resurrected by the newer batch-2 rows
+    assert deleted_at_v1 - back  # ...and some stayed deleted
