@@ -282,6 +282,12 @@ AUDIT = [
      "exactly the manifest's files into one map-combinable checksum "
      "aggregate (commutative COUNT/XOR/modsum — no sort); the union "
      "of 3 one-row aggregates is the whole output"),
+    ("lakehouse_equality_delete_checksums",
+     "merge-on-read lifecycle: pre-delete versions are pure leaf "
+     "scans; delete-era versions add ONE equi anti-join shape (left "
+     "join on the delete-file key aggregate + sequence-bound filter, "
+     "never broadcast-forced); the compacted version drops that join "
+     "again — all five feed map-combinable checksum aggregates"),
     ("ml_logreg_quality_lift",
      "trained-gate calibration: in-row scoring off the cached "
      "features, two-phase prefix rank for the deciles — every Window "

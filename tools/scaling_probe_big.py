@@ -87,6 +87,7 @@ PROBES = [
     # replicate documents/embeddings/events only, so orders stays at
     # bench size and a decade row would be vacuous)
     "events_rolling_7d_active_users_approx",
+    "lakehouse_equality_delete_checksums",
 ]
 
 REPS = int(os.environ.get("PROBE_REPS", "2"))
