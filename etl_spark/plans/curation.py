@@ -1219,3 +1219,95 @@ def curation_quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("decile")
     )
 
+
+
+#: Epoch-expansion cap: no language repeats more than 4.000 epochs
+#: even if inverse-frequency balancing asks for more (the standard
+#: guard against boiling a tiny language into memorization).
+MAX_EPOCHS_X1000 = 4000
+
+
+@register(
+    "curation_epoch_expand",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE text IS NOT NULL GROUP BY lang
+    ),
+    mx AS (SELECT MAX(n_docs) AS n_max FROM counts),
+    per_lang AS (
+      SELECT lang, n_docs,
+             LEAST({MAX_EPOCHS_X1000}, (1000 * mx.n_max) // n_docs)
+               AS epochs_x1000
+      FROM counts, mx
+    ),
+    sized AS (
+      SELECT d.doc_id, d.lang, p.epochs_x1000,
+             CAST(p.epochs_x1000 // 1000
+                  + CASE WHEN ({_H60_SQL}) % 1000 < p.epochs_x1000 % 1000
+                         THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+      FROM (SELECT doc_id, lang, md5(text) AS h
+            FROM documents WHERE text IS NOT NULL) d
+      JOIN per_lang p USING (lang)
+    )
+    SELECT doc_id, lang, epochs_x1000, n_copies,
+           CAST(unnest(generate_series(1, n_copies)) AS INTEGER)
+             AS copy_idx
+    FROM sized
+    """,
+    doc="EPOCH EXPANSION — materialize the weighted training mix: each "
+        "language is upsampled toward the largest language's doc count "
+        "(inverse-frequency rebalancing, the temperature->0 limit of "
+        "sample_mixture_weights' alpha sampling), capped at "
+        f"{MAX_EPOCHS_X1000 / 1000} epochs. Per-language epochs are an "
+        "EXACT rational on the x1000 lattice (integer div — no pow, no "
+        "libm), and fractional epochs land as one extra copy for the "
+        "md5-gated fraction of docs (deterministic across engines, "
+        "re-runs, and partitionings — the same gate as the train/val "
+        "split). Emits one row per (doc, copy) with copy_idx, i.e. the "
+        "actual expanded corpus a packing stage consumes. Plan: one "
+        "5-row language-count aggregate broadcast back, then a pure "
+        "map-side sequence-explode — output is epochs-bounded "
+        "(<= 4x corpus), NEVER pair-shaped; zero data-sized shuffles.",
+    tags=("curation", "llm", "sampling", "mixing"),
+)
+def curation_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    n_max = counts.agg(F.max("n_docs").alias("n_max"))
+    # broadcast: 1-row global max + |distinct lang| = 5 rows, constant
+    per_lang = counts.crossJoin(F.broadcast(n_max)).select(
+        "lang",
+        F.least(
+            F.lit(MAX_EPOCHS_X1000).cast("bigint"),
+            F.expr("(1000 * n_max) div n_docs"),
+        ).alias("epochs_x1000"),
+    )
+    h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    sized = (
+        docs.select("doc_id", "lang", (h60 % 1000).alias("g"))
+        .join(F.broadcast(per_lang), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "epochs_x1000",
+            (
+                F.expr("epochs_x1000 div 1000")
+                + F.when(
+                    F.col("g") < F.col("epochs_x1000") % 1000, 1
+                ).otherwise(0)
+            ).cast("int").alias("n_copies"),
+        )
+        # n_copies >= 1 by construction (epochs_x1000 >= 1000); the
+        # guard keeps Spark's sequence(1, 0) = [1, 0] surprise out
+        .filter(F.col("n_copies") >= 1)
+    )
+    return sized.select(
+        "doc_id",
+        "lang",
+        "epochs_x1000",
+        "n_copies",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+    )

@@ -43,6 +43,10 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "per-status sketch values: |distinct o_orderstatus| = 3, constant",
     ("plans/curation.py", "sample_mixture_weights", "tot"):
         "single-row global total",
+    ("plans/curation.py", "curation_epoch_expand", "n_max"):
+        "single-row global max language count",
+    ("plans/curation.py", "curation_epoch_expand", "per_lang"):
+        "per-language epoch factors: |distinct lang| = 5, constant",
     ("plans/curation.py", "sample_mixture_weights", "wsum"):
         "single-row weighted sum",
     ("plans/curation.py", "curation_train_val_split", "leaks"):
