@@ -1311,3 +1311,165 @@ def curation_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
     )
+
+
+#: Parallel packing streams for the final-mix build (a real pipeline
+#: packs per shard; more streams = more parallelism).
+PACK_STREAMS = 8
+
+
+@register(
+    "pipeline_build_training_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE text IS NOT NULL GROUP BY lang
+    ),
+    mx AS (SELECT MAX(n_docs) AS n_max FROM counts),
+    per_lang AS (
+      SELECT lang, LEAST({MAX_EPOCHS_X1000}, (1000 * mx.n_max) // n_docs)
+               AS epochs_x1000
+      FROM counts, mx
+    ),
+    sized AS (
+      SELECT d.doc_id, d.lang, d.n_tokens,
+             CAST(p.epochs_x1000 // 1000
+                  + CASE WHEN ({_H60_SQL}) % 1000 < p.epochs_x1000 % 1000
+                         THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+      FROM (SELECT doc_id, lang, md5(text) AS h,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents WHERE text IS NOT NULL) d
+      JOIN per_lang p USING (lang)
+    ),
+    expanded AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(unnest(generate_series(1, n_copies)) AS INTEGER)
+               AS copy_idx
+      FROM sized
+    ),
+    mixed AS (
+      SELECT doc_id, copy_idx, lang, n_tokens, ({_H60_SQL}) AS mix_key
+      FROM (SELECT e.*,
+                   md5(CAST(doc_id AS VARCHAR) || '#'
+                       || CAST(copy_idx AS VARCHAR)) AS h
+            FROM expanded e)
+    ),
+    placed AS (
+      SELECT doc_id, copy_idx, lang, n_tokens, mix_key,
+             CAST(mix_key % {PACK_STREAMS} AS BIGINT) AS stream_id,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY mix_key % {PACK_STREAMS}
+               ORDER BY mix_key, doc_id, copy_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+      FROM mixed
+    )
+    SELECT doc_id, copy_idx, lang, stream_id, n_tokens, start_offset,
+           CAST(start_offset // {CTX_TOKENS} AS BIGINT) AS pack_id,
+           CAST(CASE WHEN start_offset // {CTX_TOKENS}
+                      <> (start_offset + n_tokens - 1) // {CTX_TOKENS}
+                THEN 1 ELSE 0 END AS INTEGER) AS spans_boundary
+    FROM placed
+    """,
+    doc="END-TO-END training-mix build — the pipeline_curate_corpus of "
+        "data mixing: epoch-expand the corpus per language "
+        "(curation_epoch_expand's exact x1000-lattice inverse-"
+        "frequency epochs, md5-gated fractional copies), SHUFFLE the "
+        "expanded copies deterministically (mix_key = 60-bit md5 of "
+        f"(doc_id, copy_idx) — the reproducible global mix order), "
+        f"fan them across {PACK_STREAMS} parallel packing streams by "
+        "mix_key, and concatenate-and-chunk each stream into "
+        f"{CTX_TOKENS}-token context windows (curation_pack_sequences' "
+        "cut arithmetic). One row per placed copy with its stream, "
+        "offset, window and straddle flag — the exact manifest a "
+        "tokenizing writer consumes to emit final training shards. "
+        "Plan: 5-row lang aggregate broadcast, map-side explode, ONE "
+        "window cumsum PARTITIONED by stream (never a global sort; "
+        "more streams = more parallelism at 100 TB). All integer "
+        "arithmetic — the whole mix is bit-reproducible across "
+        "engines, re-runs, and partitionings.",
+    tags=("curation", "llm", "sampling", "mixing", "window",
+          "pipeline"),
+)
+def pipeline_build_training_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    n_max = counts.agg(F.max("n_docs").alias("n_max"))
+    # broadcast: 1-row global max + |distinct lang| = 5 rows, constant
+    per_lang = counts.crossJoin(F.broadcast(n_max)).select(
+        "lang",
+        F.least(
+            F.lit(MAX_EPOCHS_X1000).cast("bigint"),
+            F.expr("(1000 * n_max) div n_docs"),
+        ).alias("epochs_x1000"),
+    )
+    h60_text = F.conv(
+        F.substring(F.md5("text"), 1, 15), 16, 10
+    ).cast("bigint")
+    sized = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            (h60_text % 1000).alias("g"),
+        )
+        .join(F.broadcast(per_lang), "lang")
+        .select(
+            "doc_id", "lang", "n_tokens",
+            (
+                F.expr("epochs_x1000 div 1000")
+                + F.when(
+                    F.col("g") < F.col("epochs_x1000") % 1000, 1
+                ).otherwise(0)
+            ).cast("int").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 1)  # sequence(1,0) guard
+    )
+    expanded = sized.select(
+        "doc_id", "lang", "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+    )
+    mix_key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.col("doc_id").cast("string"),
+                    F.col("copy_idx").cast("string"),
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint")
+    mixed = expanded.select(
+        "doc_id", "copy_idx", "lang", "n_tokens",
+        mix_key.alias("mix_key"),
+        (mix_key % PACK_STREAMS).alias("stream_id"),
+    )
+    w = (
+        Window.partitionBy("stream_id")
+        .orderBy("mix_key", "doc_id", "copy_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = mixed.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    pack_id = F.expr(f"start_offset div {CTX_TOKENS}")
+    last_pack = F.expr(f"(start_offset + n_tokens - 1) div {CTX_TOKENS}")
+    return placed.select(
+        "doc_id",
+        "copy_idx",
+        "lang",
+        "stream_id",
+        "n_tokens",
+        "start_offset",
+        pack_id.alias("pack_id"),
+        F.when(pack_id != last_pack, 1).otherwise(0).cast("int").alias(
+            "spans_boundary"
+        ),
+    )

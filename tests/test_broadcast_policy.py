@@ -47,6 +47,10 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "single-row global max language count",
     ("plans/curation.py", "curation_epoch_expand", "per_lang"):
         "per-language epoch factors: |distinct lang| = 5, constant",
+    ("plans/curation.py", "pipeline_build_training_mix", "n_max"):
+        "single-row global max language count",
+    ("plans/curation.py", "pipeline_build_training_mix", "per_lang"):
+        "per-language epoch factors: |distinct lang| = 5, constant",
     ("plans/curation.py", "sample_mixture_weights", "wsum"):
         "single-row weighted sum",
     ("plans/curation.py", "curation_train_val_split", "leaks"):

@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "q22_idle_rich_customers":           "1-row average-threshold scalar",
     "sample_mixture_weights":            "1-row corpus total + k-language weights",
     "curation_epoch_expand":             "1-row global-max scalar + k-language epoch factors",
+    "pipeline_build_training_mix":       "1-row global-max scalar + k-language epoch factors",
     "curation_train_val_split":          "1-row exact-dup leak-counter scalar",
     "emb_label_centroid_sim":            "k x k label-centroid pairs (k = #labels)",
     "ml_cluster_separation":             "broadcast k-row centroid table",
