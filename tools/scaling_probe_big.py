@@ -88,6 +88,8 @@ PROBES = [
     # bench size and a decade row would be vacuous)
     "events_rolling_7d_active_users_approx",
     "lakehouse_equality_delete_checksums",
+    "curation_epoch_expand",
+    "pipeline_build_training_mix",
 ]
 
 REPS = int(os.environ.get("PROBE_REPS", "2"))
