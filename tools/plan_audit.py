@@ -282,6 +282,11 @@ AUDIT = [
      "exactly the manifest's files into one map-combinable checksum "
      "aggregate (commutative COUNT/XOR/modsum — no sort); the union "
      "of 3 one-row aggregates is the whole output"),
+    ("pipeline_build_training_mix",
+     "end-to-end mix build: 5-row lang aggregate broadcast back, "
+     "map-side sequence-explode for epochs, ONE window cumsum "
+     "PARTITIONED by the packing stream — no global sort, no "
+     "data-sized broadcast, nothing pair-shaped"),
     ("lakehouse_equality_delete_checksums",
      "merge-on-read lifecycle: pre-delete versions are pure leaf "
      "scans; delete-era versions add ONE equi anti-join shape (left "
