@@ -364,7 +364,10 @@ def main() -> None:
                         "text_bm25_rank",
                         # 1-row global-day scalar broadcast back onto
                         # the refreshed aggregate (hop 3's freshness)
-                        "pipeline_incremental_refresh"}
+                        "pipeline_incremental_refresh",
+                        # 1-row global-max language count crossed into
+                        # the 5-row per-language epoch factors
+                        "pipeline_build_training_mix"}
     for name, claim in AUDIT:
         df = REGISTRY[name].builder(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
