@@ -195,3 +195,41 @@ def pipeline_ingest_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
         history_phash_index(spark, sf_dir),
         hist[-1],
     ).orderBy("doc_id")
+
+
+def _funnel_oracle_sql() -> str:
+    body = _triad_oracle_sql()
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_arriving,
+           CAST(SUM(CASE WHEN NOT likely_dup_text THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after_text_gate,
+           CAST(SUM(CASE WHEN NOT likely_dup_text
+                          AND NOT likely_dup_phash THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after_phash_gate,
+           CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted,
+           CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS admit_rate
+    FROM ({body})
+    """
+
+
+@register(
+    "pipeline_ingest_funnel",
+    oracle=_funnel_oracle_sql(),
+    doc="The ingest triad's FUNNEL dashboard: arriving count, "
+        "survivors after the text gate, after text+phash, and the "
+        "final admitted count with its rate — the one-row summary an "
+        "ingest operator alerts on (a gate suddenly eating the corpus "
+        "shows up here before anyone reads per-doc verdicts). Built "
+        "by funnel_summary over the composed triad's verdicts, so it "
+        "rides the same single-aggregate plan plus one global "
+        "roll-up; the oracle wraps the full composed triad replay in "
+        "one aggregation.",
+    tags=("llm", "curation", "dedup", "streaming-twin", "pipeline",
+          "quality"),
+)
+def pipeline_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.streaming.ingest_triad import funnel_summary
+
+    return funnel_summary(pipeline_ingest_triad(spark, sf_dir))
