@@ -22,8 +22,21 @@ lakehouse answer is immutable data files plus a manifest per commit:
   commit against any table size. Readers anti-join the manifest's
   delete files, keeping a row iff its key is undeleted OR its
   extract_ts is NEWER than the delete's bound — so a later merge
-  re-inserting the key RESURRECTS it, exactly the
-  sequence-number rule Iceberg applies to equality deletes.
+  re-inserting the key with a newer extract_ts RESURRECTS it, the
+  same resurrection behavior Iceberg's sequence-number rule gives.
+  The bound is the DATA column extract_ts, though, not a per-commit
+  sequence number, and that is a real semantic difference: a row
+  committed AFTER the delete whose extract_ts is <= the delete's
+  bound stays invisible (and is physically dropped at compaction),
+  whereas Iceberg never applies an equality delete to data files
+  from later commits. For this table that is by design — extract_ts
+  IS the latest-wins ordering the whole pipeline serves (S14), so a
+  late-arriving OLDER extraction must lose to the delete exactly as
+  it would lose to a newer row — but callers feeding out-of-order
+  extractions should know re-inserts at-or-below the bound do not
+  come back (fenced in test_versioned_table.py). True commit-order
+  semantics would need a per-commit sequence number stamped on data
+  files instead of reusing extract_ts.
   ``compact_versioned_deletes`` rewrites only the buckets that
   contain deleted keys and drops the delete files from the manifest:
   merge-on-read folded back to copy-on-write, content-identical.
@@ -131,6 +144,27 @@ def _commit(
     tmp.rename(path)  # the commit point (atomic on POSIX)
 
 
+def _union_schema_json(prev_json: str | None, new_json: str) -> str:
+    """Union two manifest schema documents by field name: previous
+    fields keep their position (the merged frame's type wins where
+    both have the field — evolution here is additive, types never
+    narrow), new fields append in their own order. Guards the
+    all-new-bucket merge: ``merge_versioned_table`` records the
+    MERGED frame's schema, and a batch that touches only fresh
+    buckets never reads the stored rows, so recording its schema
+    alone would silently drop columns that exist in untouched drifted
+    buckets — an empty-after-deletes read would then serve the
+    narrowed schema."""
+    if prev_json is None:
+        return new_json
+    prev = json.loads(prev_json)
+    new = json.loads(new_json)
+    new_by_name = {f["name"]: f for f in new["fields"]}
+    fields = [new_by_name.pop(f["name"], f) for f in prev["fields"]]
+    fields.extend(f for f in new["fields"] if f["name"] in new_by_name)
+    return json.dumps({**new, "fields": fields})
+
+
 def _apply_dv(
     spark: SparkSession,
     table: pathlib.Path,
@@ -194,8 +228,19 @@ def read_versioned_table(
         # serve an empty frame with the manifest-recorded schema
         from pyspark.sql.types import StructType
 
+        schema_json = doc.get("schema")
+        if schema_json is None:
+            # a commit chain begun before schema-in-manifest existed
+            # can reach empty with no recorded schema — fail with the
+            # actual cause, not a bare KeyError
+            raise ValueError(
+                f"versioned table {table} v{v} is empty and its "
+                "manifest records no schema (legacy manifest chain "
+                "from before schema-in-manifest); re-init the table "
+                "or merge a batch to record one"
+            )
         return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(doc["schema"]))
+            [], StructType.fromJson(json.loads(schema_json))
         )
     # mergeSchema: a manifest may reference dirs written before an
     # ADD-COLUMN evolution — their rows read with the column NULL.
@@ -259,7 +304,13 @@ def merge_versioned_table(
     buckets.update(pointers)
     _commit(
         table, new_v, buckets, dv=dv,
-        schema_json=merged.drop(_BUCKET_COL).schema.json(),
+        # union with the previous manifest's schema: an all-new-bucket
+        # merge never reads stored rows, so the merged frame alone can
+        # be NARROWER than untouched drifted buckets (_union_schema_json)
+        schema_json=_union_schema_json(
+            _read_manifest_doc(table, current_v).get("schema"),
+            merged.drop(_BUCKET_COL).schema.json(),
+        ),
     )
     return new_v
 

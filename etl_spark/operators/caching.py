@@ -92,8 +92,11 @@ def session_checkpointed(
       a written table would give.
 
     DISK_ONLY so the pinned blocks cost no executor storage memory.
-    Entries hold the only reference to the checkpoint RDD: ``evict``
-    drops it and the ContextCleaner releases the blocks."""
+    ``evict`` releases the blocks EAGERLY (it unpersists the
+    checkpointed RDD itself, then drops the reference) — relying on
+    the ContextCleaner alone would leave the disk blocks pinned until
+    a driver GC happens to collect the frame, which in a long session
+    can be arbitrarily late."""
     from pyspark import StorageLevel
 
     cache = _CHECKPOINTS.setdefault(name, {})
@@ -106,6 +109,22 @@ def session_checkpointed(
     )
     cache[key] = df
     return df
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Eagerly free a localCheckpoint's storage blocks. A checkpointed
+    frame's analyzed plan IS the ``LogicalRDD`` holding the persisted
+    internal-row RDD, so unpersisting that exact RDD releases the
+    blocks now instead of whenever the ContextCleaner notices the
+    frame became unreachable (lazy, GC-driven — on a DISK_ONLY
+    checkpoint that leaves dead disk usage pinned for the rest of the
+    session). Private-API access is fenced: on any JVM-shape change we
+    fall back to the old drop-the-reference behavior rather than fail
+    eviction."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # ContextCleaner fallback: blocks freed after driver GC
 
 
 def evict(name: str | None = None) -> None:
@@ -136,14 +155,21 @@ def evict(name: str | None = None) -> None:
         else [] if name is not None else list(_CHECKPOINTS.values())
     )
     for cache in ckpts:
-        # dropping the reference is the release: the ContextCleaner
-        # frees the checkpoint blocks once the RDD is unreachable
+        for df in cache.values():
+            _release_checkpoint(df)
         cache.clear()
 
 
 def live_caches() -> dict[str, int]:
-    """Cache name -> number of still-persisted entries (test hook)."""
-    return {
+    """Cache name -> number of still-held entries (test hook).
+    Persisted caches count entries that still hold storage memory;
+    checkpoint caches count held references — their DISK_ONLY blocks
+    are live exactly while the entry exists, because ``evict`` now
+    unpersists the checkpointed RDD eagerly on removal."""
+    out = {
         name: sum(1 for df in entries.values() if df.storageLevel.useMemory)
         for name, entries in _CACHES.items()
     }
+    for name, entries in _CHECKPOINTS.items():
+        out[name] = out.get(name, 0) + len(entries)
+    return out

@@ -742,7 +742,7 @@ def _built_vtable(spark: SparkSession, sf_dir: str):
     committed files), and each commit writes only touched buckets."""
     import hashlib
     import pathlib
-    import shutil
+    import tempfile
 
     from etl_spark.etl.versioned import (
         init_versioned_table,
@@ -752,10 +752,17 @@ def _built_vtable(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _VTABLE_CACHE:
         return _VTABLE_CACHE[key]
+    # A FRESH unique directory per build (never rmtree a prior one):
+    # after FIFO eviction or under xdist workers sharing a session, a
+    # previously returned LAZY frame may still reference the old
+    # build's files mid-read — deleting them would fail its jobs.
+    # Leftovers are crash/eviction debris in /tmp, bounded by the
+    # FIFO cap and reclaimed by tmp cleanup, never by a live reader's
+    # files vanishing. (ADVICE r9, lakehouse.py _built_vtable.)
     tag = hashlib.md5("|".join(key).encode()).hexdigest()[:12]
-    table = pathlib.Path(f"/tmp/etl_spark_vtable_{tag}")
-    if table.exists():
-        shutil.rmtree(table)  # leftover from a crashed build
+    table = pathlib.Path(
+        tempfile.mkdtemp(prefix=f"etl_spark_vtable_{tag}_")
+    )
     recs = _vt_records(spark, sf_dir)
     init_versioned_table(recs.filter(F.col("event_id") % 3 == 0), table)
     for k in range(1, VT_VERSIONS):
@@ -884,7 +891,7 @@ def _built_dv_table(spark: SparkSession, sf_dir: str):
     compaction (delete files folded away, content-identical)."""
     import hashlib
     import pathlib
-    import shutil
+    import tempfile
 
     from etl_spark.etl.versioned import (
         compact_versioned_deletes,
@@ -896,10 +903,12 @@ def _built_dv_table(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _DVTABLE_CACHE:
         return _DVTABLE_CACHE[key]
+    # fresh unique dir per build — same live-reader rationale as
+    # _built_vtable above (ADVICE r9)
     tag = hashlib.md5(("dv|" + "|".join(key)).encode()).hexdigest()[:12]
-    table = pathlib.Path(f"/tmp/etl_spark_dvtable_{tag}")
-    if table.exists():
-        shutil.rmtree(table)
+    table = pathlib.Path(
+        tempfile.mkdtemp(prefix=f"etl_spark_dvtable_{tag}_")
+    )
     recs = _vt_records(spark, sf_dir)
     init_versioned_table(recs.filter(F.col("event_id") % 3 == 0), table)
     merge_versioned_table(

@@ -108,6 +108,38 @@ def test_session_cache_evict_leaves_nothing_live(spark):
     assert live_caches().get("hygiene_probe", 0) == 0
 
 
+def test_session_checkpoint_evict_frees_blocks_eagerly(spark):
+    # ADVICE r9 (caching.py evict): dropping the Python reference only
+    # queued the DISK_ONLY checkpoint blocks for the ContextCleaner,
+    # which frees them after some future driver GC — evict() must
+    # release them NOW. The analyzed plan of a checkpointed frame is
+    # the LogicalRDD holding the persisted RDD, so its id appearing in
+    # (then vanishing from) getRDDStorageInfo is the exact receipt.
+    from etl_spark.operators.caching import (
+        evict,
+        live_caches,
+        session_checkpointed,
+    )
+
+    df = session_checkpointed(
+        "hygiene_ckpt", spark, "/hygiene3",
+        lambda: spark.range(100).selectExpr("id", "id * 2 AS x"),
+    )
+    rid = df._jdf.queryExecution().analyzed().rdd().id()
+    stored = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    assert rid in stored, "checkpoint blocks should be live after build"
+    assert live_caches().get("hygiene_ckpt") == 1
+    again = session_checkpointed(
+        "hygiene_ckpt", spark, "/hygiene3",
+        lambda: spark.range(100).selectExpr("id", "id * 2 AS x"),
+    )
+    assert again is df
+    evict("hygiene_ckpt")
+    stored = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    assert rid not in stored, "evict() must free checkpoint blocks eagerly"
+    assert live_caches().get("hygiene_ckpt", 0) == 0
+
+
 def test_session_cache_evict_unknown_name_raises(spark):
     # A typo'd cache name must fail loudly, not silently no-op — a
     # harness that believes it evicted a stale index while the real

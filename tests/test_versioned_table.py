@@ -340,6 +340,132 @@ def test_vacuum_reclaims_unreferenced_delete_files(spark, tmp_path):
     assert _sorted_rows(read_versioned_table(spark, table)) == served_before
 
 
+def test_equality_delete_bound_is_extract_ts_not_commit_order(spark, tmp_path):
+    """ADVICE r9 (versioned.py docstring): the delete bound is the
+    DATA column extract_ts, not a commit sequence number — a row
+    committed AFTER the delete whose extract_ts is <= the bound stays
+    invisible (and is physically dropped at compaction). This fences
+    the DOCUMENTED behavior so the docstring's claim is executable:
+    a late-arriving OLDER extraction loses to the delete exactly as
+    it would lose to a newer row."""
+    from etl_spark.etl.versioned import (
+        compact_versioned_deletes,
+        delete_from_versioned_table,
+    )
+
+    zone = tmp_path / "zone"
+    table = tmp_path / "vtable"
+    t1, t2 = "20250101-000000Z", "20250102-000000Z"
+    # the table is initialized from the NEWER extraction t2
+    for i in range(10):
+        write_run(zone, "r", t2, make_run(i, "r", status="completed"))
+    init_versioned_table(load_extraction(spark, zone, t2), table)
+    delete_from_versioned_table(spark, table, "id < 5")
+    assert read_versioned_table(spark, table).count() == 5
+
+    # a LATER COMMIT delivers the late-arriving OLDER extraction t1
+    # re-inserting the deleted keys — extract_ts t1 < delete bound t2
+    for i in range(5):
+        write_run(zone, "r", t1, make_run(i, "r", status="running"))
+    v = merge_versioned_table(spark, table, load_extraction(spark, zone, t1))
+    served = read_versioned_table(spark, table, version=v)
+    # commit order would resurrect them; the extract_ts bound does not
+    assert served.count() == 5
+    assert {r["status"] for r in served.collect()} == {"completed"}
+    # and compaction drops them physically, content-identically
+    before = _sorted_rows(read_versioned_table(spark, table))
+    compact_versioned_deletes(spark, table)
+    assert _sorted_rows(read_versioned_table(spark, table)) == before
+
+
+def test_legacy_manifest_empty_read_raises_clear_error(spark, tmp_path):
+    """ADVICE r9 (versioned.py empty read): a manifest chain begun
+    before schema-in-manifest existed can reach empty with no recorded
+    schema — the read must fail with an explanatory ValueError, not a
+    bare KeyError from doc["schema"]."""
+    import json as _json
+
+    import pytest
+
+    from etl_spark.etl.versioned import (
+        _manifest_path,
+        compact_versioned_deletes,
+        delete_from_versioned_table,
+    )
+
+    zone = tmp_path / "zone"
+    table = pathlib.Path(tmp_path / "vtable")
+    t1 = "20250101-000000Z"
+    for i in range(10):
+        write_run(zone, "r", t1, make_run(i, "r", status="running"))
+    init_versioned_table(load_extraction(spark, zone, t1), table)
+    delete_from_versioned_table(spark, table, "TRUE")
+    v = compact_versioned_deletes(spark, table)
+
+    # simulate the legacy chain: strip the recorded schema
+    mpath = _manifest_path(table, v)
+    doc = _json.loads(mpath.read_text())
+    doc.pop("schema", None)
+    mpath.write_text(_json.dumps(doc))
+
+    with pytest.raises(ValueError, match="records no schema"):
+        read_versioned_table(spark, table)
+
+
+def test_all_new_bucket_merge_keeps_drifted_schema(spark, tmp_path):
+    """ADVICE r9 (versioned.py merge): a merge whose batch touches
+    ONLY fresh buckets never reads the stored rows, so recording the
+    merged frame's schema alone would NARROW the manifest schema
+    relative to untouched drifted buckets — the recorded schema must
+    be the union with the previous manifest's."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.etl.versioned import (
+        _read_manifest_doc,
+        compact_versioned_deletes,
+        delete_from_versioned_table,
+    )
+
+    zone = tmp_path / "zone"
+    table = pathlib.Path(tmp_path / "vtable")
+    t1, t2 = "20250101-000000Z", "20250102-000000Z"
+    # v0: ONE key, carrying the drifted column
+    write_run(zone, "r", t1, make_run(0, "r", status="running"))
+    init_versioned_table(
+        load_extraction(spark, zone, t1).withColumn(
+            "ingest_source", F.lit("api-v2")
+        ),
+        table,
+    )
+    m0 = _read_manifest(table, 0)
+
+    # find a key whose bucket is NOT in the v0 manifest, so the merge
+    # takes the all-new-bucket path (else-branch: merged = batch)
+    for i in range(1, 40):
+        write_run(zone, "r", t2, make_run(i, "r", status="completed"))
+        batch = load_extraction(spark, zone, t2).filter(F.col("id") == i)
+        from etl_spark.etl.merge import _bucketed
+
+        kb = str(_bucketed(batch).select("kb").collect()[0][0])
+        if kb not in m0:
+            break
+    else:
+        raise AssertionError("no key outside v0's buckets in 40 tries")
+
+    v = merge_versioned_table(spark, table, batch)  # batch lacks the column
+    doc = _read_manifest_doc(table, v)
+    names = [f["name"] for f in _json.loads(doc["schema"])["fields"]]
+    assert "ingest_source" in names, "all-new-bucket merge narrowed schema"
+    # functional receipt: empty-after-deletes read serves the union schema
+    delete_from_versioned_table(spark, table, "TRUE")
+    compact_versioned_deletes(spark, table)
+    empty = read_versioned_table(spark, table)
+    assert empty.count() == 0
+    assert "ingest_source" in empty.columns
+
+
 def test_registered_dv_lifecycle_is_nonvacuous(spark):
     """The registered merge-on-read query must exercise BOTH halves
     of the resurrection rule on the real corpus: at v3 some deleted
