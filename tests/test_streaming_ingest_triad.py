@@ -152,6 +152,64 @@ def test_triad_stream_matches_batch_and_standalone_gates(spark, tmp_path):
         assert admitted == (not (f_text or f_ph or f_ml)), doc_id
 
 
+def test_funnel_rollup_matches_streamed_triad(spark, tmp_path):
+    """VERDICT r9 #7: the registered funnel dashboard
+    (pipeline_ingest_funnel) must equal funnel_summary over the
+    STREAMED triad's drained sink across >= 3 micro-batches — the
+    per-doc triad has stream-vs-batch parity fenced; this fences the
+    roll-up the operator actually alerts on."""
+    from etl_spark.plans.triad import pipeline_ingest_funnel
+
+    pdf = _arriving(spark).drop("ingest_ts").toPandas()
+    src = tmp_path / "src"
+    src.mkdir()
+    n_files = 10  # maxFilesPerTrigger=4 -> >= 3 micro-batches
+    per = max(1, (len(pdf) + n_files - 1) // n_files)
+    for i in range(n_files):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        with open(src / f"batch_{i}.json", "w") as f:
+            for _, r in chunk.iterrows():
+                f.write(
+                    json.dumps(
+                        {
+                            "doc_id": int(r.doc_id),
+                            "ingest_ts": "2026-01-01T00:10:00.000",
+                            "text": r.text,
+                        }
+                    )
+                    + "\n"
+                )
+
+    shingle_index = history_index(spark, SF_DIR, TRIAD_MOD)
+    band_index = history_phash_index(spark, SF_DIR)
+    hist, _feats, _n = _train(spark, SF_DIR)
+    doc_stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .json(str(src))
+    )
+    q = run_triad_stream(
+        spark, doc_stream, shingle_index, band_index, hist[-1],
+        "triad_funnel_sink",
+    )
+    try:
+        n_batches = sum(
+            1
+            for x in q.recentProgress
+            if json.loads(x.json)["numInputRows"] > 0
+        )
+        assert n_batches >= 3
+        streamed_funnel = funnel_summary(
+            spark.sql("SELECT * FROM triad_funnel_sink")
+        ).collect()[0]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS triad_funnel_sink")
+
+    registered = pipeline_ingest_funnel(spark, SF_DIR).collect()[0]
+    assert tuple(streamed_funnel) == tuple(registered)
+    assert registered["n_arriving"] == len(pdf)
+
+
 def test_triad_funnel_is_consistent_with_verdicts(spark):
     shingle_index = history_index(spark, SF_DIR, TRIAD_MOD)
     band_index = history_phash_index(spark, SF_DIR)
