@@ -94,3 +94,46 @@ def test_strip_dup_segments_keeps_each_segment_once(spark):
         assert all(
             tok in it for tok in r["clean_text"].split(" ")
         ), f"doc {r['doc_id']}: cleaned text is not a subsequence"
+
+
+def test_epoch_expand_output_is_epochs_bounded(spark):
+    """VERDICT r9 #4: the epoch expansion's scale claim is
+    'epochs-bounded explode, <= 4x corpus, never pair-shaped' — make
+    the cap executable: every doc gets 1..MAX_EPOCHS copies, the
+    output is exactly sum(n_copies), and total rows <= 4x the corpus
+    (so the replication-ladder slope can never exceed the cap)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.io import load
+    from etl_spark.plans.curation import (
+        MAX_EPOCHS_X1000,
+        curation_epoch_expand,
+    )
+
+    out = curation_epoch_expand(spark, SF_DIR)
+    per_doc = out.groupBy("doc_id", "n_copies").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("copy_idx").alias("max_idx"),
+        F.min("copy_idx").alias("min_idx"),
+    )
+    bad = per_doc.filter(
+        (F.col("n_rows") != F.col("n_copies"))
+        | (F.col("max_idx") != F.col("n_copies"))
+        | (F.col("min_idx") != 1)
+    ).count()
+    assert bad == 0, "copy_idx must enumerate 1..n_copies exactly"
+
+    cap = MAX_EPOCHS_X1000 // 1000  # = 4
+    assert per_doc.filter(F.col("n_copies") > cap).count() == 0
+    n_docs = (
+        load(spark, SF_DIR, "documents")
+        .filter(F.col("text").isNotNull())
+        .count()
+    )
+    assert per_doc.count() == n_docs  # every doc appears, none invented
+    total = out.count()
+    assert n_docs <= total <= cap * n_docs
+    # the largest language is never upsampled (factor exactly 1.0 for
+    # at least one language) — the inverse-frequency anchor
+    anchors = out.filter(F.col("epochs_x1000") == 1000).count()
+    assert anchors > 0

@@ -314,6 +314,12 @@ AUDIT = [
      "real-codec LZW raster decode: encode fixture and decode are "
      "chained Arrow mapInPandas stages; payload bytes NEVER cross an "
      "Exchange — the only shuffle is the pre-payload text spread"),
+    ("curation_epoch_expand",
+     "epoch expansion: one 5-row language-count aggregate (plus its "
+     "1-row global-max cross) broadcast back onto the corpus scan, "
+     "then a pure map-side sequence-explode — output epochs-bounded "
+     "(n_copies <= 4, so <= 4x corpus rows), never pair-shaped; zero "
+     "data-sized shuffles"),
     ("emb_jl_distortion",
      "JL distortion: one corpus scan; the Arrow stage emits partial "
      "(count, in-band, min, max) rows per (query, batch), so the "
@@ -367,7 +373,9 @@ def main() -> None:
                         "pipeline_incremental_refresh",
                         # 1-row global-max language count crossed into
                         # the 5-row per-language epoch factors
-                        "pipeline_build_training_mix"}
+                        "pipeline_build_training_mix",
+                        # same 1-row global-max cross as the mix build
+                        "curation_epoch_expand"}
     for name, claim in AUDIT:
         df = REGISTRY[name].builder(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
