@@ -5,14 +5,15 @@
 
 PY ?= python
 
-.PHONY: test contract contract-big contract-sf1 contract-all roundclose bench bench-full fuzz fuzz-skew plans scaling sfbig bench-sfbig run help
+.PHONY: test contract contract-big contract-sf1 contract-sf1p contract-all roundclose bench bench-full fuzz fuzz-skew plans scaling sfbig bench-sfbig run help
 
 help:
 	@echo "test         - full pytest suite"
 	@echo "contract     - driver-style contract: every query vs its DuckDB oracle (sf0.01)"
 	@echo "contract-big - same contract at bench scale (sf0.1)"
 	@echo "contract-sf1 - same contract at 10x bench scale (/tmp/sf1; builds it if absent)"
-	@echo "contract-all - sf0.01 + sf0.1 + sf1 contracts, fail on any non-green"
+	@echo "contract-sf1p- content-diversity slice at /tmp/sf1p (tools/sf1p_slice.txt)"
+	@echo "contract-all - sf0.01 + sf0.1 + sf1 + sf1p contracts, fail on any non-green"
 	@echo "roundclose   - pytest at HEAD + contract-all + bench (the close gate)"
 	@echo "bench        - headline 25-query benchmark (one JSON line)"
 	@echo "bench-full   - full-registry timing sweep"
@@ -44,10 +45,21 @@ contract-sf1:
 	cd /tmp && DRIVE_SF_DIR=/tmp/sf1 DRIVE_DRIVER_MEM=4g \
 		DRIVE_SHUFFLE_PARTITIONS=64 $(PY) $(CURDIR)/tools/drive_contract.py
 
+# Content-diversity slice at 10x DISTINCT text (/tmp/sf1p, --perturb):
+# the queries whose semantics depend on corpus CONTENT (dedup, gates,
+# trained models, codecs, capstone pipelines) — the list is versioned
+# in tools/sf1p_slice.txt so the slice can only grow deliberately.
+contract-sf1p:
+	@test -f /tmp/sf1p/_DONE || $(PY) tools/make_sfbig.py 10 /tmp/sf1p --perturb
+	cd /tmp && DRIVE_SF_DIR=/tmp/sf1p DRIVE_DRIVER_MEM=4g \
+		DRIVE_SHUFFLE_PARTITIONS=64 \
+		DRIVE_ONLY=$$(paste -sd, $(CURDIR)/tools/sf1p_slice.txt) \
+		$(PY) $(CURDIR)/tools/drive_contract.py
+
 # The round-close gate: every registered query green against its
 # oracle at three scales, so a scale regression is caught the round
 # it is introduced, not one round later.
-contract-all: contract contract-big contract-sf1
+contract-all: contract contract-big contract-sf1 contract-sf1p
 
 # Full round-close checklist: pytest AT HEAD (round 4 shipped a red
 # fence because receipts were regenerated but pytest was not), then
