@@ -993,57 +993,76 @@ def _lzw_encode(data: bytes, min_code: int) -> bytes:
     return bytes(out)
 
 
+#: Per-min_code base symbol tables, built once — re-allocating 256
+#: singleton bytes per CLEAR dominated decode cost on the small
+#: per-doc payloads the corpus queries feed (round-10 LZW probe:
+#: SCALING.md 'GIF LZW at scale').
+_LZW_BASES: dict[int, list[bytes]] = {}
+
+
 def _lzw_decode(data: bytes, min_code: int) -> bytes:
     """GIF-variant LZW decoder: variable width LSB-first, CLEAR
-    resets, the KwKwK case (code == next entry), 12-bit cap."""
+    resets, the KwKwK case (code == next entry), 12-bit cap.
+
+    Hot-loop form (measured 1.3-1.4x over the naive loop, the best
+    Python-reachable shape found by the round-10 probe): the base
+    table is copied from a module cache instead of rebuilt per CLEAR,
+    the previous ENTRY rides as bytes (no double table indexing), and
+    the width mask is maintained incrementally."""
     clear, end = 1 << min_code, (1 << min_code) + 1
+    base = _LZW_BASES.get(min_code)
+    if base is None:
+        base = [bytes([i]) for i in range(clear)] + [b"", b""]
+        _LZW_BASES[min_code] = base
     pos = bitbuf = nbits = 0
     out = bytearray()
-    table: list[bytes] = []
+    table = base.copy()
+    append = table.append
     width = min_code + 1
-    next_code, prev = end + 1, None
-
-    def reset():
-        nonlocal table, width, next_code, prev
-        table = [bytes([i]) for i in range(clear)] + [b"", b""]
-        width = min_code + 1
-        next_code, prev = end + 1, None
-
-    reset()
+    mask = (1 << width) - 1
+    next_code = end + 1
+    prev_entry = None
+    n = len(data)
     while True:
         while nbits < width:
-            if pos >= len(data):
+            if pos >= n:
                 raise ValueError("LZW stream ended without END code")
             bitbuf |= data[pos] << nbits
             pos += 1
             nbits += 8
-        code = bitbuf & ((1 << width) - 1)
+        code = bitbuf & mask
         bitbuf >>= width
         nbits -= width
-        if code == clear:
-            reset()
-            continue
-        if code == end:
-            return bytes(out)
-        if prev is None:
+        if code >= clear:
+            if code == clear:
+                table = base.copy()
+                append = table.append
+                width = min_code + 1
+                mask = (1 << width) - 1
+                next_code, prev_entry = end + 1, None
+                continue
+            if code == end:
+                return bytes(out)
+        if prev_entry is None:
             if code >= clear:
                 raise ValueError(f"bad first LZW code {code}")
-            out += table[code]
-            prev = code
+            prev_entry = table[code]
+            out += prev_entry
             continue
         if code < next_code:
             entry = table[code]
         elif code == next_code:
-            entry = table[prev] + table[prev][:1]  # KwKwK
+            entry = prev_entry + prev_entry[:1]  # KwKwK
         else:
             raise ValueError(f"LZW code {code} beyond table {next_code}")
         out += entry
         if next_code < 4096:
-            table.append(table[prev] + entry[:1])
+            append(prev_entry + entry[:1])
             next_code += 1
             if next_code == (1 << width) and width < 12:
                 width += 1
-        prev = code
+                mask = (1 << width) - 1
+        prev_entry = entry
 
 
 def _gif_subblocks(stream: bytes) -> bytes:
@@ -1469,44 +1488,54 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 prev = out[y]
             return w, h, out.tobytes()
 
+        # base symbol table built once per Arrow batch, copied per
+        # CLEAR — same hot-loop form as operators/media._lzw_decode
+        # (the closure stays self-contained for the worker)
+        _lzw_base = [bytes([i]) for i in range(256)] + [b"", b""]
+
         def _lzw_dec(data: bytes) -> bytes:
             # Self-contained twin of _lzw_decode (min_code = 8):
             # variable-width LSB-first GIF LZW with CLEAR/KwKwK.
             clear, end = 256, 257
             pos = bb = nb = 0
             out = bytearray()
-            table = [bytes([i]) for i in range(256)] + [b"", b""]
-            width, next_code, prev = 9, 258, None
+            table = _lzw_base.copy()
+            append = table.append
+            width, mask, next_code, prev_entry = 9, 511, 258, None
             while True:
                 while nb < width:
                     bb |= data[pos] << nb
                     pos += 1
                     nb += 8
-                code = bb & ((1 << width) - 1)
+                code = bb & mask
                 bb >>= width
                 nb -= width
-                if code == clear:
-                    table = [bytes([i]) for i in range(256)] + [b"", b""]
-                    width, next_code, prev = 9, 258, None
-                    continue
-                if code == end:
-                    return bytes(out)
-                if prev is None:
-                    out += table[code]
-                    prev = code
+                if code >= clear:
+                    if code == clear:
+                        table = _lzw_base.copy()
+                        append = table.append
+                        width, mask = 9, 511
+                        next_code, prev_entry = 258, None
+                        continue
+                    if code == end:
+                        return bytes(out)
+                if prev_entry is None:
+                    prev_entry = table[code]
+                    out += prev_entry
                     continue
                 entry = (
                     table[code]
                     if code < next_code
-                    else table[prev] + table[prev][:1]
+                    else prev_entry + prev_entry[:1]
                 )
                 out += entry
                 if next_code < 4096:
-                    table.append(table[prev] + entry[:1])
+                    append(prev_entry + entry[:1])
                     next_code += 1
                     if next_code == (1 << width) and width < 12:
                         width += 1
-                prev = code
+                        mask = (1 << width) - 1
+                prev_entry = entry
 
         def _gif_gray(payload: bytes) -> tuple:
             # Self-contained twin of gif_gray (builder always writes
