@@ -34,9 +34,13 @@ lakehouse answer is immutable data files plus a manifest per commit:
   late-arriving OLDER extraction must lose to the delete exactly as
   it would lose to a newer row — but callers feeding out-of-order
   extractions should know re-inserts at-or-below the bound do not
-  come back (fenced in test_versioned_table.py). True commit-order
-  semantics would need a per-commit sequence number stamped on data
-  files instead of reusing extract_ts.
+  come back (fenced in test_versioned_table.py). For true
+  commit-order semantics, ``delete_from_versioned_table(...,
+  bound="commit")`` stamps the delete with the COMMIT's sequence
+  number instead: the row's own commit is recovered from its
+  immutable data path (data/v<k>/), and Iceberg's strictly-before
+  rule applies — any later commit's re-insert resurrects the key,
+  extract_ts order notwithstanding (also fenced).
   ``compact_versioned_deletes`` rewrites only the buckets that
   contain deleted keys and drops the delete files from the manifest:
   merge-on-read folded back to copy-on-write, content-identical.
@@ -165,41 +169,82 @@ def _union_schema_json(prev_json: str | None, new_json: str) -> str:
     return json.dumps({**new, "fields": fields})
 
 
+def _seq_from_path():
+    """A row's commit sequence number, parsed from its data file path
+    (rows live under data/v<k>/kb=<b>/part-*.parquet; the directory's
+    k IS the commit that wrote the row — no per-row column needed).
+    Built lazily: input_file_name() needs an active session."""
+    return F.regexp_extract(
+        F.input_file_name(), r"data/v(\d+)/", 1
+    ).cast("int")
+
+
 def _apply_dv(
     spark: SparkSession,
     table: pathlib.Path,
     rows: DataFrame,
     dv_rels: list[str],
 ) -> DataFrame:
-    """Merge-on-read: drop every row whose key appears in a delete
-    file with a sequence bound >= the row's extract_ts. A row NEWER
-    than the newest delete of its key survives — that is what lets a
-    later merge resurrect a deleted key (Iceberg's sequence-number
-    rule for equality deletes). Plain join, never forced broadcast:
-    the delete set is data-derived and may be large."""
+    """Merge-on-read: apply every equality-delete file the manifest
+    carries. Two bound flavors, chosen per delete commit at
+    ``delete_from_versioned_table`` time and distinguished by the
+    delete file's schema:
+
+    * ``del_ts`` (default): drop a key's rows at-or-below the served
+      row's extract_ts — the latest-wins flavor; a later merge
+      resurrects the key only with a NEWER extract_ts.
+    * ``del_seq`` (``bound="commit"``): drop a key's rows written by
+      commits STRICTLY BEFORE the delete commit — Iceberg's actual
+      sequence-number rule; ANY later commit re-inserting the key
+      resurrects it, even with an older extract_ts. The row's commit
+      number is parsed from its immutable data path (data/v<k>/...),
+      so no extra column is stored.
+
+    A row must survive every delete that names its key (the two
+    bounds AND together). Plain join, never forced broadcast: the
+    delete set is data-derived and may be large."""
     if not dv_rels:
         return rows
-    dv = (
-        spark.read.parquet(*[str(table / rel) for rel in dv_rels])
-        .groupBy(
-            F.col("repo_dir").alias("_dv_repo_dir"),
-            F.col("file_id").alias("_dv_file_id"),
-        )
-        .agg(F.max("del_ts").alias("_dv_del_ts"))
+    dv_raw = spark.read.option("mergeSchema", "true").parquet(
+        *[str(table / rel) for rel in dv_rels]
     )
-    return (
+    has_seq = "del_seq" in dv_raw.columns
+    aggs = [
+        (
+            F.max("del_ts") if "del_ts" in dv_raw.columns
+            else F.lit(None).cast("string")
+        ).alias("_dv_del_ts")
+    ]
+    if has_seq:
+        aggs.append(F.max("del_seq").alias("_dv_del_seq"))
+    dv = dv_raw.groupBy(
+        F.col("repo_dir").alias("_dv_repo_dir"),
+        F.col("file_id").alias("_dv_file_id"),
+    ).agg(*aggs)
+    if has_seq:
+        # computed at the scan (file provenance), before the join
+        rows = rows.withColumn("_row_seq", _seq_from_path())
+    keep = F.col("_dv_del_ts").isNull() | (
+        F.col("extract_ts") > F.col("_dv_del_ts")
+    )
+    if has_seq:
+        keep = keep & (
+            F.col("_dv_del_seq").isNull()
+            | (F.col("_row_seq") >= F.col("_dv_del_seq"))
+        )
+    out = (
         rows.join(
             dv,
             (rows["repo_dir"] == dv["_dv_repo_dir"])
             & (rows["file_id"] == dv["_dv_file_id"]),
             "left",
         )
-        .filter(
-            F.col("_dv_del_ts").isNull()
-            | (F.col("extract_ts") > F.col("_dv_del_ts"))
-        )
+        .filter(keep)
         .drop("_dv_repo_dir", "_dv_file_id", "_dv_del_ts")
     )
+    if has_seq:
+        out = out.drop("_dv_del_seq", "_row_seq")
+    return out
 
 
 def init_versioned_table(records: DataFrame, table_path: pathlib.Path) -> int:
@@ -316,24 +361,45 @@ def merge_versioned_table(
 
 
 def delete_from_versioned_table(
-    spark: SparkSession, table_path: pathlib.Path, predicate: str
+    spark: SparkSession,
+    table_path: pathlib.Path,
+    predicate: str,
+    bound: str = "extract_ts",
 ) -> int:
     """Merge-on-read DELETE (Iceberg-style equality delete): one new
     commit whose manifest reuses every data pointer VERBATIM and adds
-    one delete file holding the matched keys plus each served row's
-    extract_ts as the delete's sequence bound. Cost is O(matched
-    keys) regardless of table size — no data file is read back in
-    full, none is rewritten. Readers (and subsequent merges) apply
-    the delete file; ``compact_versioned_deletes`` folds it away."""
+    one delete file holding the matched keys plus the delete's
+    sequence bound. Cost is O(matched keys) regardless of table size
+    — no data file is read back in full, none is rewritten. Readers
+    (and subsequent merges) apply the delete file;
+    ``compact_versioned_deletes`` folds it away.
+
+    ``bound`` picks the resurrection semantics (see ``_apply_dv``):
+
+    * ``"extract_ts"`` (default): the served row's extract_ts is the
+      bound — a later re-insert must carry a NEWER extract_ts to come
+      back (the latest-wins flavor this table's pipeline serves; a
+      late-arriving OLDER extraction stays deleted by design).
+    * ``"commit"``: the delete commit's own sequence number is the
+      bound, applied to the COMMIT that wrote each row — Iceberg's
+      actual rule; any later commit's re-insert resurrects the key
+      regardless of extract_ts order.
+    """
+    if bound not in ("extract_ts", "commit"):
+        raise ValueError(f"bound must be 'extract_ts' or 'commit': {bound!r}")
     table = pathlib.Path(table_path)
     current_v = latest_version(table)
-    doomed = (
-        read_versioned_table(spark, table)
-        .filter(predicate)
-        .select(
+    served = read_versioned_table(spark, table).filter(predicate)
+    if bound == "commit":
+        doomed = served.select(
+            "repo_dir",
+            "file_id",
+            F.lit(current_v + 1).cast("int").alias("del_seq"),
+        )
+    else:
+        doomed = served.select(
             "repo_dir", "file_id", F.col("extract_ts").alias("del_ts")
         )
-    )
     if doomed.isEmpty():
         return current_v
     new_v = current_v + 1

@@ -1063,3 +1063,197 @@ def lakehouse_equality_delete_checksums(
             )
         )
     return reduce(DataFrame.unionByName, parts).orderBy("version")
+
+
+# --------------------------------------------------------------------------
+# Commit-sequence equality deletes: the SAME lifecycle under Iceberg's
+# strictly-before-commit rule (bound="commit") — any later commit's
+# re-insert resurrects, extract_ts order notwithstanding.
+# --------------------------------------------------------------------------
+
+_SEQTABLE_CACHE: dict = {}
+
+
+def _built_seq_table(spark: SparkSession, sf_dir: str):
+    """Like ``_built_dv_table`` but the DELETE uses ``bound="commit"``
+    (etl/versioned.py): v0 init (batch0), v1 merge (batch1), v2
+    commit-bound equality delete of every served 'error' row, v3
+    merge (batch2 — EVERY re-delivered deleted key resurrects, even
+    with an extract_ts older than its deleted row's; keys batch2 does
+    not re-deliver stay deleted), v4 compaction."""
+    import hashlib
+    import pathlib
+    import tempfile
+
+    from etl_spark.etl.versioned import (
+        compact_versioned_deletes,
+        delete_from_versioned_table,
+        init_versioned_table,
+        merge_versioned_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SEQTABLE_CACHE:
+        return _SEQTABLE_CACHE[key]
+    tag = hashlib.md5(("seq|" + "|".join(key)).encode()).hexdigest()[:12]
+    table = pathlib.Path(
+        tempfile.mkdtemp(prefix=f"etl_spark_seqtable_{tag}_")
+    )
+    recs = _vt_records(spark, sf_dir)
+    init_versioned_table(recs.filter(F.col("event_id") % 3 == 0), table)
+    merge_versioned_table(
+        spark, table, recs.filter(F.col("event_id") % 3 == 1)
+    )
+    delete_from_versioned_table(
+        spark, table, "repo_dir = 'error'", bound="commit"
+    )
+    merge_versioned_table(
+        spark, table, recs.filter(F.col("event_id") % 3 == 2)
+    )
+    compact_versioned_deletes(spark, table)
+    while len(_SEQTABLE_CACHE) >= 8:
+        _SEQTABLE_CACHE.pop(next(iter(_SEQTABLE_CACHE)))
+    _SEQTABLE_CACHE[key] = table
+    return table
+
+
+def _seq_checksum_oracle_sql() -> str:
+    from etl_spark.plans.quality import _CK_H60_DUCK, _CK_MOD
+
+    return f"""
+    WITH base AS (
+      SELECT event_type AS repo_dir,
+             CAST(user_id AS VARCHAR) AS file_id,
+             strftime(ts, '{TS_FMT_DUCK}') || '#'
+               || lpad(CAST(event_id AS VARCHAR), 10, '0') AS extract_ts,
+             event_id,
+             event_id % 3 AS b
+      FROM events
+    ),
+    v(k) AS (VALUES (0), (1), (2)),
+    snap AS MATERIALIZED (
+      SELECT k, repo_dir, file_id, extract_ts, event_id FROM (
+        SELECT v.k, b.*,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.k, b.repo_dir, b.file_id
+                 ORDER BY b.extract_ts DESC) AS rn
+        FROM v CROSS JOIN base b WHERE b.b <= v.k
+      ) WHERE rn = 1
+    ),
+    del AS MATERIALIZED (
+      -- the commit-bound delete file: every key SERVED at v1 with
+      -- repo_dir = 'error'; the bound is the COMMIT number, so the
+      -- per-key extract_ts plays no role in resurrection
+      SELECT repo_dir, file_id
+      FROM snap WHERE k = 1 AND repo_dir = 'error'
+    ),
+    b2top AS (
+      SELECT repo_dir, file_id, extract_ts, event_id FROM (
+        SELECT base.*,
+               ROW_NUMBER() OVER (PARTITION BY repo_dir, file_id
+                                  ORDER BY extract_ts DESC) AS rn
+        FROM base WHERE b = 2
+      ) WHERE rn = 1
+    ),
+    v3 AS MATERIALIZED (
+      -- undeleted keys: plain latest over batches <= 2; deleted keys:
+      -- their newest batch-2 row UNCONDITIONALLY (Iceberg's
+      -- strictly-before-commit rule — batch 2 lands in a commit after
+      -- the delete, so membership alone resurrects)
+      SELECT s.repo_dir, s.file_id, s.extract_ts, s.event_id
+      FROM snap s LEFT JOIN del d USING (repo_dir, file_id)
+      WHERE s.k = 2 AND d.repo_dir IS NULL
+      UNION ALL
+      SELECT t.repo_dir, t.file_id, t.extract_ts, t.event_id
+      FROM b2top t JOIN del d USING (repo_dir, file_id)
+    ),
+    versions AS (
+      SELECT 0 AS version, repo_dir, file_id, extract_ts, event_id
+      FROM snap WHERE k = 0
+      UNION ALL
+      SELECT 1, repo_dir, file_id, extract_ts, event_id
+      FROM snap WHERE k = 1
+      UNION ALL
+      SELECT 2, repo_dir, file_id, extract_ts, event_id
+      FROM snap WHERE k = 1 AND repo_dir <> 'error'
+      UNION ALL
+      SELECT 3, repo_dir, file_id, extract_ts, event_id FROM v3
+      UNION ALL
+      SELECT 4, repo_dir, file_id, extract_ts, event_id FROM v3
+    ),
+    hashed AS (
+      SELECT version, ({_CK_H60_DUCK}) AS h FROM (
+        SELECT version,
+               md5(repo_dir || '|' || file_id || '|' || extract_ts
+                   || '|' || CAST(event_id AS VARCHAR)) AS rh
+        FROM versions
+      )
+    )
+    SELECT CAST(version AS INTEGER) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_checksum,
+           CAST(SUM(h % {_CK_MOD}) AS BIGINT) AS modsum_checksum
+    FROM hashed
+    GROUP BY version
+    ORDER BY version
+    """
+
+
+@register(
+    "lakehouse_commit_seq_delete_checksums",
+    oracle=_seq_checksum_oracle_sql(),
+    doc="COMMIT-SEQUENCE equality deletes — the same five-commit "
+        "merge-on-read lifecycle as lakehouse_equality_delete_"
+        "checksums but under Iceberg's ACTUAL sequence-number rule "
+        "(delete_from_versioned_table(..., bound='commit'), "
+        "etl/versioned.py): the delete file carries the delete "
+        "COMMIT's number, a row's own commit is recovered from its "
+        "immutable data path (data/v<k>/ — input_file_name at the "
+        "scan, no stored column), and the delete applies only to "
+        "rows written strictly BEFORE it. Distinguishing receipt vs "
+        "the extract_ts flavor: at v3 EVERY deleted key batch 2 "
+        "re-delivers resurrects — including those whose new row is "
+        "OLDER than the deleted row's extract_ts, which the default "
+        "flavor keeps deleted (the non-vacuity of that difference is "
+        "pytest-fenced on this corpus). The oracle replays all five "
+        "versions relationally with membership-only resurrection; "
+        "v4 == v3 (compaction identity) rides the same hash check. "
+        "Plan shape: the seq branch adds one in-row regexp on the "
+        "scan's file provenance — the delete apply stays ONE equi "
+        "left join, never broadcast.",
+    tags=("lakehouse", "time-travel", "delete", "merge-on-read",
+          "checksum"),
+)
+def lakehouse_commit_seq_delete_checksums(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from functools import reduce
+
+    from etl_spark.etl.versioned import read_versioned_table
+    from etl_spark.plans.quality import _CK_MOD
+
+    table = _built_seq_table(spark, sf_dir)
+    row_str = F.concat_ws(
+        "|",
+        F.col("repo_dir"),
+        F.col("file_id"),
+        F.col("extract_ts"),
+        F.col("event_id").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    parts = []
+    for v in range(5):
+        parts.append(
+            read_versioned_table(spark, table, version=v)
+            .select(h.alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(h)").alias("xor_checksum"),
+                F.sum(F.col("h") % _CK_MOD).alias("modsum_checksum"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows", "xor_checksum", "modsum_checksum",
+            )
+        )
+    return reduce(DataFrame.unionByName, parts).orderBy("version")

@@ -378,6 +378,99 @@ def test_equality_delete_bound_is_extract_ts_not_commit_order(spark, tmp_path):
     assert _sorted_rows(read_versioned_table(spark, table)) == before
 
 
+def test_commit_bound_delete_resurrects_any_later_commit(spark, tmp_path):
+    """The ``bound="commit"`` flavor is Iceberg's ACTUAL sequence
+    rule: the delete applies to rows written by commits strictly
+    before it, so a LATER commit re-inserting a deleted key
+    resurrects it even when its extract_ts is OLDER than the deleted
+    row's — the exact case the default extract_ts bound keeps deleted
+    (test_equality_delete_bound_is_extract_ts_not_commit_order)."""
+    from etl_spark.etl.versioned import (
+        compact_versioned_deletes,
+        delete_from_versioned_table,
+    )
+
+    zone = tmp_path / "zone"
+    table = tmp_path / "vtable"
+    t1, t2 = "20250101-000000Z", "20250102-000000Z"
+    for i in range(10):
+        write_run(zone, "r", t2, make_run(i, "r", status="completed"))
+    init_versioned_table(load_extraction(spark, zone, t2), table)
+    v1 = delete_from_versioned_table(spark, table, "id < 5", bound="commit")
+    assert v1 == 1
+    served = read_versioned_table(spark, table)
+    assert served.count() == 5
+    # untouched keys unaffected; deleted set is exactly id < 5
+    assert {r["id"] for r in served.collect()} == set(range(5, 10))
+    # time travel below the delete: full view intact
+    assert read_versioned_table(spark, table, version=0).count() == 10
+
+    # a LATER commit re-delivers the deleted keys with an OLDER
+    # extract_ts — commit order resurrects them (extract_ts would not)
+    for i in range(5):
+        write_run(zone, "r", t1, make_run(i, "r", status="running"))
+    v2 = merge_versioned_table(spark, table, load_extraction(spark, zone, t1))
+    served = read_versioned_table(spark, table, version=v2)
+    assert served.count() == 10
+    assert {
+        r["status"] for r in served.filter("id < 5").collect()
+    } == {"running"}
+
+    # compaction folds the commit-bound delete away content-identically
+    before = _sorted_rows(read_versioned_table(spark, table))
+    compact_versioned_deletes(spark, table)
+    assert _sorted_rows(read_versioned_table(spark, table)) == before
+
+
+def test_commit_bound_delete_rejects_bad_bound(spark, tmp_path):
+    import pytest
+
+    from etl_spark.etl.versioned import delete_from_versioned_table
+
+    zone = tmp_path / "zone"
+    table = tmp_path / "vtable"
+    write_run(zone, "r", "20250101-000000Z", make_run(0, "r"))
+    init_versioned_table(
+        load_extraction(spark, zone, "20250101-000000Z"), table
+    )
+    with pytest.raises(ValueError, match="bound"):
+        delete_from_versioned_table(spark, table, "TRUE", bound="nope")
+
+
+def test_mixed_bound_deletes_compose(spark, tmp_path):
+    """A table can carry BOTH flavors: each delete file keeps the
+    semantics it was written under, and a row must survive every
+    delete that names its key."""
+    from etl_spark.etl.versioned import delete_from_versioned_table
+
+    zone = tmp_path / "zone"
+    table = tmp_path / "vtable"
+    t1, t2 = "20250101-000000Z", "20250102-000000Z"
+    for i in range(12):
+        write_run(zone, "r", t2, make_run(i, "r", status="completed"))
+    init_versioned_table(load_extraction(spark, zone, t2), table)
+    delete_from_versioned_table(spark, table, "id < 4", bound="commit")
+    delete_from_versioned_table(spark, table, "id >= 8")  # extract_ts
+    assert {
+        r["id"] for r in read_versioned_table(spark, table).collect()
+    } == set(range(4, 8))
+
+    # a later merge with OLDER extract_ts rows across all three zones:
+    # commit-deleted keys resurrect, ts-deleted keys stay deleted,
+    # live keys keep their newer row (latest-wins)
+    for i in range(12):
+        write_run(zone, "r", t1, make_run(i, "r", status="running"))
+    merge_versioned_table(spark, table, load_extraction(spark, zone, t1))
+    by_id = {
+        r["id"]: r["status"]
+        for r in read_versioned_table(spark, table).collect()
+    }
+    assert {i for i in by_id if i < 4} == set(range(4))  # resurrected
+    assert all(by_id[i] == "running" for i in range(4))
+    assert all(by_id[i] == "completed" for i in range(4, 8))  # kept newer
+    assert not any(i >= 8 for i in by_id)  # ts-bound still deletes
+
+
 def test_legacy_manifest_empty_read_raises_clear_error(spark, tmp_path):
     """ADVICE r9 (versioned.py empty read): a manifest chain begun
     before schema-in-manifest existed can reach empty with no recorded
@@ -505,3 +598,53 @@ def test_registered_dv_lifecycle_is_nonvacuous(spark):
     back = error_keys(3)
     assert back  # some resurrected by the newer batch-2 rows
     assert deleted_at_v1 - back  # ...and some stayed deleted
+
+
+def test_commit_seq_lifecycle_differs_from_ts_flavor_nonvacuously(spark):
+    """The registered commit-bound lifecycle must actually DIVERGE
+    from the extract_ts flavor on the real corpus: at v3 some batch-2
+    re-delivered keys carry an extract_ts at-or-below their delete
+    bound — resurrected under commit order, still deleted under the
+    ts bound. If no key differs, the membership-only branch of the
+    new oracle is dead code."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.plans.lakehouse import (
+        _built_dv_table,
+        _built_seq_table,
+        lakehouse_commit_seq_delete_checksums,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r["version"]: r["n_rows"]
+        for r in lakehouse_commit_seq_delete_checksums(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    assert rows[2] < rows[1]  # the delete really removed rows
+    assert rows[4] == rows[3]  # compaction is content-identical
+
+    def error_keys(table, v):
+        return {
+            r["file_id"]
+            for r in read_versioned_table(spark, table, version=v)
+            .filter(F.col("repo_dir") == "error")
+            .select("file_id")
+            .collect()
+        }
+
+    seq_table = _built_seq_table(spark, SF_DIR)
+    ts_table = _built_dv_table(spark, SF_DIR)
+    # both lifecycles deleted the same keys at v2
+    assert error_keys(seq_table, 2) == set() == error_keys(ts_table, 2)
+    back_seq = error_keys(seq_table, 3)
+    back_ts = error_keys(ts_table, 3)
+    # commit order resurrects a strict SUPERSET: every ts-resurrected
+    # key is batch-2-delivered (hence commit-resurrected), plus the
+    # keys whose batch-2 row is older than the delete bound
+    assert back_ts < back_seq, (
+        "commit-bound resurrection must strictly exceed ts-bound "
+        f"(ts={len(back_ts)}, seq={len(back_seq)})"
+    )

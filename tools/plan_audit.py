@@ -293,6 +293,13 @@ AUDIT = [
      "join on the delete-file key aggregate + sequence-bound filter, "
      "never broadcast-forced); the compacted version drops that join "
      "again — all five feed map-combinable checksum aggregates"),
+    ("lakehouse_commit_seq_delete_checksums",
+     "commit-bound flavor: identical lifecycle shape — the only "
+     "delta is an in-row regexp over the scan's file provenance "
+     "(input_file_name) feeding the same ONE equi left join (never "
+     "broadcast-FORCED; AQE may pick BHJ when the runtime delete set "
+     "is small, same as the ts flavor); no extra shuffle, compacted "
+     "version drops the join"),
     ("ml_logreg_quality_lift",
      "trained-gate calibration: in-row scoring off the cached "
      "features, two-phase prefix rank for the deciles — every Window "
