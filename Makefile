@@ -5,7 +5,7 @@
 
 PY ?= python
 
-.PHONY: test contract contract-big contract-sf1 contract-sf1p contract-all roundclose bench bench-full fuzz fuzz-skew plans scaling sfbig bench-sfbig run help
+.PHONY: test contract contract-big contract-sf1 contract-sf1p contract-all spill-probe roundclose bench bench-full fuzz fuzz-skew plans scaling sfbig bench-sfbig run help
 
 help:
 	@echo "test         - full pytest suite"
@@ -79,6 +79,12 @@ fuzz:
 # all document queries vs oracle + the df histogram (SCALING.md).
 fuzz-skew:
 	$(PY) tools/fuzz_parity.py 1 --skew
+
+# Memory-pressure receipt: heaviest queries under a starved execution
+# pool must SPILL (not OOM, not emergency-broadcast) — SCALING.md
+# 'Memory-pressure receipts' documents the tiers and the anatomy.
+spill-probe:
+	cd /tmp && $(PY) $(CURDIR)/tools/spill_probe.py /tmp/sf1 0.3 4
 
 plans:
 	$(PY) tools/plan_audit.py
