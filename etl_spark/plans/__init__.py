@@ -28,4 +28,5 @@ from etl_spark.plans import quality  # noqa: E402,F401
 from etl_spark.plans import stats  # noqa: E402,F401
 from etl_spark.plans import timeseries  # noqa: E402,F401
 from etl_spark.plans import lakehouse  # noqa: E402,F401
+from etl_spark.plans import runtime_filters  # noqa: E402,F401
 from etl_spark.plans import triad  # noqa: E402,F401

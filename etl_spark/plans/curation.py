@@ -1473,3 +1473,138 @@ def pipeline_build_training_mix(
             "spans_boundary"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-split near-dup leakage pairs: the MinHash-LSH audit of the
+# content-hash split. curation_train_val_split already *counts* shared
+# shingles; this query finds the actual (train, val) candidate pairs
+# and grades each by exact signature agreement — the pair-level audit
+# a team runs before trusting a validation loss.
+# --------------------------------------------------------------------------
+
+from etl_spark.plans.llm_dedup import (  # noqa: E402
+    N_HASHES,
+    _band_rows_sql,
+    _band_table,
+    _minhash_signature_sql,
+    _REP_DOCS_SQL,
+    minhash_signatures,
+)
+
+#: Minimum matching MinHash components (of N_HASHES=16) for a candidate
+#: pair to count as a leak: 8/16 estimates Jaccard >= 0.5.
+SIG_AGREE_MIN = 8
+
+_SIG_AGREE_SQL = " + ".join(
+    f"(CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+
+_SPLIT_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN ({_H60_SQL}) % 100 < {TRAIN_PCT}
+                THEN 'train' ELSE 'val' END AS split
+    FROM (SELECT doc_id, md5(text) AS h FROM ({_REP_DOCS_SQL}))
+"""
+
+
+@register(
+    "curation_split_leakage_pairs",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sig AS (
+      {_minhash_signature_sql()}
+    ),
+    splits AS ({_SPLIT_SQL}),
+    bands AS (
+      {_band_rows_sql()}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_t, b.doc_id AS doc_v
+      FROM bands a
+      JOIN splits sa ON sa.doc_id = a.doc_id AND sa.split = 'train'
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      JOIN splits sb ON sb.doc_id = b.doc_id AND sb.split = 'val'
+    ),
+    agree AS (
+      SELECT c.doc_t, c.doc_v,
+             CAST({_SIG_AGREE_SQL} AS INTEGER) AS sig_agree
+      FROM cand c
+      JOIN sig x ON x.doc_id = c.doc_t
+      JOIN sig y ON y.doc_id = c.doc_v
+    )
+    SELECT sig_agree,
+           CAST(CASE WHEN sig_agree >= {SIG_AGREE_MIN} THEN 1 ELSE 0 END
+                AS INTEGER)                          AS is_leak,
+           CAST(COUNT(*) AS BIGINT)                  AS n_pairs,
+           CAST(COUNT(DISTINCT doc_v) AS BIGINT)     AS n_val_docs
+    FROM agree
+    GROUP BY sig_agree
+    ORDER BY sig_agree
+    """,
+    doc="Pair-level train/val leakage audit: LSH band buckets joined "
+        "ACROSS the split boundary only (train bands x val bands on "
+        "(band_idx, band_hash) — the same bucket join as "
+        "dedup_minhash_lsh with one side restricted, never all-pairs), "
+        "then each candidate pair graded by exact MinHash component "
+        f"agreement; >= {SIG_AGREE_MIN}/{16} components (est. Jaccard "
+        ">= 0.5) flags the val doc as leaked. Output is the bounded "
+        "agreement histogram (<= 17 rows) with pair and distinct-val-"
+        "doc counts — integer-exact on both engines. Shares the "
+        "persisted rep-space band table and the map-side-derived "
+        "signature frame with the dedup family, so the corpus is not "
+        "re-scanned; the only new shuffles are the cross-split bucket "
+        "join and the final tiny aggregate.",
+    tags=("curation", "llm", "dedup", "lsh", "sampling"),
+)
+def curation_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.plans.llm_dedup import rep_docs
+
+    h60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    splits = rep_docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(h60 % 100 < TRAIN_PCT, "train").otherwise("val").alias("split"),
+    )
+    bands = _band_table(spark, sf_dir).join(splits, "doc_id")
+    train_b = bands.filter(F.col("split") == "train").alias("a")
+    val_b = bands.filter(F.col("split") == "val").alias("b")
+    cand = (
+        train_b.join(
+            val_b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_t"), F.col("b.doc_id").alias("doc_v")
+        )
+        .distinct()
+    )
+    sig = minhash_signatures(spark, sf_dir)
+    x = sig.alias("x")
+    y = sig.alias("y")
+    agree_expr = sum(
+        (F.col(f"x.s{i}") == F.col(f"y.s{i}")).cast("int")
+        for i in range(N_HASHES)
+    )
+    agree = (
+        cand.join(x, cand.doc_t == F.col("x.doc_id"))
+        .join(y, cand.doc_v == F.col("y.doc_id"))
+        .select("doc_t", "doc_v", agree_expr.cast("int").alias("sig_agree"))
+    )
+    return (
+        agree.groupBy("sig_agree")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("doc_v").alias("n_val_docs"),
+        )
+        .select(
+            "sig_agree",
+            F.when(F.col("sig_agree") >= SIG_AGREE_MIN, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_leak"),
+            "n_pairs",
+            "n_val_docs",
+        )
+        .orderBy("sig_agree")
+    )

@@ -71,6 +71,10 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "stop-shingle heavy-hitter list: shingles with df > cap; under "
         "any Zipfian corpus the over-cap set is a vanishing fraction of "
         "the vocabulary (it is exactly the boilerplate head)",
+    ("plans/runtime_filters.py", "bloom_prefilter", "positions"):
+        "bloom position set: DISTINCT xxhash64-mod-BLOOM_M buckets, "
+        "<= BLOOM_M (2^16) rows by construction at every dim size — "
+        "boundedness independent of the data is the family's point",
     ("plans/llm_similarity.py", "sim_nn_within_label", "cells"):
         "IVF per-cell chunk counts: one row per coarse-quantizer cell "
         "(nlist-sized — 10 here, a few thousand in a real index), "

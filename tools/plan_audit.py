@@ -331,6 +331,18 @@ AUDIT = [
      "JL distortion: one corpus scan; the Arrow stage emits partial "
      "(count, in-band, min, max) rows per (query, batch), so the "
      "only Exchange carries queries x batches rows — never pairs"),
+    ("join_bloom_prefilter_revenue",
+     "bloom pre-filter: the lineitem scan feeds TWO broadcast "
+     "LeftSemi joins on pmod(xxhash64) positions (each build side "
+     "<= BLOOM_M = 2^16 rows at ANY dim size) BEFORE the exact "
+     "supplier join — non-matching fact rows never reach the join "
+     "exchange, the manual twin of runtime bloom-filter injection"),
+    ("curation_split_leakage_pairs",
+     "cross-split LSH leakage: train bands x val bands joined on "
+     "(band_idx, band_hash) — the dedup family's bucket join with "
+     "one side restricted, never all-pairs; signature agreement is "
+     "an in-row integer sum off the shared persisted band table; "
+     "final aggregate is the <= 17-row agreement histogram"),
 ]
 
 INTERESTING = re.compile(
