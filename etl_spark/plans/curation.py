@@ -1608,3 +1608,120 @@ def curation_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sig_agree")
     )
+
+
+# --------------------------------------------------------------------------
+# Domain reweighting (DoReMi-style multiplicative-weights step).
+# sample_mixture_weights is the STATIC temperature rule; this is the
+# FEEDBACK rule: domains with higher excess loss (quality deficit
+# proxy) get exponentially upweighted from the natural share, then the
+# distribution is smoothed toward uniform — one deterministic step of
+# the published Group-DRO / DoReMi weight update, expressed as two tiny
+# aggregates over one corpus scan.
+# --------------------------------------------------------------------------
+
+REWEIGHT_ETA = 1.0  # multiplicative-weights step size
+REWEIGHT_EPS = 0.1  # uniform smoothing mix (DoReMi's epsilon)
+
+#: Per-doc quality proxy, exact integer-derived ratio (same definition
+#: as text_quality_score.distinct_ratio): lexical diversity.
+_QUAL_SQL = (
+    "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    " / len(string_split(text, ' '))"
+)
+
+
+@register(
+    "sample_domain_reweight_step",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             AVG({_QUAL_SQL}) AS qual
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT)    AS n_domains,
+             MIN(1 - qual)               AS min_loss
+      FROM per
+    ),
+    w AS (
+      SELECT lang, n_docs, n_domains,
+             CAST(n_docs AS DOUBLE) / n_total AS raw_share,
+             (1 - qual) - min_loss AS excess,
+             (CAST(n_docs AS DOUBLE) / n_total)
+               * exp({REWEIGHT_ETA} * ((1 - qual) - min_loss)) AS mw
+      FROM per CROSS JOIN tot
+    )
+    SELECT lang, n_docs,
+           CAST(ROUND(raw_share, 9) AS DOUBLE) AS raw_share,
+           CAST(ROUND(excess, 9) AS DOUBLE)    AS excess_loss,
+           CAST(ROUND((1 - {REWEIGHT_EPS}) * mw / (SELECT SUM(mw) FROM w)
+                      + {REWEIGHT_EPS} / n_domains, 9) AS DOUBLE)
+             AS reweighted_share,
+           CAST(ROUND(((1 - {REWEIGHT_EPS}) * mw / (SELECT SUM(mw) FROM w)
+                       + {REWEIGHT_EPS} / n_domains) / raw_share, 9)
+                AS DOUBLE)
+             AS upsample_factor
+    FROM w
+    ORDER BY lang
+    """,
+    doc="One DoReMi-style domain-reweighting step: per-language excess "
+        "loss (1 - mean lexical diversity, baselined at the best "
+        "domain) drives a multiplicative-weights update of the natural "
+        f"shares (eta = {REWEIGHT_ETA}), normalized and smoothed "
+        f"toward uniform (eps = {REWEIGHT_EPS}) — the published "
+        "Group-DRO update that sample_mixture_weights' static "
+        "temperature rule approximates. One corpus scan into a "
+        "|langs|-row aggregate; every cross after that is a 1-row "
+        "scalar or the k-language table. exp() is libm (same caveat "
+        "as the pow in sample_mixture_weights), so both engines round "
+        "to 9 decimals.",
+    tags=("curation", "llm", "sampling", "statistics"),
+)
+def sample_domain_reweight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    qual = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(qual).alias("qual")
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.count(F.lit(1)).alias("n_domains"),
+        F.min(F.lit(1) - F.col("qual")).alias("min_loss"),
+    )
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_domains",
+        (F.col("n_docs").cast("double") / F.col("n_total")).alias("raw_share"),
+        ((F.lit(1) - F.col("qual")) - F.col("min_loss")).alias("excess"),
+        (
+            (F.col("n_docs").cast("double") / F.col("n_total"))
+            * F.exp(
+                F.lit(REWEIGHT_ETA)
+                * ((F.lit(1) - F.col("qual")) - F.col("min_loss"))
+            )
+        ).alias("mw"),
+    )
+    msum = w.agg(F.sum("mw").alias("mw_sum"))
+    smoothed = (
+        F.lit(1 - REWEIGHT_EPS) * F.col("mw") / F.col("mw_sum")
+        + F.lit(REWEIGHT_EPS) / F.col("n_domains")
+    )
+    return (
+        w.crossJoin(F.broadcast(msum))
+        .select(
+            "lang",
+            "n_docs",
+            F.round("raw_share", 9).cast("double").alias("raw_share"),
+            F.round("excess", 9).cast("double").alias("excess_loss"),
+            F.round(smoothed, 9).cast("double").alias("reweighted_share"),
+            F.round(smoothed / F.col("raw_share"), 9)
+            .cast("double")
+            .alias("upsample_factor"),
+        )
+        .orderBy("lang")
+    )

@@ -53,6 +53,10 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "per-language epoch factors: |distinct lang| = 5, constant",
     ("plans/curation.py", "sample_mixture_weights", "wsum"):
         "single-row weighted sum",
+    ("plans/curation.py", "sample_domain_reweight_step", "tot"):
+        "single-row (total, n_domains, min_loss) scalars",
+    ("plans/curation.py", "sample_domain_reweight_step", "msum"):
+        "single-row multiplicative-weight sum",
     ("plans/curation.py", "curation_train_val_split", "leaks"):
         "single-row exact-dup leak counter",
     ("plans/curation.py", "text_decontam_pairs", "ev"):

@@ -23,6 +23,7 @@ BNLJ_ALLOWED = {
     "q11_part_value_share":              "1-row global-threshold scalar",
     "q22_idle_rich_customers":           "1-row average-threshold scalar",
     "sample_mixture_weights":            "1-row corpus total + k-language weights",
+    "sample_domain_reweight_step":       "1-row corpus scalars + k-language weights",
     "curation_epoch_expand":             "1-row global-max scalar + k-language epoch factors",
     "pipeline_build_training_mix":       "1-row global-max scalar + k-language epoch factors",
     "curation_train_val_split":          "1-row exact-dup leak-counter scalar",
