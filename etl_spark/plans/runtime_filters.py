@@ -7,7 +7,7 @@ are dropped by the join anyway — the classic fix is to broadcast a
 compact fingerprint of the dim keys (a bloom filter) and drop
 non-matching fact rows BEFORE the exchange. Spark's optimizer can
 inject this itself (``spark.sql.optimizer.runtime.bloomFilter.*`` —
-fenced in tests/test_runtime_filters.py); the registered query builds
+fenced in tests/test_plan_properties.py); the registered query builds
 the same structure manually from public primitives so the shape is
 explicit, engine-portable, and oracle-checkable:
 

@@ -3,7 +3,9 @@ Spark's native runtime bloom-filter injection (plans/runtime_filters.py).
 
 Value parity for both registered queries is carried by
 test_oracle_parity.py; these tests pin the PLAN claims — the part an
-oracle can't see.
+oracle can't see. The NATIVE runtime bloom filter (the optimizer-
+injected twin of the manual pattern) is fenced separately in
+test_plan_properties.py::test_runtime_bloom_filter_prunes_fact_side.
 """
 
 from __future__ import annotations
@@ -61,34 +63,6 @@ def test_bloom_position_sets_bounded(spark):
         bloom_position(F.col("o_orderkey"), 1).alias("p")
     ).distinct().count()
     assert n_pos <= BLOOM_M
-
-
-def test_native_runtime_bloom_injection(spark):
-    """Spark's own runtime bloom filter (the optimizer-injected twin of
-    the manual pattern) fires on a selective-dim shuffle join once the
-    size thresholds allow it: the fact scan gains a might_contain()
-    filter fed by a bloom_filter_agg subquery on the dim."""
-    confs = {
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    old = {k: spark.conf.get(k, None) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        li = load(spark, SF_DIR, "lineitem")
-        su = load(spark, SF_DIR, "supplier").filter(F.col("s_acctbal") < 0)
-        j = li.join(su, li.l_suppkey == su.s_suppkey).groupBy("s_nationkey").count()
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "might_contain" in plan
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def test_split_leakage_invariants(spark):

@@ -403,8 +403,11 @@ def main() -> None:
                         # same 1-row global-max cross as the mix build
                         "curation_epoch_expand": 1,
                         # excess-loss baseline scalar + weight
-                        # normalizer scalar: two 1-row crosses
-                        "sample_domain_reweight_step": 2}
+                        # normalizer scalar; the normalizer's subtree
+                        # re-derives the baseline cross (no exchange
+                        # reuse over a 5-row frame), so 3 appear —
+                        # every build side is a 1-row aggregate
+                        "sample_domain_reweight_step": 3}
     for name, claim in AUDIT:
         df = REGISTRY[name].builder(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
