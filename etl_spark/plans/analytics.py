@@ -1126,24 +1126,30 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("closed"),
         )
     )
-    opens = spans.groupBy(F.col("opened").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_opened"),
-        F.lit(0).cast("bigint").alias("n_closed"),
-    )
-    closes = (
-        spans.groupBy(F.col("closed").alias("day"))
-        .agg(
-            F.lit(0).cast("bigint").alias("n_opened"),
-            F.count(F.lit(1)).alias("n_closed"),
-        )
-    )
-    daily = (
-        opens.unionByName(closes)
-        .groupBy("day")
-        .agg(
-            F.sum("n_opened").alias("n_opened"),
-            F.sum("n_closed").alias("n_closed"),
-        )
+    # ONE evaluation of the span subtree (r10 opt): the former
+    # opens/closes branches each re-ran the orderkey fact-fact join +
+    # aggregate just to count one endpoint; a map-side explode emits
+    # both (+open, +close) delta rows per span from a single pass, and
+    # one map-combinable aggregate replaces union + re-aggregate.
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("opened").alias("day"),
+                    F.lit(1).alias("o"),
+                    F.lit(0).alias("c"),
+                ),
+                F.struct(
+                    F.col("closed").alias("day"),
+                    F.lit(0).alias("o"),
+                    F.lit(1).alias("c"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    daily = deltas.groupBy("day").agg(
+        F.sum("o").cast("bigint").alias("n_opened"),
+        F.sum("c").cast("bigint").alias("n_closed"),
     )
     w = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

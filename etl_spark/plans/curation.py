@@ -1174,9 +1174,15 @@ def curation_quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_spark.plans.llm_dedup import dedup_prefix_filter_pairs
 
     pairs = dedup_prefix_filter_pairs(spark, sf_dir)
+    # explode(array(doc_a, doc_b)), not a union of two projections
+    # (r10 opt): the union form planned the ENTIRE prefix-filter pair
+    # subtree once per branch — the executed plan carried two copies
+    # of the pair machinery (~2x the Exchanges) — while the map-side
+    # explode reads it once and emits the same two rows per pair.
     dup_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
         .distinct()
         .withColumn("is_dup", F.lit(True))
     )

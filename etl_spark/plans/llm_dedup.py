@@ -998,7 +998,16 @@ def _sig_match_sql() -> str:
 )
 def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidates(spark, sf_dir)
-    sig = minhash_signatures(spark, sf_dir)
+    # Cached here (and only here — the lsh/band chain keeps its single
+    # pass): this plan joins the signature table on BOTH pair sides,
+    # and with zero exchange reuse across the aliased copies the
+    # 16-way min-aggregate ran twice per execution (r10 opt).
+    sig = session_cached(
+        "minhash_signatures",
+        spark,
+        sf_dir,
+        lambda: minhash_signatures(spark, sf_dir),
+    )
     posting = posting_lists(spark, sf_dir)
     sizes = (
         posting.select(F.explode("docs").alias("doc_id"))
@@ -1528,25 +1537,36 @@ PREFIX_JACCARD_T = 0.5
     tags=("dedup", "llm", "neardup", "prefix-filter"),
 )
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles_df(spark, sf_dir)
-    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # Per-doc shingle array in global rarest-first order. The struct
     # sort is (df, shingle) lexicographic — deterministic in both
     # engines; the oracle never needs it (it replays all pairs).
-    arrs = (
-        sh.join(df_tbl.hint("merge"), "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("df", "shingle"))
-            ).alias("arr")
+    # session_cached (r10 opt): this subtree (df join + collect_list +
+    # sort) is consumed THREE times in this plan — the prefix explode
+    # plus both sides of the verification join — and the executed plan
+    # showed zero ReusedExchange across the copies, so every consumer
+    # re-ran the join + aggregate. One materialization serves all
+    # three (and the label build + quality-lift consumers downstream);
+    # at 100 TB this is the prefix index an exact-similarity join
+    # materializes anyway.
+    def build() -> DataFrame:
+        sh = shingles_df(spark, sf_dir)
+        df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        return (
+            sh.join(df_tbl.hint("merge"), "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("df", "shingle"))
+                ).alias("arr")
+            )
+            .select(
+                "doc_id",
+                F.transform("arr", lambda x: x["shingle"]).alias("shingles"),
+                F.size("arr").alias("n_sh"),
+            )
         )
-        .select(
-            "doc_id",
-            F.transform("arr", lambda x: x["shingle"]).alias("shingles"),
-            F.size("arr").alias("n_sh"),
-        )
-    )
+
+    arrs = session_cached("prefix_arrs", spark, sf_dir, build)
     prefix_len = F.col("n_sh") - F.ceil(
         F.lit(PREFIX_JACCARD_T) * F.col("n_sh")
     ).cast("int") + 1

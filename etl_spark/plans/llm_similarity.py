@@ -149,18 +149,34 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             C = np.array(pdf["q"].tolist(), dtype=np.float64)
             c_norms = (C * C).sum(axis=1)
             cos = (C @ QM.T) / np.sqrt(np.outer(c_norms, q_norms))
-            n, nq = cos.shape
-            yield pd.DataFrame(
-                {
-                    "query_id": np.tile(qids, n),
-                    "neighbor_id": np.repeat(pdf["vec_id"].values, nq),
-                    "cos_sim": cos.ravel(),
-                }
-            )
+            cids = pdf["vec_id"].values
+            # Batch-local top-k under the SAME total order the final
+            # window applies (cos desc, neighbor asc; self excluded):
+            # only k rows per query per batch cross the exchange
+            # instead of the full n x nq score matrix — the
+            # "per-partition top-k" the module contract promises
+            # (argmax-prefix associativity: the global top-k is a
+            # subset of the union of batch top-ks, bit-identically,
+            # because cos values are the same float64s in every
+            # batch and lexsort applies the same tiebreak).
+            for j, qid in enumerate(qids):
+                col = cos[:, j]
+                keep = cids != qid
+                col, ids = col[keep], cids[keep]
+                if not len(ids):
+                    continue
+                order = np.lexsort((ids, -col))[:TOP_K]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qid, dtype=np.int64),
+                        "neighbor_id": ids[order],
+                        "cos_sim": col[order],
+                    }
+                )
 
     scored = emb.mapInPandas(
         score_batches, schema="query_id bigint, neighbor_id bigint, cos_sim double"
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -100,6 +100,52 @@ def _assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
+def _assign_partial_sums(
+    emb: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """One fused assignment + partial-reduction pass: per Arrow batch,
+    assign each vector to its nearest centroid (same matmul and
+    first-argmin tiebreak as ``_assign``) and reduce the batch to at
+    most k rows of exact-int64 partials (member count, Σd2, per-dim
+    Σq). Only batches × k skinny rows leave Python — the corpus-sized
+    (vec_id, q, cluster, d2) stream of the unfused shape never crosses
+    the Arrow boundary and never shuffles."""
+    cvecs = [list(c) for c in centroids]
+
+    def score(it):
+        import numpy as np
+        import pandas as pd
+
+        S = np.array(cvecs, dtype=np.float64)  # (k, dim)
+        s_norms = (S * S).sum(axis=1)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["q"].tolist(), dtype=np.float64)
+            d2 = (C * C).sum(axis=1)[:, None] + s_norms[None, :] - 2.0 * (C @ S.T)
+            cl = d2.argmin(axis=1)
+            best = d2[np.arange(len(cl)), cl]
+            Ci = C.astype(np.int64)  # exact: quantized lattice ints
+            rows = []
+            for c in np.unique(cl):
+                m = cl == c
+                rows.append(
+                    {
+                        "cluster": int(c),
+                        "n": int(m.sum()),
+                        # d2 is exact-integer-valued float64 (< 2^53);
+                        # int64 partials keep the corpus total exact.
+                        "sd2": int(best[m].astype(np.int64).sum()),
+                        "sx": Ci[m].sum(axis=0),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return emb.mapInPandas(
+        score, schema="cluster int, n bigint, sd2 bigint, sx array<bigint>"
+    )
+
+
 def _cluster_stats(assigned: DataFrame, exact: bool) -> DataFrame:
     # exact=True whenever centroids live on the integer quantization
     # lattice — the seed step AND every Lloyd iteration (updates are
@@ -268,29 +314,33 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = [[float(x) for x in r["q"]] for r in seed_rows]
         prev_inertia = None
         n_iter = 0
-        assigned = None
+        sums = []
         for _ in range(MAX_ITERS):
-            assigned = _assign(emb, centroids)
             n_iter += 1
-            # ONE action per iteration: the k × dim centroid sums and
-            # the scalar inertia ride the same partial-aggregated job
-            # (every point contributes its d2 at each pos, so the
-            # per-cluster inertia is read off the pos==0 rows). Two
-            # separate actions here would run the assignment pass twice
-            # per iteration — or force a corpus-sized persist/unpersist
-            # cycle every round, which is cache churn at 100 TB.
+            # ONE action per iteration, with the reduction pushed INTO
+            # the assignment kernel (r10 opt, guide §2.3 "aggregate
+            # before you shuffle"): each Arrow batch assigns points and
+            # immediately reduces them to k rows of (n, Σd2, Σq) exact
+            # int64 partials, so the posexplode + exchange downstream
+            # carries batches × k × dim rows instead of corpus × dim
+            # (640k → ~16k at sf0.1; the gap only widens with scale).
+            # The former shape shipped every (vec_id, q, cluster, d2)
+            # row back through Arrow and exploded the full corpus per
+            # iteration. Integer sums are associative, so the partials
+            # re-aggregate to bit-identical totals (same BIGINT the
+            # unrolled oracle computes); ties still break to the first
+            # argmin, same as _assign and the oracle's ORDER BY d2,
+            # cluster.
+            partials = _assign_partial_sums(emb, centroids)
             sums = (
-                assigned.select("cluster", "d2", F.posexplode("q").alias("pos", "x"))
+                partials.select(
+                    "cluster", "n", "sd2", F.posexplode("sx").alias("pos", "x")
+                )
                 .groupBy("cluster", "pos")
                 .agg(
                     F.sum("x").alias("sx"),
-                    F.count(F.lit(1)).alias("n"),
-                    # d2 is exact-integer-valued but typed double; sum
-                    # it as BIGINT (like _cluster_stats(exact=True)) so
-                    # the corpus-wide total can't lose exactness past
-                    # 2^53 — the convergence comparison below must see
-                    # the same integer the unrolled oracle computes.
-                    F.sum(F.col("d2").cast("bigint")).alias("sd2"),
+                    F.sum("n").alias("n"),
+                    F.sum("sd2").alias("sd2"),
                 )
                 .collect()
             )
@@ -319,10 +369,24 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             centroids = [
                 by_cluster.get(c, centroids[c]) for c in range(K_CLUSTERS)
             ]
-        return (
-            _cluster_stats(assigned, exact=True)
-            .withColumn("n_iter", F.lit(n_iter))
-            .orderBy("cluster")
+        # The stats of the stopping iteration's assignment are already
+        # in hand: the loop's final `sums` collect IS the per-cluster
+        # (n_members, inertia) table (any pos row carries n; pos==0
+        # carries the cluster's Σd2) — the same numbers the oracle
+        # reads off a{{n_iter}}. The former shape re-ran a full
+        # assignment pass through _cluster_stats at action time just to
+        # recompute them; the convergence channel stays config-sized
+        # (k × dim rows per iteration), nothing data-sized reaches the
+        # driver.
+        stats = sorted(
+            (
+                (int(r["cluster"]), int(r["n"]), int(r["sd2"]), n_iter)
+                for r in sums
+                if r["pos"] == 0
+            )
+        )
+        return spark.createDataFrame(
+            stats, schema="cluster int, n_members bigint, inertia bigint, n_iter int"
         )
     finally:
         emb.unpersist()

@@ -61,7 +61,6 @@ replays training bit-identically.
 from __future__ import annotations
 
 import math
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -271,9 +270,15 @@ def dup_label_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         pairs = dedup_prefix_filter_pairs(spark, sf_dir)
+        # explode(array(doc_a, doc_b)), not a union of two projections
+        # (r10 opt, same fix as curation_quality_lift): the union form
+        # evaluated the prefix-pair subtree once per branch; the
+        # map-side explode emits the same two rows per pair from ONE
+        # evaluation — halving the label-materialization pass.
         return (
-            pairs.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            pairs.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+            )
             .distinct()
             .withColumn("is_dup", F.lit(1))
         )
@@ -424,28 +429,50 @@ def _train_telemetry(
     hist, feats, _n = _train(
         spark, sf_dir, l2_shift=l2_shift, lr_schedule=lr_schedule
     )
-    stats = []
+    # ONE scan for all iterations' telemetry (r10 opt, guide §1.2
+    # "don't compute things twice"): every iteration's stats are sums
+    # of expressions over (zraw_k, dl, y), and the full weight history
+    # is in hand after training — so score all T+1 models in one
+    # projection, take one 1-row aggregate of 3(T+1) sums, and explode
+    # it back to the per-iteration rows in-plan. The former shape was
+    # T+1 unioned scan+aggregate subtrees over the cached features —
+    # five passes (and five AQE-planned jobs) where one suffices. Sums
+    # are over the identical rows and expressions, so every lattice
+    # integer is unchanged.
+    scored = feats
     for k, wk in enumerate(hist):
-        scored = feats.withColumn("zraw", _zraw_col(wk))
-        stats.append(
-            scored.agg(
-                F.sum(F.expr(_LOSS_SQL)).cast("bigint").alias("loss_lat"),
-                F.sum(
-                    F.when(F.expr("(zraw > 0) = (y = 1)"), 1).otherwise(0)
-                ).cast("bigint").alias("n_correct"),
-                F.sum(
-                    F.when(F.col("zraw") > 0, 1).otherwise(0)
-                ).cast("bigint").alias("n_pos_pred"),
-            ).select(
+        scored = scored.withColumn(f"z{k}", _zraw_col(wk))
+    aggs = []
+    for k in range(len(hist)):
+        loss_k = _LOSS_SQL.replace("zraw", f"z{k}")
+        aggs += [
+            F.sum(F.expr(loss_k)).cast("bigint").alias(f"loss_{k}"),
+            F.sum(
+                F.when(F.expr(f"(z{k} > 0) = (y = 1)"), 1).otherwise(0)
+            ).cast("bigint").alias(f"corr_{k}"),
+            F.sum(
+                F.when(F.col(f"z{k}") > 0, 1).otherwise(0)
+            ).cast("bigint").alias(f"pos_{k}"),
+        ]
+    one = scored.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(k).cast("int").alias("iter"),
-                "loss_lat", "n_correct", "n_pos_pred",
+                F.col(f"loss_{k}").alias("loss_lat"),
+                F.col(f"corr_{k}").alias("n_correct"),
+                F.col(f"pos_{k}").alias("n_pos_pred"),
                 F.lit(sum(abs(x) for x in wk)).cast("bigint").alias("w_l1"),
                 F.lit(sum(1 for x in wk if x != 0)).cast("bigint").alias(
                     "w_nnz"
                 ),
             )
-        )
-    return reduce(DataFrame.unionByName, stats).orderBy("iter")
+            for k, wk in enumerate(hist)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("s")).select("s.*").orderBy("iter")
+    )
 
 
 #: The regularized variant's hyperparameters: L2 weight decay
