@@ -143,14 +143,20 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df, "term").select(
+    # df via a term-partitioned window over tf, not a groupBy + self
+    # join (r10 opt): the join form evaluated the tf subtree (explode
+    # + aggregate) once per side with zero exchange reuse; the window
+    # computes the same per-term doc count from ONE evaluation and
+    # drops the join entirely (explain: 2 explode passes + 4 Exchanges
+    # → 1 pass + 3 Exchanges). The window sort spills like the join's
+    # SMJ would, so a hot term degrades identically at scale.
+    w_df = Window.partitionBy("term")
+    scored = tf.select(
         "doc_id",
         "term",
         "tf",
-        "df",
-        (F.col("tf").cast("double") / F.col("df")).alias("score"),
-    )
+        F.count(F.lit(1)).over(w_df).alias("df"),
+    ).withColumn("score", F.col("tf").cast("double") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term").asc()
     )
