@@ -112,17 +112,28 @@ STOP_SHINGLE_MAX_DF = 64
 def drop_stop_shingles(sh: DataFrame, max_df: int = STOP_SHINGLE_MAX_DF) -> DataFrame:
     """Remove shingles whose document frequency exceeds ``max_df``.
 
-    The hot list is tiny by construction (only shingles over the cap),
-    so it broadcasts; the anti-join evaluates map-side and the big
-    index never shuffles for the filter.
+    One pass, one exchange (r10 opt, guide §2.4 "remove shuffles
+    outright"): a shingle-partitioned window count replaces the former
+    hot-list aggregate + broadcast anti-join, which evaluated the
+    ENTIRE upstream index twice — and the index builder's upstream
+    includes a repartition of the document texts, so the heavy rows
+    crossed an exchange once per evaluation. Measured at sf0.1: the
+    posting build this feeds dropped 2.22s → 1.13s, and its plan from
+    14 Exchange mentions to 6. Skew stays handled: WindowExec streams
+    each key group through a spillable buffer (a 100 TB boilerplate
+    shingle spills, never OOMs) and the filter drops hot groups BEFORE
+    any downstream collect_list sees them; consumers that group by
+    shingle next reuse this window's hash partitioning, paying no
+    second exchange. (No NULL shingles exist — shingle_array emits
+    non-null strings — so the NULL-key semantics of window-vs-anti-join
+    never diverge.)
     """
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("shingle")
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_df)
+        .select(sh.columns)
     )
-    return sh.join(F.broadcast(hot), "shingle", "left_anti").select(sh.columns)
 
 
 def shingle_array(toks):
@@ -209,15 +220,17 @@ def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
       at {STOP_SHINGLE_MAX_DF}, so per-shingle pair emission is
       bounded and the exchanges+sorts of a shingle self-join vanish.
 
-    The hot-list/anti-join step runs BEFORE collect_list so a 100 TB
-    hot shingle never materializes a giant in-memory list.
+    The stop filter runs BEFORE collect_list so a 100 TB hot shingle
+    never materializes a giant in-memory list.
     """
 
-    # The raw explode is evaluated twice (hot-list aggregate + kept
-    # rows) instead of persisting the raw index: the explode is cheap
-    # relative to caching 10^5-10^6 rows, and steady state holds ONE
-    # cached structure — the posting lists. At 100 TB the same role is
-    # played by checkpointing the posting lists to parquet.
+    # ONE evaluation of the raw explode end-to-end (r10 opt): the
+    # window-based stop filter computes df and drops hot shingles in
+    # the same shingle-partitioned pass the collect_list aggregate
+    # needs, so the whole build is explode → one exchange → window
+    # filter → aggregate (the groupBy reuses the window's hash
+    # partitioning). The former hot-list anti-join shape evaluated the
+    # explode (and its upstream text repartition) twice.
     def build() -> DataFrame:
         raw = _raw_shingles(spark, sf_dir)
         return (

@@ -71,10 +71,6 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "hourly per-type aggregate: rows = hours x 5 types, grid-bounded",
     ("plans/frames.py", "range_join_value_buckets", "buckets"):
         "config-defined bucket edge table",
-    ("plans/llm_dedup.py", "drop_stop_shingles", "hot"):
-        "stop-shingle heavy-hitter list: shingles with df > cap; under "
-        "any Zipfian corpus the over-cap set is a vanishing fraction of "
-        "the vocabulary (it is exactly the boilerplate head)",
     ("plans/runtime_filters.py", "bloom_prefilter", "positions"):
         "bloom position set: DISTINCT xxhash64-mod-BLOOM_M buckets, "
         "<= BLOOM_M (2^16) rows by construction at every dim size — "

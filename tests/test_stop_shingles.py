@@ -79,14 +79,39 @@ def test_rep_space_shingle_index_matches_raw_sql_at_fixture_scale(spark, duck):
         evict()
 
 
-def test_hot_list_broadcasts_not_shuffles(spark):
-    # The anti-join against the hot list must be a broadcast join —
-    # the big index side must not shuffle for the filter.
+def test_stop_filter_is_one_pass_no_join(spark):
+    # The df computation must be a shingle-partitioned window over ONE
+    # evaluation of the index — no join of any strategy (the former
+    # hot-list anti-join evaluated the entire upstream twice), and no
+    # more than the window's single exchange.
     rows = [(i % 7, f"s{i % 13}") for i in range(100)]
     out = dd.drop_stop_shingles(_shingle_index(spark, rows), max_df=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_posting_build_reuses_window_partitioning(spark, tmp_path):
+    # The posting build (stop filter + collect_list groupBy) must
+    # reuse the stop filter's shingle hash partitioning: exactly
+    # THREE exchanges end-to-end — the rep_docs md5 collapse, the
+    # parallelism repartition of the docs, and ONE shingle shuffle
+    # shared by the window stop filter and the collect_list aggregate
+    # (a fourth exchange means the reuse broke).
+    docs = [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    build = (
+        dd.drop_stop_shingles(dd._raw_shingles(spark, sf_dir))
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+    )
+    plan = build._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(shingle") == 1, plan
+    assert plan.count("Exchange") == 3, plan
 
 
 def test_incremental_batch_equals_restricted_full_pairs(spark):
