@@ -693,6 +693,20 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cached_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached signature table — for plans that consume the
+    signatures on BOTH sides of a pair join (dedup_minhash_error, the
+    cross-split leakage audit): with zero exchange reuse across the
+    aliased copies the 16-way min-aggregate would run once per side.
+    The lsh/band chain does NOT use this — it keeps its single pass."""
+    return session_cached(
+        "minhash_signatures",
+        spark,
+        sf_dir,
+        lambda: minhash_signatures(spark, sf_dir),
+    )
+
+
 def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted (doc_id, band_idx, band_hash) LSH index — N_BANDS
     rows per doc, the structure an LSH index materializes at scale.
@@ -1018,16 +1032,7 @@ def _sig_match_sql() -> str:
 )
 def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidates(spark, sf_dir)
-    # Cached here (and only here — the lsh/band chain keeps its single
-    # pass): this plan joins the signature table on BOTH pair sides,
-    # and with zero exchange reuse across the aliased copies the
-    # 16-way min-aggregate ran twice per execution (r10 opt).
-    sig = session_cached(
-        "minhash_signatures",
-        spark,
-        sf_dir,
-        lambda: minhash_signatures(spark, sf_dir),
-    )
+    sig = cached_signatures(spark, sf_dir)
     posting = posting_lists(spark, sf_dir)
     sizes = (
         posting.select(F.explode("docs").alias("doc_id"))
