@@ -170,6 +170,106 @@ def global_rank_cumsum(
     return out.drop("__bucket"), totals
 
 
+def global_rank_multi(
+    df: DataFrame,
+    specs: list[tuple[str, str, str]],
+    n_buckets: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Exact global ``row_number()`` for SEVERAL independent sort keys
+    over the same frame, with the probe and offset phases FUSED into
+    one action each (r10 opt, guide §1.2 "don't compute things
+    twice"): ``len(specs)`` sequential ``global_rank_cumsum`` calls
+    cost 2 config-sized actions apiece — a percentile probe plus an
+    offsets aggregate, each a full pass over the input — while this
+    form computes every key's boundaries in ONE ``percentile_approx``
+    probe row and every key's per-bucket counts in ONE global
+    aggregate (``len(specs) × n_buckets`` conditional sums, still one
+    config-sized row). Rank exactness is bucketing-independent (see
+    module docstring), so the output is bit-identical to the chained
+    single-key calls.
+
+    ``specs``: ``(key, tie, rn_col)`` per rank — same contracts as
+    ``global_rank_cumsum`` (non-null numeric key, unique non-null
+    tie). Running sums are not supported here; callers needing
+    ``cum_<c>`` use the single-key form.
+
+    Returns ``(df_out, totals)`` with one ``rn_col`` per spec and
+    ``totals["n"]`` = total row count.
+    """
+    n_buckets = n_buckets or _bucket_count(df)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+
+    # Phase 1 — ONE probe action for all keys.
+    if qs:
+        probe = df.select(
+            *[
+                F.percentile_approx(key, qs, _PROBE_ACCURACY).alias(
+                    f"bs_{j}"
+                )
+                for j, (key, _tie, _rn) in enumerate(specs)
+            ]
+        ).first()
+    else:
+        probe = None
+    all_bounds: list[list] = []
+    for j in range(len(specs)):
+        raw = (probe[f"bs_{j}"] if probe is not None else None) or []
+        bounds: list = []
+        for b in raw:  # dedup ties, drop empty-input Nones
+            if b is not None and (not bounds or b != bounds[-1]):
+                bounds.append(b)
+        all_bounds.append(bounds)
+
+    bucketed = df.select(
+        "*",
+        *[
+            reduce(
+                lambda acc, b, k=key: acc
+                + F.when(F.col(k) >= F.lit(b), 1).otherwise(0),
+                all_bounds[j],
+                F.lit(0),
+            ).alias(f"__bucket_{j}")
+            for j, (key, _tie, _rn) in enumerate(specs)
+        ],
+    )
+
+    # Phase 2 — ONE offsets action: per-bucket row counts for every
+    # key as conditional sums in a single global aggregate (one
+    # config-sized row of len(specs) × n_slots bigints).
+    count_cols = []
+    for j, bounds in enumerate(all_bounds):
+        for i in range(len(bounds) + 1):
+            count_cols.append(
+                F.sum(
+                    F.when(F.col(f"__bucket_{j}") == i, 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"__n_{j}_{i}")
+            )
+    stats = bucketed.agg(*count_cols).first()
+
+    out = bucketed
+    total_n = 0
+    for j, (key, tie, rn_col) in enumerate(specs):
+        n_slots = len(all_bounds[j]) + 1
+        offsets, run = [], 0
+        for i in range(n_slots):
+            offsets.append(run)
+            run += stats[f"__n_{j}_{i}"] or 0
+        total_n = run
+        w = Window.partitionBy(f"__bucket_{j}").orderBy(
+            F.col(key).asc(), F.col(tie).asc()
+        )
+        arr = F.array(*[F.lit(v) for v in offsets]).cast("array<bigint>")
+        out = out.withColumn(
+            rn_col,
+            F.row_number().over(w).cast("bigint")
+            + F.element_at(arr, F.col(f"__bucket_{j}") + 1),
+        )
+    out = out.drop(*[f"__bucket_{j}" for j in range(len(specs))])
+    return out, {"n": total_n}
+
+
 def ntile_from_rank(rn: Column, n: int, k: int) -> Column:
     """SQL-standard ``NTILE(k)`` bucket as a pure map-side expression
     of the global rank: the first ``n % k`` tiles get ``n//k + 1``

@@ -855,7 +855,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_spark.functions.money import dec
     from etl_spark.operators.ranking import (
-        global_rank_cumsum,
+        global_rank_multi,
         ntile_from_rank,
     )
 
@@ -885,14 +885,19 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # only the single final job runs all three windows.
         .localCheckpoint(eager=True)
     )
-    ranked, totals = global_rank_cumsum(
-        per_cust, key="neg_r", tie="o_custkey", rn_col="rn_r"
-    )
-    ranked, _ = global_rank_cumsum(
-        ranked, key="neg_f", tie="o_custkey", rn_col="rn_f"
-    )
-    ranked, _ = global_rank_cumsum(
-        ranked, key="neg_m", tie="o_custkey", rn_col="rn_m"
+    # ONE probe + ONE offsets action for all three ranks (r10 opt,
+    # guide §1.2): the chained single-key calls cost 2 config-sized
+    # actions apiece (6 total, each a full pass over per_cust); the
+    # fused form computes all boundaries in one probe row and all
+    # per-bucket counts in one aggregate. Ranks are bucketing-
+    # independent, so the scores are bit-identical.
+    ranked, totals = global_rank_multi(
+        per_cust,
+        specs=[
+            ("neg_r", "o_custkey", "rn_r"),
+            ("neg_f", "o_custkey", "rn_f"),
+            ("neg_m", "o_custkey", "rn_m"),
+        ],
     )
     n = totals["n"]
     scored = ranked.select(

@@ -110,3 +110,72 @@ def test_unreferenced_window_is_pruned(spark):
     offsets = ranked.groupBy((F.col("w") > 0).alias("__b")).count()
     plan2 = offsets._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan2
+
+
+@pytest.mark.parametrize("n_buckets", [1, 7, 64])
+def test_multi_matches_chained_single_key(spark, n_buckets):
+    """The fused multi-key form (one probe action + one offsets action
+    for all keys) must be bit-identical to chaining single-key calls —
+    rank exactness is bucketing-independent, so any divergence is a
+    bug in the fusion, not a tolerance question."""
+    from etl_spark.operators.ranking import global_rank_multi
+
+    df = _data(spark)
+    fused, totals = global_rank_multi(
+        df,
+        specs=[("v", "id", "rn_v"), ("w", "id", "rn_w")],
+        n_buckets=n_buckets,
+    )
+    a, t1 = global_rank_cumsum(df, key="v", tie="id", rn_col="rn_v")
+    chained, _ = global_rank_cumsum(a, key="w", tie="id", rn_col="rn_w")
+    got = {
+        r["id"]: (r["rn_v"], r["rn_w"])
+        for r in fused.select("id", "rn_v", "rn_w").collect()
+    }
+    want = {
+        r["id"]: (r["rn_v"], r["rn_w"])
+        for r in chained.select("id", "rn_v", "rn_w").collect()
+    }
+    assert got == want
+    assert totals["n"] == t1["n"] == 257
+
+
+def test_multi_fuses_probe_and_offsets_into_fewer_jobs(spark):
+    """The point of global_rank_multi: one probe action + one offsets
+    action TOTAL, not one of each per key. AQE may split an action
+    into sub-jobs, so assert the fused call's job count is (a) no more
+    than a SINGLE-key call's (the per-key marginal cost is zero jobs)
+    and (b) strictly below the two chained single-key calls it
+    replaces."""
+    from etl_spark.operators.ranking import global_rank_multi
+
+    df = _data(spark).localCheckpoint(eager=True)
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_of(fn):
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        fn()
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        return len(after - before)
+
+    fused = jobs_of(
+        lambda: global_rank_multi(
+            df,
+            specs=[("v", "id", "rn_v"), ("w", "id", "rn_w")],
+            n_buckets=7,
+        )
+    )
+    single = jobs_of(
+        lambda: global_rank_cumsum(
+            df, key="v", tie="id", rn_col="rn_v", n_buckets=7
+        )
+    )
+
+    def chained():
+        a, _ = global_rank_cumsum(
+            df, key="v", tie="id", rn_col="rn_v", n_buckets=7
+        )
+        global_rank_cumsum(a, key="w", tie="id", rn_col="rn_w", n_buckets=7)
+
+    assert fused <= single
+    assert fused < jobs_of(chained)
