@@ -210,15 +210,33 @@ def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stop-filtered inverted index as posting LISTS: (shingle,
-    docs sorted array<bigint>). The cached shape all dedup consumers
-    derive from:
+    docs sorted array<bigint>, sizes array<bigint> position-aligned
+    with docs). The cached shape all dedup consumers derive from:
 
-    * ``shingles_df`` re-explodes it map-side for signature passes;
+    * ``shingles_df`` re-explodes ``docs`` map-side for signature
+      passes (``sizes`` is COLUMN-PRUNED out of those scans — the
+      reason sizes is a parallel array and not a struct field: a
+      cached array<struct> cannot be pruned per-field, and carrying
+      the sizes through the signature explode measured +0.8s at
+      sf0.1);
     * ``dedup_jaccard_pairs`` emits candidate pairs directly from each
       list — map-side, NO self-join — which is the classic inverted-
       index pair generation (cf. PPJoin): the df cap bounds every list
       at {STOP_SHINGLE_MAX_DF}, so per-shingle pair emission is
       bounded and the exchanges+sorts of a shingle self-join vanish.
+
+    ``sizes[i]`` is doc ``docs[i]``'s surviving shingle-set size (r10
+    opt, guide §2.3 "shuffle keys and metadata instead of payloads" /
+    §2.4 "remove shuffles outright"): pair consumers need (na, nb) to
+    score Jaccard/containment, and zipping them onto the emitted pair
+    structs in-row costs 8 bytes/row in the pair stream — while the
+    former shape re-derived a doc_sizes table per consumer and
+    attached it with TWO sort-merge joins (pairs re-shuffled and
+    re-sorted twice, sizes shuffled twice). Measured at sf0.1
+    (interleaved min-of-4): dedup_jaccard_pairs from a warm index
+    1.86s → 0.95s; the index build pays one doc-keyed window pass
+    (+0.18s), skew-safe because per-doc groups are bounded by
+    document length.
 
     The stop filter runs BEFORE collect_list so a 100 TB hot shingle
     never materializes a giant in-memory list.
@@ -227,19 +245,41 @@ def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE evaluation of the raw explode end-to-end (r10 opt): the
     # window-based stop filter computes df and drops hot shingles in
     # the same shingle-partitioned pass the collect_list aggregate
-    # needs, so the whole build is explode → one exchange → window
-    # filter → aggregate (the groupBy reuses the window's hash
-    # partitioning). The former hot-list anti-join shape evaluated the
+    # needs, so the whole build is explode → exchange → window filter
+    # → doc-keyed window (n_sh) → aggregate (the groupBy re-exchanges
+    # on shingle). The former hot-list anti-join shape evaluated the
     # explode (and its upstream text repartition) twice.
     def build() -> DataFrame:
         raw = _raw_shingles(spark, sf_dir)
         return (
             drop_stop_shingles(raw)
+            .withColumn(
+                "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+            )
             .groupBy("shingle")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("doc_id", "n_sh"))
+                ).alias("arr")
+            )
+            .select(
+                "shingle",
+                F.transform("arr", lambda x: x["doc_id"]).alias("docs"),
+                F.transform("arr", lambda x: x["n_sh"]).alias("sizes"),
+            )
         )
 
     return session_cached("dedup_posting_lists", spark, sf_dir, build)
+
+
+def sized_docs():
+    """In-row zip of a posting row's ``docs``/``sizes`` arrays into
+    array<struct<doc_id, n_sh>> — the shape pair emission consumes."""
+    return F.zip_with(
+        "docs",
+        "sizes",
+        lambda d, s: F.struct(d.alias("doc_id"), s.alias("n_sh")),
+    )
 
 
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,21 +294,11 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Shared posting-list pair machinery. dedup_jaccard_pairs,
 # dedup_containment_pairs and dedup_incremental_batch all run the same
-# three steps — per-doc set sizes, in-row ordered pair emission, and
-# the spill-safe size join — so each step lives here ONCE; diverging a
-# copy silently broke lockstep edits before these were factored.
+# steps — in-row ordered pair emission with sizes riding the structs,
+# one shared-shingle aggregate — so each step lives here ONCE;
+# diverging a copy silently broke lockstep edits before these were
+# factored.
 # --------------------------------------------------------------------------
-
-
-def doc_sizes(posting: DataFrame) -> DataFrame:
-    """Per-doc (stop-filtered) shingle-set sizes: (doc_id, n_sh).
-    Doc-cardinality, so NOT force-broadcast (the round-3 advice
-    class): consumers attach it via ``join_pair_sizes``."""
-    return (
-        posting.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
 
 
 def ordered_pair_structs(docs, a_name: str = "doc_a", b_name: str = "doc_b"):
@@ -288,26 +318,49 @@ def ordered_pair_structs(docs, a_name: str = "doc_a", b_name: str = "doc_b"):
     )
 
 
-def join_pair_sizes(
-    pairs: DataFrame, sizes: DataFrame, a_col: str, b_col: str
+def pair_common_counts(
+    posting: DataFrame, a_name: str = "doc_a", b_name: str = "doc_b"
 ) -> DataFrame:
-    """Attach per-doc set sizes as (na, nb) to a pair frame keyed by
-    (a_col, b_col).
+    """(a_name, b_name, n_common, na, nb) candidate-pair frame from
+    struct posting lists: each df-capped list emits its ordered pairs
+    map-side, ONE aggregation counts shared shingles per pair, and the
+    set sizes ride the pair structs in-row (first() over a constant —
+    n_sh is functional on the doc id).
 
-    merge (SMJ) hints: pairs and sizes are both corpus-derived, so
-    neither may be broadcast at any scale, and a shuffled-hash build
-    pins execution memory. Measured on the sf1 contract drive (10x
-    bench data, plain 1g driver): the AQE auto-broadcast of these
-    sides was the heap-OOM that killed downstream consumers
-    (graph_dup_triangles inherits this lineage). SMJ spills.
+    This replaced the former join_pair_sizes shape (r10 opt, guide
+    §2.4): attaching sizes used to re-derive a doc_sizes table per
+    consumer and sort-merge-join it TWICE onto the aggregated pairs
+    (broadcast was banned — both sides corpus-derived, the sf1 drive's
+    measured heap-OOM), i.e. two extra shuffles+sorts of the pair
+    frame and two of the sizes per consumer. In-row sizes cost 8
+    bytes/row in the map-side pair stream instead.
     """
-    sa = sizes.select(F.col("doc_id").alias(a_col), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias(b_col), F.col("n_sh").alias("nb"))
-    return pairs.join(sa.hint("merge"), a_col).join(sb.hint("merge"), b_col)
+    return (
+        posting.filter(F.size("docs") >= 2)
+        # zip projected to a real column FIRST: ordered_pair_structs
+        # references its array argument once per element (outer
+        # transform + per-element slice), so an inline zip expression
+        # would be re-evaluated O(len²) times per row.
+        .select(sized_docs().alias("zd"))
+        .select(
+            F.explode(
+                ordered_pair_structs(F.col("zd"), a_name, b_name)
+            ).alias("p")
+        )
+        .groupBy(
+            F.col(f"p.{a_name}.doc_id").alias(a_name),
+            F.col(f"p.{b_name}.doc_id").alias(b_name),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(f"p.{a_name}.n_sh").alias("na"),
+            F.first(f"p.{b_name}.n_sh").alias("nb"),
+        )
+    )
 
 
 # Engine-exact measures over the (n_common, na, nb) columns that
-# join_pair_sizes produces. Functions, not module constants: Column
+# pair_common_counts produces. Functions, not module constants: Column
 # construction needs an active SparkContext, which import time lacks.
 def jaccard_expr():
     return F.col("n_common").cast("double") / (
@@ -389,17 +442,11 @@ JACCARD_THRESHOLD = 0.05
     tags=("dedup", "llm", "neardup"),
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    posting = posting_lists(spark, sf_dir)
-    # docs is sorted ascending, so ordered_pair_structs yields each
-    # unordered pair exactly once with doc_a < doc_b by construction.
-    pairs = (
-        posting.filter(F.size("docs") >= 2)
-        .select(F.explode(ordered_pair_structs(F.col("docs"))).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # docs is sorted ascending by doc_id, so ordered_pair_structs
+    # yields each unordered pair exactly once with doc_a < doc_b by
+    # construction; sizes ride the structs (see pair_common_counts).
     return (
-        join_pair_sizes(pairs, doc_sizes(posting), "doc_a", "doc_b")
+        pair_common_counts(posting_lists(spark, sf_dir))
         .filter(jaccard_expr() >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", jaccard_expr().alias("jaccard"))
     )
@@ -437,19 +484,12 @@ CONTAINMENT_THRESHOLD = 0.8
         "10k-token doc has tiny Jaccard but containment 1.0). Shares "
         "the posting-list candidate machinery with dedup_jaccard_pairs: "
         "pairs emit map-side from df-capped lists, one aggregation, "
-        "two AQE-planned size joins.",
+        "sizes in-row off the posting structs (no size joins).",
     tags=("dedup", "llm", "neardup"),
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    posting = posting_lists(spark, sf_dir)
-    pairs = (
-        posting.filter(F.size("docs") >= 2)
-        .select(F.explode(ordered_pair_structs(F.col("docs"))).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     return (
-        join_pair_sizes(pairs, doc_sizes(posting), "doc_a", "doc_b")
+        pair_common_counts(posting_lists(spark, sf_dir))
         .filter(containment_expr() >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", containment_expr().alias("containment"))
     )
@@ -515,9 +555,10 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Split each sorted posting list in-row; both halves stay sorted,
     # so the new x new ordered_pair_structs yields each batch pair
     # once with new_doc < match_doc, exactly like dedup_jaccard_pairs.
-    lists = posting.select(
-        F.filter("docs", lambda d: d % mod == 0).alias("new_docs"),
-        F.filter("docs", lambda d: d % mod != 0).alias("old_docs"),
+    # Sizes ride the structs in-row (see pair_common_counts).
+    lists = posting.select(sized_docs().alias("zd")).select(
+        F.filter("zd", lambda d: d["doc_id"] % mod == 0).alias("new_docs"),
+        F.filter("zd", lambda d: d["doc_id"] % mod != 0).alias("old_docs"),
     ).filter(F.size("new_docs") >= 1)
     pairs_vs_old = F.flatten(
         F.transform(
@@ -536,14 +577,17 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.concat(pairs_vs_old, pairs_in_batch)).alias("p")
         )
         .groupBy(
-            F.col("p.new_doc").alias("new_doc"),
-            F.col("p.match_doc").alias("match_doc"),
+            F.col("p.new_doc.doc_id").alias("new_doc"),
+            F.col("p.match_doc.doc_id").alias("match_doc"),
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("p.new_doc.n_sh").alias("na"),
+            F.first("p.match_doc.n_sh").alias("nb"),
+        )
     )
     return (
-        join_pair_sizes(pairs, doc_sizes(posting), "new_doc", "match_doc")
-        .filter(jaccard_expr() >= JACCARD_THRESHOLD)
+        pairs.filter(jaccard_expr() >= JACCARD_THRESHOLD)
         .select(
             "new_doc",
             "match_doc",
@@ -681,6 +725,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
         % MERSENNE_P
     ).alias("hp")
+    # n_sh comes along for free in the same per-doc aggregate (count
+    # of the doc's posting rows == its surviving shingle-set size):
+    # dedup_minhash_error reads (na, nb) off its existing signature
+    # joins instead of joining a separate doc_sizes table twice. The
+    # posting sizes array is column-pruned out of this scan.
     return (
         posting.select(hp, F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
@@ -688,7 +737,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[
                 F.min((F.lit(a) * F.col("hp") + F.lit(b)) % MERSENNE_P).alias(f"s{i}")
                 for i, (a, b) in enumerate(zip(HASH_A, HASH_B))
-            ]
+            ],
+            F.count(F.lit(1)).alias("n_sh"),
         )
     )
 
@@ -1034,36 +1084,32 @@ def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidates(spark, sf_dir)
     sig = cached_signatures(spark, sf_dir)
     posting = posting_lists(spark, sf_dir)
-    sizes = (
-        posting.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size(F.col("docs")) - i - 1),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    # n_common per candidate pair: sizes are NOT taken from the pair
+    # structs here (a candidate pair may share zero shingles and then
+    # has no row in `common` at all — the LEFT JOIN + coalesce(0)
+    # case); instead na/nb ride the signature table's n_sh column,
+    # which the sa/sb joins below carry anyway (r10 opt: the former
+    # shape derived a separate doc_sizes table and sort-merge-joined
+    # it twice more).
     common = (
         posting.filter(F.size("docs") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .select(F.explode(ordered_pair_structs(F.col("docs"))).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("na"),
         *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_HASHES)],
     )
     sb = sig.select(
         F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
         *[F.col(f"s{i}").alias(f"b{i}") for i in range(N_HASHES)],
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(N_HASHES)
@@ -1086,8 +1132,6 @@ def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa.hint("merge"), "doc_a")
         .join(sb.hint("merge"), "doc_b")
-        .join(za.hint("merge"), "doc_a")
-        .join(zb.hint("merge"), "doc_b")
         .join(common.hint("merge"), ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
