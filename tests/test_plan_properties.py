@@ -273,10 +273,12 @@ def test_corpus_pair_joins_pinned_to_sort_merge(spark):
     the merge hints that fix it must not silently fall off the plans.
     SMJ on those joins is the spill-safe shape at every scale."""
     for name, min_smj in [
-        ("dedup_jaccard_pairs", 2),     # pairs ⋈ sizes(a) ⋈ sizes(b)
-        ("dedup_containment_pairs", 2),
-        ("dedup_incremental_batch", 2),  # pairs ⋈ sizes(new) ⋈ sizes(match)
-        ("dedup_minhash_error", 5),     # cand ⋈ sig(a/b) ⋈ sizes(a/b) ⋈ common
+        # r10: jaccard/containment/incremental size joins are GONE —
+        # per-doc set sizes ride the posting lists and pairs aggregate
+        # (n_common, na, nb) map-side (commit 4bd937d); the join-free
+        # invariant for them is pinned by
+        # test_pair_consumers_are_join_free below.
+        ("dedup_minhash_error", 3),     # cand ⋈ sig(a) ⋈ sig(b) + common
         # wedge_counts ⋈ closing edges; the degree-orientation SMJs
         # execute behind the localCheckpoint lineage cut and don't
         # appear in the final plan.
@@ -289,3 +291,28 @@ def test_corpus_pair_joins_pinned_to_sort_merge(spark):
             f"{name}: expected >= {min_smj} SortMergeJoin, plan:\n"
             + plan[:2000]
         )
+
+
+def test_pair_consumers_are_join_free(spark):
+    """r10 invariant, STRONGER than the SMJ pinning it replaces: the
+    posting-list pair consumers emit (doc_a, doc_b, na, nb) map-side
+    from the zipped (docs, sizes) arrays and aggregate directly — no
+    size-attachment joins remain, so no join strategy can regress
+    (commit 4bd937d; before/after receipts in plans/r10/)."""
+    for name in (
+        "dedup_jaccard_pairs",
+        "dedup_containment_pairs",
+        "dedup_incremental_batch",
+    ):
+        plan = plan_of(spark, name)
+        for op in (
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        ):
+            assert op not in plan, (
+                f"{name}: expected a join-free plan, found {op}:\n"
+                + plan[:2000]
+            )
