@@ -811,11 +811,41 @@ _PHASH_CLUSTERS_ORACLE = """
     tags=("multimodal", "llm", "dedup", "graph"),
 )
 def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
 
     from etl_spark.operators.graph import connected_components
+    from etl_spark.operators.media import perceptual_hash
 
-    pairs = mm_phash_neardup(spark, sf_dir)
+    # ONE corpus scan + ONE md5-keyed exchange serve all three
+    # consumers (r10 opt, guide §2.4 "remove shuffles outright" /
+    # §1.2 fewer passes): the former shape ran mm_phash_neardup's
+    # rep-collapse groupBy AND a separate full-row md5 window for the
+    # qualifying/canon frame — two corpus scans, two md5-keyed
+    # shuffles of the text payload. The groupBy form is also the
+    # cheaper exchange: partial aggregation collapses exact-dup copies
+    # map-side, so one row per distinct payload per map partition
+    # crosses the wire, where the window shipped every copy.
+    # DISK_ONLY checkpoint: three consumers (reps, exact edges,
+    # vertices) would otherwise re-run the scan+aggregate each, and
+    # data-sized heap blocks competing with CC's sorts is the measured
+    # sf1 OOM (operators/graph.py).
+    groups = (
+        load(spark, sf_dir, "documents")
+        .where(_ASCII_DOCS)
+        .where(F.length("text") >= 60)
+        .groupBy(F.md5("text").alias("payload_md5"))
+        .agg(
+            F.min("doc_id").alias("canon"),
+            F.min("text").alias("text"),
+            F.collect_list("doc_id").alias("members"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    reps = groups.select(
+        F.col("canon").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    pairs = _phash_band_pairs(perceptual_hash(reps, noisy_variant=True))
 
     def _base(col: str):
         c = F.col(col)
@@ -828,21 +858,12 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    qualifying = (
-        load(spark, sf_dir, "documents")
-        .where(_ASCII_DOCS)
-        .where(F.length("text") >= 60)
-        .select(
-            "doc_id",
-            F.min("doc_id")
-            .over(Window.partitionBy(F.md5("text")))
-            .alias("canon"),
-        )
+    exact_edges = (
+        groups.select(F.col("canon"), F.explode("members").alias("src"))
+        .filter(F.col("src") != F.col("canon"))
+        .select("src", F.col("canon").alias("dst"))
     )
-    exact_edges = qualifying.filter(F.col("doc_id") != F.col("canon")).select(
-        F.col("doc_id").alias("src"), F.col("canon").alias("dst")
-    )
-    vertices = qualifying.select(F.col("doc_id").alias("id"))
+    vertices = groups.select(F.explode("members").alias("id"))
     return connected_components(
         vertices, rep_edges.unionByName(exact_edges)
     ).select(
