@@ -29,12 +29,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_spark.io import load
+from etl_spark.io import adaptive_partitions, load
 from etl_spark.operators.caching import session_cached
 from etl_spark.plans.registry import register
 
 QUANT = 1000
 DIM = 64
+
+
+def _sim_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Size-derived partition count for the embedding scoring kernels
+    (guide §2.2): ceil(corpus rows / 16384), floor 1 — the flat
+    repartition(defaultParallelism) this replaces paid 32 task
+    launches per pass to score a few thousand vectors at the local
+    scales, while a constant tuned local would serialize a real
+    corpus. Same target as plans/ml.py's EMB_ROWS_PER_PARTITION: the
+    kernels are skinny numpy matmuls, so 16k rows ≈ 8 MB and
+    milliseconds per task."""
+    return adaptive_partitions(spark, sf_dir, "embeddings", 16384)
 
 
 def quantize(col) -> Column:
@@ -126,7 +138,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that surfaces such vectors to the pipeline owner.
     emb = (
         load(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(_sim_partitions(spark, sf_dir))
         .select("vec_id", quantize(F.col("embedding")).alias("q"))
         .filter(dot(F.col("q"), F.col("q")) > 0)
     )
@@ -457,7 +469,7 @@ def lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         return (
             load(spark, sf_dir, "embeddings")
-            .repartition(spark.sparkContext.defaultParallelism)
+            .repartition(_sim_partitions(spark, sf_dir))
             .select("vec_id", quantize(F.col("embedding")).alias("q"))
             .withColumn("norm", dot(F.col("q"), F.col("q")))
             # Zero-norm vectors excluded from cosine scoring (see
@@ -576,7 +588,7 @@ def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = corpus_planes(spark, sf_dir)
     emb = (
         load(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(_sim_partitions(spark, sf_dir))
         .select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
     )
     # Deterministic ±1 planes via the shared md5-parity derivation.
@@ -928,7 +940,7 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The repartition exists for the scoring pass's parallelism; the
     # driver collect below reads the un-shuffled source directly.
-    emb = base.repartition(spark.sparkContext.defaultParallelism)
+    emb = base.repartition(_sim_partitions(spark, sf_dir))
     out_schema = "query_id bigint, vec_id bigint, adc_d2 bigint"
     # ONE config-sized driver collect (<= PQ_KS + 4 rows; vec_id
     # pushdown reaches the scan), split driver-side — same discipline
@@ -1109,7 +1121,7 @@ def _jl_oracle_sql() -> str:
 def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         load(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(_sim_partitions(spark, sf_dir))
         .select("vec_id", quantize(F.col("embedding")).alias("q"))
     )
     q_rows = sorted(

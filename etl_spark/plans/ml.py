@@ -72,21 +72,12 @@ MAX_ITERS = 8
 # scale-adaptive form the optimization guide asks for.
 EMB_ROWS_PER_PARTITION = 16384
 
-# applicationId → {sf_dir: embeddings row count}; config-sized driver
-# state (one int per data directory), NOT result caching — it feeds
-# only the partition-count heuristic.
-_EMB_COUNT: dict[tuple[str, str], int] = {}
-
-
 def _emb_partitions(spark: SparkSession, sf_dir: str) -> int:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    n = _EMB_COUNT.get(key)
-    if n is None:
-        n = load(spark, sf_dir, "embeddings").count()
-        while len(_EMB_COUNT) >= 64:
-            _EMB_COUNT.pop(next(iter(_EMB_COUNT)))
-        _EMB_COUNT[key] = n
-    return max(1, -(-n // EMB_ROWS_PER_PARTITION))
+    from etl_spark.io import adaptive_partitions
+
+    return adaptive_partitions(
+        spark, sf_dir, "embeddings", EMB_ROWS_PER_PARTITION
+    )
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
