@@ -169,32 +169,50 @@ def _triad_oracle_sql() -> str:
           "streaming-twin", "pipeline"),
 )
 def pipeline_ingest_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Lazy imports: the streaming modules import plan helpers at load
-    # time, so module-level imports here would be circular.
-    from etl_spark.plans.ml_train import _train
-    from etl_spark.plans.multimodal import _ASCII_DOCS
-    from etl_spark.streaming.incremental_dedup import history_index
-    from etl_spark.streaming.ingest_triad import TRIAD_MOD, ingest_triad
-    from etl_spark.streaming.phash_gate import history_phash_index
+    return _triad_verdicts(spark, sf_dir).orderBy("doc_id")
 
-    arriving = (
-        load(spark, sf_dir, "documents")
-        .where(_ASCII_DOCS)
-        .where(F.length("text") >= 60)
-        .filter(F.col("doc_id") % TRIAD_MOD == 0)
-        .select(
-            "doc_id",
-            F.lit(None).cast("timestamp").alias("ingest_ts"),
-            "text",
+
+def _triad_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached per-doc triad verdict table. Two registered
+    queries consume the identical composed-gate plan — the per-doc
+    triad and its funnel roll-up — and each execution pays the
+    containment shingle pass, the phash banding, and the trained-gate
+    scoring end to end; one cached verdict frame (one skinny row per
+    arriving doc) serves both (r10 opt, guide §2.4/§5 — the same
+    shared-subtree pattern as cached_signatures). A bench
+    clearCache() evicts it, so every timed rep still builds from
+    parquet."""
+    from etl_spark.operators.caching import session_cached
+
+    def build() -> DataFrame:
+        # Lazy imports: the streaming modules import plan helpers at
+        # load time, so module-level imports here would be circular.
+        from etl_spark.plans.ml_train import _train
+        from etl_spark.plans.multimodal import _ASCII_DOCS
+        from etl_spark.streaming.incremental_dedup import history_index
+        from etl_spark.streaming.ingest_triad import TRIAD_MOD, ingest_triad
+        from etl_spark.streaming.phash_gate import history_phash_index
+
+        arriving = (
+            load(spark, sf_dir, "documents")
+            .where(_ASCII_DOCS)
+            .where(F.length("text") >= 60)
+            .filter(F.col("doc_id") % TRIAD_MOD == 0)
+            .select(
+                "doc_id",
+                F.lit(None).cast("timestamp").alias("ingest_ts"),
+                "text",
+            )
         )
-    )
-    hist, _feats, _n = _train(spark, sf_dir)
-    return ingest_triad(
-        arriving,
-        history_index(spark, sf_dir, TRIAD_MOD),
-        history_phash_index(spark, sf_dir),
-        hist[-1],
-    ).orderBy("doc_id")
+        hist, _feats, _n = _train(spark, sf_dir)
+        return ingest_triad(
+            arriving,
+            history_index(spark, sf_dir, TRIAD_MOD),
+            history_phash_index(spark, sf_dir),
+            hist[-1],
+        )
+
+    return session_cached("ingest_triad_verdicts", spark, sf_dir, build)
 
 
 def _funnel_oracle_sql() -> str:
@@ -232,4 +250,6 @@ def _funnel_oracle_sql() -> str:
 def pipeline_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_spark.streaming.ingest_triad import funnel_summary
 
-    return funnel_summary(pipeline_ingest_triad(spark, sf_dir))
+    # Roll up the cached verdict frame directly (no orderBy below an
+    # aggregate; the sort is the per-doc query's output contract).
+    return funnel_summary(_triad_verdicts(spark, sf_dir))
