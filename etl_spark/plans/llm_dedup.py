@@ -178,7 +178,7 @@ def rep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_explode(docs: DataFrame) -> DataFrame:
+def shingle_explode(docs: DataFrame, spread: bool = True) -> DataFrame:
     """Unfiltered (doc_id, shingle) rows from a (doc_id, text) frame,
     one per distinct shingle per doc.
 
@@ -186,17 +186,25 @@ def shingle_explode(docs: DataFrame) -> DataFrame:
     shingle transform: slice(split(text), ...) inside the lambda would
     re-split the text once per shingle — O(n²) per document in the
     hottest loop of the dedup family.
+
+    ``spread``: the testdata ships one parquet file → one input
+    partition, which would serialize the (CPU-heavy) shingle explode
+    on a single core; spreading docs across the cluster first is the
+    right shape at any scale (a real corpus has many files, but
+    core-aligned partitions before a row-multiplying transform still
+    hold). Callers whose input is ALREADY exchange-distributed (the
+    rep-collapse groupBy) pass ``spread=False`` — the explicit
+    repartition there was a second full-text exchange doing nothing
+    (r10 opt, guide §2.4 "check explain() for Exchange nodes you did
+    not expect").
     """
     sh = shingle_array(F.col("toks"))
-    # repartition: the testdata ships one parquet file → one input
-    # partition, which would serialize the (CPU-heavy) shingle explode
-    # on a single core; spreading docs across the cluster first is the
-    # right shape at any scale (a real corpus has many files, but
-    # core-aligned partitions before a row-multiplying transform still
-    # hold).
+    if spread:
+        docs = docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        )
     return (
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .select("doc_id", F.explode(sh).alias("shingle"))
     )
 
@@ -204,8 +212,13 @@ def shingle_explode(docs: DataFrame) -> DataFrame:
 def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unfiltered (rep_id, shingle) rows over exact-dup
     REPRESENTATIVES — the input every downstream dedup structure
-    (posting lists, signatures, pair joins) builds from."""
-    return shingle_explode(rep_docs(spark, sf_dir))
+    (posting lists, signatures, pair joins) builds from.
+
+    spread=False: rep_docs ends in a groupBy(md5(text)) whose shuffle
+    already hash-distributes the representatives across the cluster;
+    re-repartitioning would shuffle every text a second time for the
+    same layout quality."""
+    return shingle_explode(rep_docs(spark, sf_dir), spread=False)
 
 
 def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:

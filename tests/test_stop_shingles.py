@@ -95,10 +95,11 @@ def test_stop_filter_is_one_pass_no_join(spark):
 def test_posting_build_reuses_window_partitioning(spark, tmp_path):
     # The posting build (stop filter + collect_list groupBy) must
     # reuse the stop filter's shingle hash partitioning: exactly
-    # THREE exchanges end-to-end — the rep_docs md5 collapse, the
-    # parallelism repartition of the docs, and ONE shingle shuffle
+    # TWO exchanges end-to-end — the rep_docs md5 collapse (whose
+    # shuffle already distributes the representatives, so no separate
+    # parallelism repartition exists; r10 opt) and ONE shingle shuffle
     # shared by the window stop filter and the collect_list aggregate
-    # (a fourth exchange means the reuse broke).
+    # (a third exchange means the reuse or the spread=False broke).
     docs = [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)]
     sf_dir = str(tmp_path)
     spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(
@@ -111,7 +112,7 @@ def test_posting_build_reuses_window_partitioning(spark, tmp_path):
     )
     plan = build._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(shingle") == 1, plan
-    assert plan.count("Exchange") == 3, plan
+    assert plan.count("Exchange") == 2, plan
 
 
 def test_incremental_batch_equals_restricted_full_pairs(spark):
