@@ -498,27 +498,66 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= LANGID_TOP_TRIGRAMS)
         .select(F.col("lang").alias("candidate_lang"), "tri")
     )
-    # count_distinct(tri) = the oracle's DISTINCT doc_tri then COUNT:
-    # a doc's score is the number of DISTINCT profile trigrams it
-    # contains, counted here without materializing the distinct set.
-    scored = (
-        tri_all.join(F.broadcast(profile), "tri")
-        .groupBy(
-            "doc_id", F.col("lang").alias("actual_lang"), "candidate_lang"
+    # Scoring is PURE MAP WORK (r10 opt, guide §2.4 "remove shuffles
+    # outright"): the learned profile is config-sized (langs ×
+    # LANGID_TOP_TRIGRAMS strings), so collect it once and score each
+    # document in-row — score(lang) = |array_intersect(distinct doc
+    # trigrams, profile_lang)| — with the argmax + lowest-lang
+    # tiebreak folded as a coalesce over the lang-ascending column
+    # list. This removes the former second explode evaluation, the
+    # (doc, lang) distinct-count exchange, AND the per-doc rank window
+    # (three shuffles → zero); the driver sees only the profile (the
+    # kmeans-centroid contract). Semantics are unchanged:
+    # array_intersect counts DISTINCT matched trigrams exactly like
+    # count_distinct over the join, docs matching no profile trigram
+    # produce no row (the former inner join), and the first max in
+    # ascending lang order IS the (score DESC, candidate_lang ASC)
+    # rank-1 row.
+    prof_rows = profile.collect()
+    by_lang: dict[str, list[str]] = {}
+    for r in prof_rows:
+        by_lang.setdefault(r["candidate_lang"], []).append(r["tri"])
+    langs = sorted(by_lang)
+    if not langs:  # no labeled docs -> no profile -> no predictions
+        return spark.createDataFrame(
+            [],
+            schema="doc_id bigint, actual_lang string, "
+                   "predicted_lang string, score bigint",
         )
-        .agg(F.count_distinct("tri").alias("score"))
+    dtris = F.array_distinct(tri)
+    scores = [
+        F.size(
+            F.array_intersect(
+                F.col("dtris"), F.lit(by_lang[lang]).cast("array<string>")
+            )
+        ).cast("bigint")
+        for lang in langs
+    ]
+    with_scores = docs.select(
+        "doc_id", F.col("lang").alias("actual_lang"), dtris.alias("dtris")
+    ).select(
+        "doc_id",
+        "actual_lang",
+        *[s.alias(f"__s_{j}") for j, s in enumerate(scores)],
     )
-    w_best = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("candidate_lang").asc()
+    score_cols = [F.col(f"__s_{j}") for j in range(len(langs))]
+    best = (
+        F.greatest(*score_cols) if len(score_cols) > 1 else score_cols[0]
+    )
+    predicted = F.coalesce(
+        *[
+            F.when(score_cols[j] == F.col("__best"), F.lit(langs[j]))
+            for j in range(len(langs))
+        ]
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w_best))
-        .filter(F.col("rn") == 1)
+        with_scores.withColumn("__best", best)
+        .filter(F.col("__best") >= 1)
         .select(
             "doc_id",
             "actual_lang",
-            F.col("candidate_lang").alias("predicted_lang"),
-            "score",
+            predicted.alias("predicted_lang"),
+            F.col("__best").alias("score"),
         )
     )
 

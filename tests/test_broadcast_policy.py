@@ -79,8 +79,8 @@ ALLOWED: dict[tuple[str, str, str], str] = {
         "IVF per-cell chunk counts: one row per coarse-quantizer cell "
         "(nlist-sized — 10 here, a few thousand in a real index), "
         "config-bounded regardless of corpus size",
-    ("plans/llm_text.py", "text_langid_ngram", "profile"):
-        "language trigram profiles: config table, ~langs x top-k rows",
+    # text_langid_ngram's profile broadcast was removed in r10: the
+    # config-sized profile is collected and scoring is in-row literals.
     ("plans/ml.py", "sim_ivfpq_rerank", "qvec"):
         "query vectors: PQ_QUERY_HI - PQ_QUERY_LO rows, config-sized "
         "regardless of corpus (the same set every PQ query collects)",
