@@ -1646,8 +1646,14 @@ _QUAL_SQL = (
     "sample_domain_reweight_step",
     oracle=f"""
     WITH per AS (
+      -- qual = exact DECIMAL sum of the per-doc ratios, ONE double
+      -- division at the end: a float AVG is summation-order-dependent
+      -- and the 10x contract drive (64 shuffle partitions) measured it
+      -- crossing the round-to-9 boundary; the decimal sum is
+      -- order-free and bit-identical across engines.
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             AVG({_QUAL_SQL}) AS qual
+             CAST(SUM(CAST({_QUAL_SQL} AS DECIMAL(27,18))) AS DOUBLE)
+               / COUNT(*) AS qual
       FROM documents WHERE text IS NOT NULL
       GROUP BY lang
     ),
@@ -1695,8 +1701,15 @@ def sample_domain_reweight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split("text", " ")
     qual = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    # Exact decimal sum + one double division (mirrors the oracle): a
+    # float AVG re-orders with the partitioning — the sf1 drive caught
+    # a round-to-9 flip — while the decimal sum is order-free.
     per = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg(qual).alias("qual")
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(qual.cast("decimal(27,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("qual"),
     )
     tot = per.agg(
         F.sum("n_docs").alias("n_total"),
