@@ -458,9 +458,13 @@ LANGID_TOP_TRIGRAMS = 20
     tags=("text", "llm", "langid"),
 )
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents")
+    # The profile pass keeps a spread repartition: at local SFs the
+    # documents table is ONE input split, and the trigram explode is
+    # the pass's only real work — unspread it runs single-threaded
+    # (measured 2.0 s vs 0.9 s at sf0.1/32c). The scoring pass below
+    # deliberately does NOT inherit it.
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
     # Guard: F.sequence(1, len-2) DESCENDS when len(text) < 3 ([1,0,-1]),
     # emitting bogus trigrams where the oracle's generate_series is empty.
     tri = F.when(
@@ -470,7 +474,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.col("text").substr(i, F.lit(3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    tri_all = docs.select(
+    tri_all = spread.select(
         "doc_id", F.col("lang"), F.explode(tri).alias("tri")
     )
     # Two passes over the raw explode, neither doc-keyed (r10 opt,
@@ -498,21 +502,22 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= LANGID_TOP_TRIGRAMS)
         .select(F.col("lang").alias("candidate_lang"), "tri")
     )
-    # Scoring is PURE MAP WORK (r10 opt, guide §2.4 "remove shuffles
-    # outright"): the learned profile is config-sized (langs ×
-    # LANGID_TOP_TRIGRAMS strings), so collect it once and score each
-    # document in-row — score(lang) = |array_intersect(distinct doc
-    # trigrams, profile_lang)| — with the argmax + lowest-lang
-    # tiebreak folded as a coalesce over the lang-ascending column
-    # list. This removes the former second explode evaluation, the
-    # (doc, lang) distinct-count exchange, AND the per-doc rank window
-    # (three shuffles → zero); the driver sees only the profile (the
-    # kmeans-centroid contract). Semantics are unchanged:
-    # array_intersect counts DISTINCT matched trigrams exactly like
-    # count_distinct over the join, docs matching no profile trigram
-    # produce no row (the former inner join), and the first max in
-    # ascending lang order IS the (score DESC, candidate_lang ASC)
-    # rank-1 row.
+    # Scoring is PURE MAP WORK over the RAW SCAN — zero exchanges, zero
+    # tokenization (r11 opt, guide §2.4 / §1.2). The learned profile is
+    # config-sized (langs × LANGID_TOP_TRIGRAMS strings): collect it
+    # once and score each document in-row. A profile trigram t is
+    # matched by a document iff contains(text, t) — every 3-char
+    # substring of text IS one of the oracle's trigrams (and UTF-8 is
+    # self-synchronizing, so byte containment ⟺ character-substring) —
+    # so score(lang) = size(filter(profile_lang, t -> contains(text,
+    # t))) counts DISTINCT matched trigrams exactly like the oracle's
+    # count(*) over the doc_tri⋈profile join (profile rows are distinct
+    # (lang, tri) by construction). This replaces the r10 shape that
+    # re-tokenized every document in the scoring projection (and whose
+    # Filter on the derived score was pushed below the repartition,
+    # re-evaluating the tokenize tree single-threaded at the scan —
+    # measured 2.4 s of its 3.5 s at sf0.1). NULL/short texts match
+    # nothing and drop, exactly as the former inner join dropped them.
     prof_rows = profile.collect()
     by_lang: dict[str, list[str]] = {}
     for r in prof_rows:
@@ -524,20 +529,18 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="doc_id bigint, actual_lang string, "
                    "predicted_lang string, score bigint",
         )
-    dtris = F.array_distinct(tri)
     scores = [
         F.size(
-            F.array_intersect(
-                F.col("dtris"), F.lit(by_lang[lang]).cast("array<string>")
+            F.filter(
+                F.lit(by_lang[lang]).cast("array<string>"),
+                lambda t: F.col("text").contains(t),
             )
         ).cast("bigint")
         for lang in langs
     ]
     with_scores = docs.select(
-        "doc_id", F.col("lang").alias("actual_lang"), dtris.alias("dtris")
-    ).select(
         "doc_id",
-        "actual_lang",
+        F.col("lang").alias("actual_lang"),
         *[s.alias(f"__s_{j}") for j, s in enumerate(scores)],
     )
     score_cols = [F.col(f"__s_{j}") for j in range(len(langs))]
@@ -546,19 +549,37 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     predicted = F.coalesce(
         *[
-            F.when(score_cols[j] == F.col("__best"), F.lit(langs[j]))
+            F.when(score_cols[j] == best, F.lit(langs[j]))
             for j in range(len(langs))
         ]
     )
-    return (
-        with_scores.withColumn("__best", best)
-        .filter(F.col("__best") >= 1)
-        .select(
-            "doc_id",
-            "actual_lang",
-            predicted.alias("predicted_lang"),
-            F.col("__best").alias("score"),
+    # The no-match drop ("best >= 1") must NOT be a Filter on the
+    # derived score: PushPredicateThroughNonJoin substitutes the score
+    # aliases into the predicate and pushes the whole score tree into a
+    # scan-level Filter that re-evaluates it per row in addition to the
+    # projection above. Emitting the hit through explode() of a
+    # conditional array keeps the exact inner-join drop semantics while
+    # the Generate evaluates the scores once per row and stays put.
+    # Receipt: plans/r11 — no Filter in the scoring subtree.
+    hit = F.when(
+        best >= 1,
+        F.array(
+            F.struct(
+                predicted.alias("predicted_lang"), best.alias("score")
+            )
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<predicted_lang:string,score:bigint>>"
         )
+    )
+    return with_scores.select(
+        "doc_id", "actual_lang", F.explode(hit).alias("__h")
+    ).select(
+        "doc_id",
+        "actual_lang",
+        F.col("__h.predicted_lang").alias("predicted_lang"),
+        F.col("__h.score").alias("score"),
     )
 
 

@@ -1,4 +1,5 @@
-"""Dump .explain("formatted") for a list of queries to plans/r10/.
+"""Dump .explain("formatted") for a list of queries to plans/<round>/
+($PLAN_DUMP_ROUND, default r11).
 
 Usage: python tools/plan_dump.py before|after [query ...]
 Defaults to the headline bench set plus the full-sweep heavy hitters.
@@ -16,7 +17,7 @@ from etl_spark.session import get_spark, tune_session  # noqa: E402
 
 SF = "/root/testdata/sf0.1"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r10")
+                   "plans", os.environ.get("PLAN_DUMP_ROUND", "r11"))
 
 # Headline set + the slowest full-sweep queries (r9 BENCH_FULL minimums).
 DEFAULT = [
