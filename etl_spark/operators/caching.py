@@ -160,6 +160,30 @@ def evict(name: str | None = None) -> None:
         cache.clear()
 
 
+def evict_session_memos() -> None:
+    """Clear the driver-side Python memos that survive
+    ``spark.catalog.clearCache()`` — trained-model/centroid/vtable
+    state keyed per session (r11, verdict item: min-of-N bench reps of
+    the IVF/logreg/BPE/lakehouse families otherwise time rep 1 with
+    training and reps 2+ without it, so per-query warm numbers
+    silently exclude training). Bench harnesses call this wherever
+    they call ``clearCache()``; cross-QUERY sharing within one rep —
+    the legitimate optimization — is untouched because the memo
+    repopulates on first use inside the rep.
+
+    Lazy imports: plans modules import this module at import time.
+    ``io._ROW_COUNTS`` (one int per table: the partition-count
+    heuristic) is deliberately NOT cleared — it is sizing metadata,
+    not a computed result."""
+    from etl_spark.plans import bpe, lakehouse, ml, ml_train
+
+    ml._TRAINED_CENTS.clear()
+    ml_train._TRAIN_CACHE.clear()
+    bpe._LEARN_CACHE.clear()
+    lakehouse._VTABLE_CACHE.clear()
+    lakehouse._DVTABLE_CACHE.clear()
+
+
 def live_caches() -> dict[str, int]:
     """Cache name -> number of still-held entries (test hook).
     Persisted caches count entries that still hold storage memory;

@@ -1650,7 +1650,11 @@ _QUAL_SQL = (
       -- division at the end: a float AVG is summation-order-dependent
       -- and the 10x contract drive (64 shuffle partitions) measured it
       -- crossing the round-to-9 boundary; the decimal sum is
-      -- order-free and bit-identical across engines.
+      -- order-free and deterministic per engine. (Not bit-identical
+      -- ACROSS engines: Spark and DuckDB round double->decimal
+      -- differently — shortest-repr vs binary expansion — leaving a
+      -- sub-ulp residual after the final division; a corpus landing
+      -- within ~1 ulp of the round-to-9 boundary could still flip.)
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(CAST({_QUAL_SQL} AS DECIMAL(27,18))) AS DOUBLE)
                / COUNT(*) AS qual

@@ -112,28 +112,48 @@ STOP_SHINGLE_MAX_DF = 64
 def drop_stop_shingles(sh: DataFrame, max_df: int = STOP_SHINGLE_MAX_DF) -> DataFrame:
     """Remove shingles whose document frequency exceeds ``max_df``.
 
-    One pass, one exchange (r10 opt, guide §2.4 "remove shuffles
-    outright"): a shingle-partitioned window count replaces the former
-    hot-list aggregate + broadcast anti-join, which evaluated the
-    ENTIRE upstream index twice — and the index builder's upstream
-    includes a repartition of the document texts, so the heavy rows
-    crossed an exchange once per evaluation. Measured at sf0.1: the
-    posting build this feeds dropped 2.22s → 1.13s, and its plan from
-    14 Exchange mentions to 6. Skew stays handled: WindowExec streams
-    each key group through a spillable buffer (a 100 TB boilerplate
-    shingle spills, never OOMs) and the filter drops hot groups BEFORE
-    any downstream collect_list sees them; consumers that group by
-    shingle next reuse this window's hash partitioning, paying no
-    second exchange. (No NULL shingles exist — shingle_array emits
-    non-null strings — so the NULL-key semantics of window-vs-anti-join
-    never diverge.)
+    One evaluation of the index, no giant-key task (r11 opt, guide
+    §2.5 hot keys + §5 localCheckpoint). The r10 shape computed df
+    with a shingle-partitioned window — single-pass, but it put EVERY
+    occurrence of a 100 TB boilerplate shingle into ONE task's
+    (spillable) window buffer before the filter dropped them: a
+    straggler by construction. The r9 shape (hot-list aggregate +
+    broadcast anti-join) was skew-free — a count aggregate partial-
+    aggregates map-side, so a hot key costs one row per map task, and
+    the anti-join filters map-side so hot rows never cross an exchange
+    — but it evaluated the whole upstream explode twice (a shared-
+    exchange formulation was tried and rejected: column pruning
+    diverges between the agg and join sides and
+    PushDownLeftSemiAntiJoin pushes the join below the repartition, so
+    the exchange is never actually reused). This shape gets both
+    properties: a lazy DISK_ONLY ``localCheckpoint`` of the exploded
+    rows (the mm_phash_clusters pattern — per-call, released by the
+    ContextCleaner, never cross-run state) materializes the explode
+    ONCE at RDD level; the df aggregate and the broadcast anti-join
+    both read the checkpoint. Net exchanges on index-sized rows DROP
+    by one vs the window shape (the checkpoint write replaces the
+    shingle exchange+sort, and the window's output still had to be
+    re-exchanged doc-keyed downstream anyway). Measured at sf0.1
+    (interleaved min-of-3, posting-build noop): window 1.54 s vs
+    1.85 s here — the +0.3 s is the checkpoint materialization this
+    scale doesn't amortize; at 100 TB the same bytes were being
+    written to shuffle disk by the window exchange while one task
+    single-threaded the hottest key.
+
+    (No NULL shingles exist — shingle_array emits non-null strings —
+    so anti-join-vs-window NULL semantics never diverge; row
+    multiplicity is preserved by the anti-join.)
     """
-    w = Window.partitionBy("shingle")
-    return (
-        sh.withColumn("_df", F.count(F.lit(1)).over(w))
-        .filter(F.col("_df") <= max_df)
-        .select(sh.columns)
+    from pyspark.storagelevel import StorageLevel
+
+    ck = sh.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    hot = (
+        ck.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("shingle")
     )
+    return ck.join(F.broadcast(hot), "shingle", "left_anti").select(sh.columns)
 
 
 def shingle_array(toks):
@@ -178,7 +198,7 @@ def rep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_explode(docs: DataFrame, spread: bool = True) -> DataFrame:
+def shingle_explode(docs: DataFrame, spread: bool = False) -> DataFrame:
     """Unfiltered (doc_id, shingle) rows from a (doc_id, text) frame,
     one per distinct shingle per doc.
 
@@ -187,16 +207,16 @@ def shingle_explode(docs: DataFrame, spread: bool = True) -> DataFrame:
     re-split the text once per shingle — O(n²) per document in the
     hottest loop of the dedup family.
 
-    ``spread``: the testdata ships one parquet file → one input
-    partition, which would serialize the (CPU-heavy) shingle explode
-    on a single core; spreading docs across the cluster first is the
-    right shape at any scale (a real corpus has many files, but
-    core-aligned partitions before a row-multiplying transform still
-    hold). Callers whose input is ALREADY exchange-distributed (the
-    rep-collapse groupBy) pass ``spread=False`` — the explicit
-    repartition there was a second full-text exchange doing nothing
-    (r10 opt, guide §2.4 "check explain() for Exchange nodes you did
-    not expect").
+    ``spread=True`` repartitions the docs first: the testdata ships
+    one parquet file → one input partition, which would serialize the
+    (CPU-heavy) shingle explode on a single core. Both live callers
+    are fed by the rep-collapse groupBy whose shuffle ALREADY
+    distributes the rows — an explicit repartition there was a second
+    full-text exchange doing nothing (r10 opt, guide §2.4 "check
+    explain() for Exchange nodes you did not expect") — so the default
+    is False (r11, ADVICE: a True default silently hands a future
+    collapse-fed caller an extra exchange); a caller reading a raw
+    single-split source should opt in explicitly.
     """
     sh = shingle_array(F.col("toks"))
     if spread:
@@ -757,11 +777,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cached_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached signature table — for plans that consume the
-    signatures on BOTH sides of a pair join (dedup_minhash_error, the
-    cross-split leakage audit): with zero exchange reuse across the
-    aliased copies the 16-way min-aggregate would run once per side.
-    The lsh/band chain does NOT use this — it keeps its single pass."""
+    """Session-cached signature table — THE one materialized minhash
+    artifact (r11 opt, guide §5 "cache only what is reused"). Every
+    signature consumer derives from this cache: the pair-side joins
+    (dedup_minhash_error, the cross-split leakage audit) read it on
+    both aliased sides, and the LSH band "table" is now a cheap
+    arithmetic PROJECTION over it (_band_table below) instead of a
+    second session-cached materialization — the lsh family previously
+    persisted BOTH the band rows and (for the error/leakage queries)
+    the signatures, paying two build actions + two storage writes per
+    cold run where one suffices."""
     return session_cached(
         "minhash_signatures",
         spark,
@@ -771,33 +796,27 @@ def cached_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted (doc_id, band_idx, band_hash) LSH index — N_BANDS
-    rows per doc, the structure an LSH index materializes at scale.
+    """(doc_id, band_idx, band_hash) LSH index — N_BANDS rows per doc,
+    derived map-side from the CACHED signature table (posexplode of
+    four integer band hashes per row). Not separately persisted: with
+    the signatures materialized, re-deriving the bands on each side of
+    a self-join costs integer arithmetic over an in-memory scan,
+    while persisting them (the r9–r10 shape) cost a dedicated build
+    action + storage write per cold run and duplicated the signature
+    bytes in storage."""
+    sig = cached_signatures(spark, sf_dir)
 
-    Persist + materialize before the self-join: the executed plan
-    shows NO ReusedExchange for the two join sides, so an
-    unmaterialized band table would run the whole signature pass
-    (corpus scan -> md5 -> 16-way min-agg) TWICE. Tracked in the same
-    session_cached registry as posting_lists so repeated builds reuse
-    ONE persisted entry and a bench clearCache() (which silently
-    unpersists) triggers a rebuild instead of an uncached reuse."""
+    def band_hash(b: int):
+        s = [
+            F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)
+        ]
+        return ((s[0] * 31 + s[1]) * 31 + s[2]) * 31 + s[3]
 
-    def build() -> DataFrame:
-        sig = minhash_signatures(spark, sf_dir)
-
-        def band_hash(b: int):
-            s = [
-                F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)
-            ]
-            return ((s[0] * 31 + s[1]) * 31 + s[2]) * 31 + s[3]
-
-        band_hashes = [band_hash(b) for b in range(N_BANDS)]
-        return sig.select(
-            "doc_id",
-            F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
-        )
-
-    return session_cached("lsh_band_table", spark, sf_dir, build)
+    band_hashes = [band_hash(b) for b in range(N_BANDS)]
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
+    )
 
 
 def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -245,6 +245,20 @@ def test_quantized_partitions_scale_with_corpus(spark):
     want = max(1, math.ceil(n / EMB_ROWS_PER_PARTITION))
     assert _emb_partitions(spark, SF_DIR) == want
     assert _quantized(spark, SF_DIR).rdd.getNumPartitions() == want
-    # The heuristic never collapses a real corpus onto one task: the
-    # count scales linearly once rows exceed the per-task target.
-    assert math.ceil((EMB_ROWS_PER_PARTITION * 50) / EMB_ROWS_PER_PARTITION) == 50
+    # The heuristic never collapses a real corpus onto one task:
+    # exercise adaptive_partitions itself with a seeded large row
+    # count (the memo keyed on (app, dir, table) makes this hermetic).
+    from etl_spark import io as eio
+    from etl_spark.io import adaptive_partitions
+
+    key = (spark.sparkContext.applicationId, "/nonexistent/sf-big", "embeddings")
+    eio._ROW_COUNTS[key] = EMB_ROWS_PER_PARTITION * 50
+    try:
+        assert (
+            adaptive_partitions(
+                spark, "/nonexistent/sf-big", "embeddings", EMB_ROWS_PER_PARTITION
+            )
+            == 50
+        )
+    finally:
+        eio._ROW_COUNTS.pop(key, None)

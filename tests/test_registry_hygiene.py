@@ -156,3 +156,24 @@ def test_session_cache_evict_unknown_name_raises(spark):
     )
     evict()
     evict()  # idempotent on empty caches
+
+
+def test_evict_session_memos_clears_trained_state():
+    # r11 verdict item 4: the driver-side Python memos (trained
+    # models, centroids, vtables) survive spark.catalog.clearCache(),
+    # so bench harnesses must have a hook that evicts them between
+    # reps — otherwise warm reps silently exclude training.
+    from etl_spark.operators.caching import evict_session_memos
+    from etl_spark.plans import bpe, lakehouse, ml, ml_train
+
+    ml._TRAINED_CENTS["probe"] = [[1]]
+    ml_train._TRAIN_CACHE["probe"] = ([(0, 0.0)], 1)
+    bpe._LEARN_CACHE["probe"] = ([], [])
+    lakehouse._VTABLE_CACHE["probe"] = object()
+    lakehouse._DVTABLE_CACHE["probe"] = object()
+    evict_session_memos()
+    assert not ml._TRAINED_CENTS
+    assert not ml_train._TRAIN_CACHE
+    assert not bpe._LEARN_CACHE
+    assert not lakehouse._VTABLE_CACHE
+    assert not lakehouse._DVTABLE_CACHE

@@ -79,27 +79,30 @@ def test_rep_space_shingle_index_matches_raw_sql_at_fixture_scale(spark, duck):
         evict()
 
 
-def test_stop_filter_is_one_pass_no_join(spark):
-    # The df computation must be a shingle-partitioned window over ONE
-    # evaluation of the index — no join of any strategy (the former
-    # hot-list anti-join evaluated the entire upstream twice), and no
-    # more than the window's single exchange.
+def test_stop_filter_is_single_eval_and_hot_key_safe(spark):
+    # r11 shape: the index is localCheckpointed ONCE (single
+    # evaluation at RDD level — both the df aggregate and the filter
+    # read the same checkpoint), df comes from a map-combining count
+    # aggregate (one row per map task per key — no giant-key task),
+    # and hot rows are dropped MAP-SIDE by a broadcast anti-join, so
+    # a 100 TB boilerplate shingle never crosses an exchange and no
+    # window buffers a whole key group (the r10 window shape's
+    # straggler).
     rows = [(i % 7, f"s{i % 13}") for i in range(100)]
     out = dd.drop_stop_shingles(_shingle_index(spark, rows), max_df=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Window" in plan
-    assert "Join" not in plan
-    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
 
 
-def test_posting_build_reuses_window_partitioning(spark, tmp_path):
-    # The posting build (stop filter + collect_list groupBy) must
-    # reuse the stop filter's shingle hash partitioning: exactly
-    # TWO exchanges end-to-end — the rep_docs md5 collapse (whose
-    # shuffle already distributes the representatives, so no separate
-    # parallelism repartition exists; r10 opt) and ONE shingle shuffle
-    # shared by the window stop filter and the collect_list aggregate
-    # (a third exchange means the reuse or the spread=False broke).
+def test_posting_build_single_explode_bounded_exchanges(spark, tmp_path):
+    # r11 shape: the raw explode runs ONCE, below the stop filter's
+    # localCheckpoint — so the build plan above the checkpoint shows
+    # NO Generate (no second explode evaluation; the r9 anti-join
+    # shape's double evaluation must not come back) — and exactly ONE
+    # full-index shingle exchange (the collect_list groupBy; the df
+    # count's exchange carries one row per map task per shingle).
     docs = [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)]
     sf_dir = str(tmp_path)
     spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(
@@ -111,8 +114,9 @@ def test_posting_build_reuses_window_partitioning(spark, tmp_path):
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
     )
     plan = build._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning(shingle") == 1, plan
-    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Generate") == 0, plan
+    assert plan.count("Exchange hashpartitioning(shingle") == 2, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
 def test_incremental_batch_equals_restricted_full_pairs(spark):

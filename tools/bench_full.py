@@ -27,6 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from etl_spark.io import SMOKE_SF_DIR, default_sf_dir
+from etl_spark.operators.caching import evict_session_memos
 from etl_spark.plans import REGISTRY
 from etl_spark.session import get_spark, tune_session
 
@@ -60,6 +61,13 @@ def main() -> None:
             # index build — which is also what round-over-round
             # comparisons want. clearCache between QUERIES would
             # instead couple each query's time to registry order.
+            # Driver-side Python memos (trained models, centroids,
+            # vtables) are the exception (r11, verdict item 4): they
+            # survive even an external clearCache, so without eviction
+            # a warm rep silently excludes training from the quoted
+            # per-query time. Evict them before EVERY rep — each rep
+            # then pays its query's own training, honestly.
+            evict_session_memos()
             t0 = time.perf_counter()
             try:
                 rows = REGISTRY[name].builder(spark, sf_dir).count()
