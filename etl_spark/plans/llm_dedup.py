@@ -109,51 +109,72 @@ NGRAM = 3
 STOP_SHINGLE_MAX_DF = 64
 
 
-def drop_stop_shingles(sh: DataFrame, max_df: int = STOP_SHINGLE_MAX_DF) -> DataFrame:
-    """Remove shingles whose document frequency exceeds ``max_df``.
+def kept_shingle_arrays(
+    per_doc: DataFrame, max_df: int = STOP_SHINGLE_MAX_DF
+) -> DataFrame:
+    """Stop-shingle filter over PER-DOC shingle arrays: (doc_id, arr)
+    → (doc_id, arr) with over-cap shingles removed in-row.
 
-    One evaluation of the index, no giant-key task (r11 opt, guide
-    §2.5 hot keys + §5 localCheckpoint). The r10 shape computed df
-    with a shingle-partitioned window — single-pass, but it put EVERY
-    occurrence of a 100 TB boilerplate shingle into ONE task's
-    (spillable) window buffer before the filter dropped them: a
-    straggler by construction. The r9 shape (hot-list aggregate +
-    broadcast anti-join) was skew-free — a count aggregate partial-
-    aggregates map-side, so a hot key costs one row per map task, and
-    the anti-join filters map-side so hot rows never cross an exchange
-    — but it evaluated the whole upstream explode twice (a shared-
-    exchange formulation was tried and rejected: column pruning
-    diverges between the agg and join sides and
-    PushDownLeftSemiAntiJoin pushes the join below the repartition, so
-    the exchange is never actually reused). This shape gets both
-    properties: a lazy DISK_ONLY ``localCheckpoint`` of the exploded
-    rows (the mm_phash_clusters pattern — per-call, released by the
-    ContextCleaner, never cross-run state) materializes the explode
-    ONCE at RDD level; the df aggregate and the broadcast anti-join
-    both read the checkpoint. Net exchanges on index-sized rows DROP
-    by one vs the window shape (the checkpoint write replaces the
-    shingle exchange+sort, and the window's output still had to be
-    re-exchanged doc-keyed downstream anyway). Measured at sf0.1
-    (interleaved min-of-3, posting-build noop): window 1.54 s vs
-    1.85 s here — the +0.3 s is the checkpoint materialization this
-    scale doesn't amortize; at 100 TB the same bytes were being
-    written to shuffle disk by the window exchange while one task
-    single-threaded the hottest key.
+    History of the shape (r11 opt, guide §2.5 hot keys + §5): the r9
+    stop filter (hot-list aggregate + broadcast anti-join over
+    exploded rows) was skew-free but evaluated the whole explode
+    twice; r10's shingle-partitioned window was single-pass but put
+    EVERY occurrence of a 100 TB boilerplate shingle into ONE task's
+    (spillable) window buffer before dropping it — a straggler by
+    construction — and still needed a doc-keyed window afterwards for
+    ``n_sh``, the surviving-shingle count per doc that pair consumers
+    need. (A shared-exchange anti-join was also tried and rejected:
+    column pruning diverges between the agg and join sides and
+    PushDownLeftSemiAntiJoin pushes the join below the repartition,
+    so the exchange is never actually reused.) Keeping
+    the filter at ARRAY granularity gets all three properties at
+    once: the per-doc arrays are localCheckpointed once (lazy,
+    DISK_ONLY, per-call — the mm_phash pattern, never cross-run
+    state) so tokenization runs exactly once at RDD level; df comes
+    from a map-combining count over one explode of the checkpoint (a
+    hot key costs one row per map task — no giant-key task anywhere);
+    the over-cap list is COLLECTED (config-sized driver state,
+    boilerplate shingles are few at any scale — the same contract as
+    the langid profile and the kmeans centroids) and removed in-row
+    with ``array_except`` against the literal, so hot occurrences
+    never cross an exchange, there is no join node at all, and n_sh
+    is a free ``size(arr)`` in the same projection: ZERO index-sized
+    exchanges between the tokenize and the final posting aggregate.
+    Measured at sf0.1 (interleaved min-of-4, posting-build noop):
+    window shape 1.47 s vs 1.86 s here — the +0.4 s is the checkpoint
+    materialization + the extra hot-list action, which this scale
+    doesn't amortize; at 100 TB the window shape wrote the same bytes
+    to shuffle disk TWICE (shingle window + doc window) while one
+    task single-threaded the hottest key.
 
-    (No NULL shingles exist — shingle_array emits non-null strings —
-    so anti-join-vs-window NULL semantics never diverge; row
-    multiplicity is preserved by the anti-join.)
+    Exact semantics: shingle_array emits per-doc DISTINCT shingles,
+    so df counts docs; array_except(arr, hot) drops exactly the
+    shingles with df > max_df and dedupes nothing new. No NULL
+    shingles exist (shingle_array emits non-null strings), so
+    array_except-vs-window NULL semantics never diverge.
     """
     from pyspark.storagelevel import StorageLevel
 
-    ck = sh.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    hot = (
-        ck.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > max_df)
-        .select("shingle")
+    ck = per_doc.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
     )
-    return ck.join(F.broadcast(hot), "shingle", "left_anti").select(sh.columns)
+    hot = [
+        r["shingle"]
+        for r in (
+            ck.select(F.explode("arr").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+            .collect()
+        )
+    ]
+    return ck.select(
+        "doc_id",
+        F.array_except(
+            "arr", F.lit(sorted(hot)).cast("array<string>")
+        ).alias("arr"),
+    )
 
 
 def shingle_array(toks):
@@ -267,27 +288,36 @@ def posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     attached it with TWO sort-merge joins (pairs re-shuffled and
     re-sorted twice, sizes shuffled twice). Measured at sf0.1
     (interleaved min-of-4): dedup_jaccard_pairs from a warm index
-    1.86s → 0.95s; the index build pays one doc-keyed window pass
-    (+0.18s), skew-safe because per-doc groups are bounded by
-    document length.
+    1.86s → 0.95s.
 
     The stop filter runs BEFORE collect_list so a 100 TB hot shingle
     never materializes a giant in-memory list.
     """
 
-    # ONE evaluation of the raw explode end-to-end (r10 opt): the
-    # window-based stop filter computes df and drops hot shingles in
-    # the same shingle-partitioned pass the collect_list aggregate
-    # needs, so the whole build is explode → exchange → window filter
-    # → doc-keyed window (n_sh) → aggregate (the groupBy re-exchanges
-    # on shingle). The former hot-list anti-join shape evaluated the
-    # explode (and its upstream text repartition) twice.
+    # ONE tokenization, ZERO index-sized exchanges before the final
+    # posting aggregate (r11 opt): the stop filter runs at per-doc
+    # ARRAY granularity (kept_shingle_arrays — hot shingles removed
+    # in-row against a broadcast over-cap list, the per-doc arrays
+    # checkpointed once), so n_sh is size(arr) in the same projection.
+    # The r10 shape paid a shingle-partitioned window (every
+    # occurrence of a hot shingle buffered in ONE task — a 100 TB
+    # straggler) plus a doc-keyed window for n_sh — two full
+    # exchanges of the exploded index that are simply gone here.
     def build() -> DataFrame:
-        raw = _raw_shingles(spark, sf_dir)
+        # toks in its OWN projection: split(text) inlined into the
+        # shingle transform's lambda would re-split per shingle —
+        # O(n²) per document (the shingle_explode pitfall).
+        per_doc = (
+            rep_docs(spark, sf_dir)
+            .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+            .select("doc_id", shingle_array(F.col("toks")).alias("arr"))
+        )
+        kept = kept_shingle_arrays(per_doc)
         return (
-            drop_stop_shingles(raw)
-            .withColumn(
-                "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+            kept.select(
+                "doc_id",
+                F.size("arr").cast("bigint").alias("n_sh"),
+                F.explode("arr").alias("shingle"),
             )
             .groupBy("shingle")
             .agg(

@@ -298,14 +298,11 @@ def test_pair_consumers_are_join_free(spark):
     posting-list pair consumers emit (doc_a, doc_b, na, nb) map-side
     from the zipped (docs, sizes) arrays and aggregate directly — no
     size-attachment joins remain, so no join strategy can regress
-    (commit 4bd937d; before/after receipts in plans/r10/).
-
-    One allowed exception (r11): the stop-shingle filter inside the
-    cached posting BUILD drops hot shingles via a broadcast LEFT ANTI
-    join (the skew-safe shape; llm_dedup.drop_stop_shingles), and
-    explain() prints the cached relation's full build plan at every
-    consumer site — so LeftAnti BroadcastHashJoins are permitted;
-    every other join operator stays banned."""
+    (commit 4bd937d; before/after receipts in plans/r10/). The r11
+    stop filter keeps the invariant intact: hot shingles are removed
+    in-row via array_except against a collected literal, so even the
+    posting BUILD lineage printed at cache-consumer sites contains no
+    join operator."""
     for name in (
         "dedup_jaccard_pairs",
         "dedup_containment_pairs",
@@ -314,6 +311,7 @@ def test_pair_consumers_are_join_free(spark):
         plan = plan_of(spark, name)
         for op in (
             "SortMergeJoin",
+            "BroadcastHashJoin",
             "ShuffledHashJoin",
             "BroadcastNestedLoopJoin",
             "CartesianProduct",
@@ -322,10 +320,3 @@ def test_pair_consumers_are_join_free(spark):
                 f"{name}: expected a join-free plan, found {op}:\n"
                 + plan[:2000]
             )
-        n_bhj = plan.count("BroadcastHashJoin")
-        n_anti = plan.count("LeftAnti")
-        assert n_bhj == n_anti, (
-            f"{name}: {n_bhj} BroadcastHashJoin but only {n_anti} are "
-            f"LeftAnti — a non-stop-filter join crept into the pair "
-            f"path:\n" + plan[:2000]
-        )

@@ -11,24 +11,38 @@ import etl_spark.plans.llm_dedup as dd
 from etl_spark.operators.caching import evict
 
 
-def _shingle_index(spark, rows):
-    return spark.createDataFrame(rows, ["doc_id", "shingle"])
+def _per_doc(spark, rows):
+    """rows: (doc_id, [shingles]) — the kept_shingle_arrays input."""
+    return spark.createDataFrame(rows, "doc_id bigint, arr array<string>")
+
+
+def _exploded(out):
+    return {
+        (r.doc_id, s)
+        for r in out.collect()
+        for s in r.arr
+    }
 
 
 def test_hot_shingle_dropped_cold_kept(spark):
     # 1 shingle in 10 docs, 1 shingle in 2 docs, cap of 5.
-    rows = [(i, "the quick fox") for i in range(10)]
-    rows += [(0, "rare trigram one"), (1, "rare trigram one")]
-    out = dd.drop_stop_shingles(_shingle_index(spark, rows), max_df=5)
-    kept = {(r.doc_id, r.shingle) for r in out.collect()}
-    assert kept == {(0, "rare trigram one"), (1, "rare trigram one")}
+    rows = [(i, ["the quick fox"]) for i in range(2, 10)]
+    rows += [
+        (0, ["the quick fox", "rare trigram one"]),
+        (1, ["the quick fox", "rare trigram one"]),
+    ]
+    out = dd.kept_shingle_arrays(_per_doc(spark, rows), max_df=5)
+    assert _exploded(out) == {
+        (0, "rare trigram one"),
+        (1, "rare trigram one"),
+    }
 
 
 def test_cap_boundary_is_exclusive(spark):
     # df == max_df survives; only df > max_df is a stop-shingle.
-    rows = [(i, "at the cap") for i in range(4)]
-    out = dd.drop_stop_shingles(_shingle_index(spark, rows), max_df=4)
-    assert out.count() == 4
+    rows = [(i, ["at the cap"]) for i in range(4)]
+    out = dd.kept_shingle_arrays(_per_doc(spark, rows), max_df=4)
+    assert len(_exploded(out)) == 4
 
 
 def test_hot_shingle_does_not_explode_candidates(spark, tmp_path):
@@ -80,43 +94,51 @@ def test_rep_space_shingle_index_matches_raw_sql_at_fixture_scale(spark, duck):
 
 
 def test_stop_filter_is_single_eval_and_hot_key_safe(spark):
-    # r11 shape: the index is localCheckpointed ONCE (single
-    # evaluation at RDD level — both the df aggregate and the filter
-    # read the same checkpoint), df comes from a map-combining count
-    # aggregate (one row per map task per key — no giant-key task),
-    # and hot rows are dropped MAP-SIDE by a broadcast anti-join, so
-    # a 100 TB boilerplate shingle never crosses an exchange and no
-    # window buffers a whole key group (the r10 window shape's
-    # straggler).
-    rows = [(i % 7, f"s{i % 13}") for i in range(100)]
-    out = dd.drop_stop_shingles(_shingle_index(spark, rows), max_df=5)
+    # r11 shape: the per-doc arrays are localCheckpointed ONCE
+    # (single tokenization at RDD level — the df aggregate and the
+    # output projection read the same checkpoint), df comes from a
+    # map-combining count aggregate (one row per map task per key —
+    # no giant-key task), and hot shingles are removed IN-ROW via
+    # array_except against the collected over-cap literal — so the
+    # output plan has no window buffering a whole key group (the r10
+    # shape's straggler), no join of any strategy, and its leaf is
+    # the checkpoint scan, not a recomputation of the input.
+    rows = [(i % 7, [f"s{i % 13}", f"t{i % 3}"]) for i in range(100)]
+    out = dd.kept_shingle_arrays(_per_doc(spark, rows), max_df=20)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert "array_except" in plan
+    assert "Scan ExistingRDD" in plan  # the checkpoint leaf
 
 
 def test_posting_build_single_explode_bounded_exchanges(spark, tmp_path):
-    # r11 shape: the raw explode runs ONCE, below the stop filter's
-    # localCheckpoint — so the build plan above the checkpoint shows
-    # NO Generate (no second explode evaluation; the r9 anti-join
-    # shape's double evaluation must not come back) — and exactly ONE
-    # full-index shingle exchange (the collect_list groupBy; the df
-    # count's exchange carries one row per map task per shingle).
+    # r11 shape: tokenization runs ONCE, below the stop filter's
+    # localCheckpoint, and the posting build above the checkpoint is
+    # scan → array_except → explode → ONE shingle exchange for the
+    # collect_list groupBy. No join (the hot list is a collected
+    # literal), no window, no doc-keyed exchange (n_sh = size(arr)
+    # rides the projection), exactly one Generate (the pair-emission
+    # explode) and one full-index exchange.
     docs = [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)]
     sf_dir = str(tmp_path)
     spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(
         f"{sf_dir}/documents.parquet"
     )
-    build = (
-        dd.drop_stop_shingles(dd._raw_shingles(spark, sf_dir))
-        .groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-    )
-    plan = build._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Generate") == 0, plan
-    assert plan.count("Exchange hashpartitioning(shingle") == 2, plan
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    evict()
+    try:
+        build = dd.posting_lists(spark, sf_dir)
+        plan = build._jdf.queryExecution().executedPlan().toString()
+    finally:
+        evict()
+    # AQE prints "== Final Plan ==" plus "== Initial Plan ==" — count
+    # operators in the final section only.
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("Exchange hashpartitioning(shingle") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "array_except" in plan, plan
 
 
 def test_incremental_batch_equals_restricted_full_pairs(spark):
