@@ -104,18 +104,21 @@ PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
 
 def gen_documents_skewed(rng: random.Random, n: int) -> list[tuple]:
     """Adversarially SKEWED corpus: one boilerplate template duplicated
-    ~10^4 times (5/6 of the corpus), a tranche of near-dups of it (one
-    token perturbed), and a normal background — the hot-key shape that
-    makes naive pair joins quadratic. Every template shingle's df is
-    ~10^4 >> STOP_SHINGLE_MAX_DF, so the cap must drop them and keep
-    candidate emission bounded; the perturbed tokens' shingles stay
-    under the cap and still pair the near-dups. Volume is set at/above
-    the sf0.1 documents table (5000 rows) so the receipt speaks for
-    bench scale."""
+    exactly (collapsed to one representative by rep_docs), a LARGE
+    tranche of near-dups of it (one token perturbed — each a DISTINCT
+    text, so every unperturbed template shingle's rep-space df is the
+    tranche size), and a normal background — the hot-key shape that
+    makes naive pair joins quadratic. Tranche sizing (r11 verdict
+    receipt): near-dups are 2/3 of the corpus, so at n=12000 the hot
+    shingles' df is ~8000 ≈ 125× STOP_SHINGLE_MAX_DF — the cap must
+    drop them and keep candidate emission bounded; the perturbed
+    tokens' shingles stay under the cap and still pair the near-dups.
+    Volume is set above the sf0.1 documents table (5000 rows) so the
+    receipt speaks for bench scale."""
     vocab = _vocab(rng, 80)
     template = " ".join(rng.choice(vocab) for _ in range(40))
-    n_template = (n * 5) // 6
-    n_near = n // 24
+    n_template = n // 6
+    n_near = (n * 2) // 3
     rows: list[tuple] = []
     doc_id = 0
     for _ in range(n_template):
